@@ -1,0 +1,301 @@
+package graft.jobs
+
+import graft.Tables
+import graft.ops.Ops
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's core operator surface (SURVEY §2) re-expressed over the
+  * harness tables, one query per operator family, each with a DuckDB oracle.
+  *
+  * Conventions for oracle hash-parity (see SURVEY §7.4):
+  *  - re-associative double sums go through DECIMAL (exact, order-free);
+  *  - per-row arithmetic stays IEEE double (bit-deterministic);
+  *  - integer-ish outputs cast to BIGINT on both sides;
+  *  - timestamps rendered with date_format/strftime as strings;
+  *  - every output has a total ORDER BY on both sides;
+  *  - ranking always carries a unique tiebreaker.
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // S1/P1/A1 — the MaxTemperature shape: fixed-width-ish projection feeding
+  // a group-by MAX with map-side partial aggregation (the reference's
+  // combiner, BootStrap.java:35, is HashAggregate partial mode here).
+  val qMaxPerGroup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(year(col("l_shipdate")).cast("bigint").as("ship_year"))
+      .agg(max(col("l_quantity")).as("max_qty"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("ship_year"))
+
+  val qMaxPerGroupSql: String =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      |       max(l_quantity) AS max_qty, count(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // P1/F1 — fixed-width substring projection + signed int parse
+  // (MaxTemperatureMapper.java:17-22). c_name is `Customer#` + 9 digits;
+  // Java offsets [9,18) → the parsed key must round-trip to c_custkey.
+  val qFixedwidthParse: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+              Ops.fixedWidthInt(col("c_name"), 9, 18).cast("bigint").as("parsed_key"))
+      .withColumn("key_matches",
+                  (col("parsed_key") === col("c_custkey")).cast("int").cast("bigint"))
+      .orderBy(col("c_custkey"))
+
+  val qFixedwidthParseSql: String =
+    """SELECT c_custkey,
+      |       CAST(CAST(substring(c_name, 10, 9) AS INT) AS BIGINT) AS parsed_key,
+      |       CAST(CAST(substring(c_name, 10, 9) AS INT) = c_custkey AS BIGINT) AS key_matches
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // J1 — reduce-side repartition equi-join (ReduceJoinJob.java:100-175).
+  // Actual reference semantics are INNER despite the javadoc's `left join`
+  // (SURVEY §7.4.2). customer ⋈ nation plays employee ⋈ dept; output
+  // mirrors the reference's projection (name, key, joined name, value).
+  val qReduceJoin: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(n, c("c_nationkey") === n("n_nationkey"), "inner")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+              col("n_name").as("nation_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qReduceJoinSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, n_name AS nation_name, c_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // J2 — map-side broadcast hash join (UserHotcar.java:102-142): the big
+  // fact (lineitem) probes a broadcast small dim (part). Explicit
+  // broadcast() hint = the reference's distributed-cache side table; at
+  // 100 TB lineitem never shuffles for this join.
+  val qBroadcastJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
+      .groupBy(col("p_brand"))
+      .agg(Ops.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  val qBroadcastJoinSql: String =
+    """SELECT p_brand,
+      |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // J3/F2/P2 — explode-then-join over the reference's packed-pair
+  // micro-format (UserHotcar.java:67-96): pack lineitems into
+  // `partkey@qty,...` per order, split+explode back (the *intended*
+  // `[$]`-style literal split, SURVEY §7.4.1), then join the exploded ids
+  // against part. Quantities are whole numbers → BIGINT round-trip keeps
+  // string formatting engine-agnostic.
+  val qExplodeJoin: Q = (s, d) => {
+    val packed = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+              Ops.packPairs(col("l_partkey").cast("bigint").cast("string"),
+                            col("l_quantity").cast("bigint").cast("string")).as("pair"))
+      .groupBy(col("l_orderkey"))
+      .agg(concat_ws(",", collect_list(col("pair"))).as("items"))
+    val exploded = Ops.unpackPairs(packed, "items", ",", "item_key", "item_qty")
+    val p = Tables.part(s, d)
+    exploded
+      .join(broadcast(p), col("item_key").cast("bigint") === p("p_partkey"), "inner")
+      .groupBy(col("l_orderkey"))
+      .agg((sum(col("p_retailprice").cast("decimal(18,2)") *
+                col("item_qty").cast("bigint"))).cast("double").as("packed_value"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val qExplodeJoinSql: String =
+    """WITH packed AS (
+      |  SELECT l_orderkey,
+      |         string_agg(CAST(CAST(l_partkey AS BIGINT) AS VARCHAR) || '@' ||
+      |                    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), ',') AS items
+      |  FROM lineitem GROUP BY 1),
+      |exploded AS (
+      |  SELECT l_orderkey, unnest(string_split(items, ',')) AS pair FROM packed)
+      |SELECT l_orderkey,
+      |       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) *
+      |                CAST(string_split(pair, '@')[2] AS BIGINT)) AS DOUBLE) AS packed_value,
+      |       count(*) AS n_items
+      |FROM exploded JOIN part ON CAST(string_split(pair, '@')[1] AS BIGINT) = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // U1 — union of two tagged sources (ReduceJoinJob.java:66-67,106-136:
+  // two input dirs through one mapper, routed by source tag).
+  val qUnion: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+              lit("customer").as("src"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+              lit("supplier").as("src"))
+    c.unionByName(sup).orderBy(col("src"), col("name"))
+  }
+
+  val qUnionSql: String =
+    """SELECT * FROM (
+      |  SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer
+      |  UNION ALL
+      |  SELECT s_name, s_acctbal, 'supplier' FROM supplier)
+      |ORDER BY src, name""".stripMargin
+
+  // P3 — arity filter (malformed-row drop, ReduceJoinJob.java:111-114):
+  // keep only documents whose whitespace split meets the expected arity.
+  val qArityFilter: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(size(Ops.tokens(col("text"))) >= 50)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+
+  val qArityFilterSql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE len(string_split(text, ' ')) >= 50
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // F11-F14 — date parse/offset/truncate/format (DateHelper.java:17-79,
+  // UserNewcar's dt=yesterday partition arithmetic): month truncation,
+  // +1 day offset, string formatting.
+  val qDateOps: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+                 .as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+           countDistinct(col("o_custkey")).as("n_custs"),
+           max(date_format(col("o_orderdate") + expr("INTERVAL 1 DAY"),
+                           "yyyy-MM-dd")).as("max_next_day"))
+      .orderBy(col("month"))
+
+  val qDateOpsSql: String =
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+      |       count(*) AS n_orders,
+      |       count(DISTINCT o_custkey) AS n_custs,
+      |       max(strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%d')) AS max_next_day
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // P5/F9 — JSON field extraction (JsonHelper.java:19-22 via Gson →
+  // get_json_object) over events.props.
+  val qJsonExtract: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+              get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+           count(col("k")).as("n_valid"),
+           count(lit(1)).as("n_total"))
+      .orderBy(col("event_type"))
+
+  val qJsonExtractSql: String =
+    """SELECT event_type,
+      |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_valid,
+      |       COUNT(*) AS n_total
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // P6/F3 — permissive numeric parse with 0.0 default (UserHotcar.java:
+  // 57-62). 'error'-type rows get a poisoned string that fails the cast
+  // and falls back to the default — mirroring the reference's swallowed
+  // NumberFormatException. Integer-valued doubles sum exactly.
+  val qPermissiveCast: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+              Ops.permissiveDouble(
+                concat(col("event_id").cast("string"),
+                       when(col("event_type") === "error", lit("x")).otherwise(lit(""))))
+                .as("parsed"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("parsed")).as("parsed_sum"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val qPermissiveCastSql: String =
+    """SELECT event_type,
+      |       SUM(COALESCE(TRY_CAST(CAST(event_id AS VARCHAR) ||
+      |             CASE WHEN event_type = 'error' THEN 'x' ELSE '' END AS DOUBLE),
+      |           0.0)) AS parsed_sum,
+      |       COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // F4 — |a − b| distance scoring (UserHotcar.java:77) as an aggregate
+  // per market segment; exact decimal average (SURVEY §7.4 parity rules).
+  val qAbsDist: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg((sum(abs(col("o_totalprice") - col("c_acctbal")).cast("decimal(18,2)"))
+              .cast("double") / count(lit(1))).as("avg_dist"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qAbsDistSql: String =
+    """SELECT c_mktsegment,
+      |       CAST(SUM(CAST(ABS(o_totalprice - c_acctbal) AS DECIMAL(18,2))) AS DOUBLE)
+      |         / COUNT(*) AS avg_dist,
+      |       COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // S11 — job counters as observable aggregates (UserHotcar.java:97-98:
+  // valid-user counter). Dataset.observe carries the running metrics on
+  // the returned plan (the Spark-native accumulator surface); the query
+  // result is the same counts as a relation.
+  val qCounters: Q = (s, d) =>
+    Tables.events(s, d)
+      .observe("graft_counters",
+               count(lit(1)).as("rows_seen"),
+               sum(when(get_json_object(col("props"), "$.k").isNotNull, 1L)
+                     .otherwise(0L)).as("rows_valid"))
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(get_json_object(col("props"), "$.k").isNotNull, 1L)
+                 .otherwise(0L)).as("n_valid"),
+           countDistinct(col("user_id")).as("n_users"))
+
+  val qCountersSql: String =
+    """SELECT COUNT(*) AS n_total,
+      |       SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+      |                THEN 1 ELSE 0 END) AS n_valid,
+      |       COUNT(DISTINCT user_id) AS n_users
+      |FROM events""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_max_per_group"    -> qMaxPerGroup,
+    "q_fixedwidth_parse" -> qFixedwidthParse,
+    "q_reduce_join"      -> qReduceJoin,
+    "q_broadcast_join"   -> qBroadcastJoin,
+    "q_explode_join"     -> qExplodeJoin,
+    "q_union"            -> qUnion,
+    "q_arity_filter"     -> qArityFilter,
+    "q_date_ops"         -> qDateOps,
+    "q_json_extract"     -> qJsonExtract,
+    "q_permissive_cast"  -> qPermissiveCast,
+    "q_abs_dist"         -> qAbsDist,
+    "q_counters"         -> qCounters,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_max_per_group"    -> qMaxPerGroupSql,
+    "q_fixedwidth_parse" -> qFixedwidthParseSql,
+    "q_reduce_join"      -> qReduceJoinSql,
+    "q_broadcast_join"   -> qBroadcastJoinSql,
+    "q_explode_join"     -> qExplodeJoinSql,
+    "q_union"            -> qUnionSql,
+    "q_arity_filter"     -> qArityFilterSql,
+    "q_date_ops"         -> qDateOpsSql,
+    "q_json_extract"     -> qJsonExtractSql,
+    "q_permissive_cast"  -> qPermissiveCastSql,
+    "q_abs_dist"         -> qAbsDistSql,
+    "q_counters"         -> qCountersSql,
+  )
+}

@@ -1,0 +1,163 @@
+package graft.jobs
+
+import graft.Tables
+import graft.ops.Ops
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship UserHotcar/UserNewcar pipeline (reference
+  * UserHotcar.java:30-249) re-expressed Spark-first over the harness star
+  * schema: broadcast join of a big "user" side against a small per-city
+  * item table, |price − preference| scoring, per-group full-set min-max
+  * normalization, bounded top-K, ordered group-concat into a JSON payload.
+  *
+  * Harness casting (FIXTURES.md §2 mapping): customer = user profile
+  * (c_nationkey = preferred city, c_acctbal = price preference), part =
+  * the per-city hot-item side table (city = p_partkey % 25), orders =
+  * the per-user priced events used by the standalone top-K/minmax ops.
+  *
+  * Scale posture: the item side table is bounded (the reference's ~300
+  * cities, BASELINE.md) → broadcast; the only shuffle is the window
+  * partition on the (user, city) group key; top-K is a rank filter, never
+  * a driver-side collect.
+  */
+object RecPipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  val TopK = 100 // reference HOTCAR_NUM, UserHotcar.java:32
+
+  // T1/T2 — per-group bounded top-K by ascending computed distance
+  // (TreeSet sort + break-at-K, UserHotcar.java:152-193), with the
+  // deterministic tiebreaker mandated by SURVEY §7.4.4. K=10 keeps the
+  // standalone operator's output compact; the flagship uses K=100.
+  val qTopkPerGroup: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+      .select(col("c_custkey"), col("o_orderkey"),
+              abs(col("o_totalprice") - col("c_acctbal")).as("dist"))
+    Ops.topKPerGroup(joined, Seq("c_custkey"), col("dist"), col("o_orderkey"), 10)
+      .orderBy(col("c_custkey"), col("rn"))
+  }
+
+  val qTopkPerGroupSql: String =
+    """SELECT c_custkey, o_orderkey, dist, rn FROM (
+      |  SELECT c_custkey, o_orderkey,
+      |         ABS(o_totalprice - c_acctbal) AS dist,
+      |         CAST(row_number() OVER (PARTITION BY c_custkey
+      |           ORDER BY ABS(o_totalprice - c_acctbal), o_orderkey) AS BIGINT) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rn <= 10 ORDER BY c_custkey, rn""".stripMargin
+
+  // A2/A3 — per-group min-max normalization over the *full* group
+  // (UserHotcar.java:166-183), with the max==min → 1.0 guard replacing
+  // the reference's divide-by-zero NaN (SURVEY §7.4.3).
+  val qMinmaxNorm: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              Ops.minMaxNorm(col("o_totalprice"), Seq(col("o_custkey"))).as("score"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+
+  val qMinmaxNormSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       CASE WHEN mx = mn THEN 1.0
+      |            ELSE 1.0 - (o_totalprice - mn) / (mx - mn) END AS score
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |             min(o_totalprice) OVER (PARTITION BY o_custkey) AS mn,
+      |             max(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
+      |      FROM orders)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // A4/F6/F7 — ordered group-concat (sorted emit + trailing-comma strip,
+  // UserHotcar.java:175-198) wrapped in a hand-built JSON envelope (F10).
+  val qGroupConcat: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(Ops.orderedConcat(col("c_name")).as("names"),
+           count(lit(1)).as("n_members"))
+      .select(col("c_nationkey"),
+              concat(lit("{\"names\": \""), col("names"), lit("\"}")).as("payload"),
+              col("n_members"))
+      .orderBy(col("c_nationkey"))
+
+  val qGroupConcatSql: String =
+    """SELECT c_nationkey,
+      |       '{"names": "' || string_agg(c_name, ',' ORDER BY c_name) || '"}' AS payload,
+      |       count(*) AS n_members
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // The full flagship pipeline (J2+J3+T1+T2+A2+A3+A4+F10 fused): the
+  // complete UserHotcar dataflow as ONE declarative plan. Output rows are
+  // `user_city`-keyed JSON payloads, byte-compatible with the reference's
+  // `<userId>_<cityId> \001 {"infoids": "..."}` record (FIXTURES.md §1.5)
+  // minus the \001 (two columns instead).
+  val qRecommend: Q = (s, d) => {
+    val users = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").as("city"), col("c_acctbal"))
+    val items = Tables.part(s, d)
+      .select((col("p_partkey") % 25).cast("int").as("city"),
+              col("p_partkey"), col("p_retailprice"))
+    val cand = users.join(broadcast(items), Seq("city"), "inner")
+      .select(col("c_custkey"), col("city"), col("p_partkey"),
+              abs(col("c_acctbal") - col("p_retailprice")).as("dist"))
+    val grp = Window.partitionBy(col("c_custkey"), col("city"))
+    val ranked = cand
+      .withColumn("rn", row_number().over(grp.orderBy(col("dist").asc, col("p_partkey").asc))
+                          .cast("bigint"))
+      .withColumn("mn", min(col("dist")).over(grp))
+      .withColumn("mx", max(col("dist")).over(grp))
+    val scored = ranked.filter(col("rn") <= TopK)
+      .withColumn("score",
+        when(col("mx") === col("mn"), lit(1.0))
+          .otherwise(lit(1.0) - (col("dist") - col("mn")) / (col("mx") - col("mn"))))
+      .withColumn("item", concat(col("p_partkey").cast("string"), lit("@"),
+                                 format_string("%.4f", col("score"))))
+    scored
+      .groupBy(concat(col("c_custkey").cast("string"), lit("_"),
+                      col("city").cast("string")).as("user_city"))
+      .agg(concat(lit("{\"infoids\": \""),
+                  array_join(transform(array_sort(collect_list(struct(col("rn"), col("item")))),
+                                       x => x.getField("item")), ","),
+                  lit("\"}")).as("payload"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("user_city"))
+  }
+
+  val qRecommendSql: String =
+    """WITH cand AS (
+      |  SELECT c_custkey, c_nationkey AS city, p_partkey,
+      |         ABS(c_acctbal - p_retailprice) AS dist
+      |  FROM customer JOIN part ON CAST(p_partkey % 25 AS INT) = c_nationkey),
+      |ranked AS (
+      |  SELECT *,
+      |         CAST(row_number() OVER (PARTITION BY c_custkey, city
+      |                                 ORDER BY dist, p_partkey) AS BIGINT) AS rn,
+      |         min(dist) OVER (PARTITION BY c_custkey, city) AS mn,
+      |         max(dist) OVER (PARTITION BY c_custkey, city) AS mx
+      |  FROM cand),
+      |scored AS (
+      |  SELECT *, CASE WHEN mx = mn THEN 1.0
+      |                 ELSE 1.0 - (dist - mn) / (mx - mn) END AS score
+      |  FROM ranked WHERE rn <= 100)
+      |SELECT CAST(c_custkey AS VARCHAR) || '_' || CAST(city AS VARCHAR) AS user_city,
+      |       '{"infoids": "' ||
+      |         string_agg(CAST(p_partkey AS VARCHAR) || '@' || printf('%.4f', score),
+      |                    ',' ORDER BY rn) || '"}' AS payload,
+      |       count(*) AS n_items
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_topk_per_group" -> qTopkPerGroup,
+    "q_minmax_norm"    -> qMinmaxNorm,
+    "q_group_concat"   -> qGroupConcat,
+    "q_recommend"      -> qRecommend,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_topk_per_group" -> qTopkPerGroupSql,
+    "q_minmax_norm"    -> qMinmaxNormSql,
+    "q_group_concat"   -> qGroupConcatSql,
+    "q_recommend"      -> qRecommendSql,
+  )
+}

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable column/DataFrame combinators re-expressing the reference's
+  * hand-rolled MapReduce idioms as declarative Spark operators.
+  *
+  * Design rule: everything here is built from `org.apache.spark.sql.
+  * functions._` (whole-stage-codegen'd) — no Scala UDFs — so plans stay
+  * inside WholeStageCodegen and survive a 100 TB scale-up.
+  */
+object Ops {
+
+  // ---------------------------------------------------------------------
+  // Fixed-width projection (reference MaxTemperatureMapper.java:17-22).
+  // Java substring(a,b) is 0-based [a,b); Spark substring(pos,len) is
+  // 1-based — callers pass the Java offsets and we convert.
+  // ---------------------------------------------------------------------
+  def fixedWidth(c: Column, from: Int, until: Int): Column =
+    substring(c, from + 1, until - from)
+
+  /** Signed fixed-width int, tolerating a leading '+' (the NCDC encoding:
+    * `+0011` / `-0011`). `cast("int")` alone handles both signs.
+    */
+  def fixedWidthInt(c: Column, from: Int, until: Int): Column =
+    fixedWidth(c, from, until).cast("int")
+
+  // ---------------------------------------------------------------------
+  // Permissive numeric parse (reference UserHotcar.java:57-62: parseFloat
+  // in try/catch, default 0.0F on failure).
+  // ---------------------------------------------------------------------
+  def permissiveDouble(c: Column, default: Double = 0.0): Column =
+    coalesce(c.try_cast("double"), lit(default))
+
+  // ---------------------------------------------------------------------
+  // Packed-pair micro-format `id@score[,id@score...]` (reference
+  // UserHotcar.java:67-74). unpackPairs explodes `sep`-separated `id@val`
+  // pairs into (id, value) columns. NB the reference's `split("$")` is a
+  // regex-anchor bug (SURVEY §7.4.1) — we implement the *intended*
+  // semantics: `[$]` splits on a literal dollar.
+  // ---------------------------------------------------------------------
+  def unpackPairs(df: DataFrame, packed: String, sep: String,
+                  idCol: String, valCol: String): DataFrame =
+    df.withColumn("__pair", explode(split(col(packed), sep)))
+      .withColumn(idCol, substring_index(col("__pair"), "@", 1))
+      .withColumn(valCol, substring_index(col("__pair"), "@", -1))
+      .drop("__pair", packed)
+
+  /** Pack `idCol@valCol` pairs into one string per group — the inverse,
+    * used to build reference-shaped packed strings from relational data.
+    */
+  def packPairs(id: Column, v: Column): Column = concat(id, lit("@"), v)
+
+  // ---------------------------------------------------------------------
+  // Per-group top-K by ascending sort key (reference TreeSet sort +
+  // bounded emit, UserHotcar.java:152-193). A deterministic tiebreaker is
+  // mandatory: the reference's comparator never returns 0 so its tie
+  // order is insertion order (nondeterministic under shuffle) — SURVEY
+  // §7.4.4 resolves this by always adding `tiebreak`.
+  // At scale this is one shuffle on the group key; no driver collect.
+  // ---------------------------------------------------------------------
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: Column,
+                   tiebreak: Column, k: Int, rnCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCol.asc, tiebreak.asc)
+    df.withColumn(rnCol, row_number().over(w).cast("bigint"))
+      .filter(col(rnCol) <= k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Min-max normalization per group: 1 − (x − min)/(max − min)
+  // (reference UserHotcar.java:183). The reference divides by zero when a
+  // group has a single distinct value (NaN into the output); per SURVEY
+  // §7.4.3 we guard: max == min → score 1.0 (deterministic, oracle-able).
+  // ---------------------------------------------------------------------
+  def minMaxNorm(x: Column, groupCols: Seq[Column]): Column = {
+    val w = Window.partitionBy(groupCols: _*)
+    val mn = min(x).over(w)
+    val mx = max(x).over(w)
+    when(mx === mn, lit(1.0)).otherwise(lit(1.0) - (x - mn) / (mx - mn))
+  }
+
+  // ---------------------------------------------------------------------
+  // Exact decimal aggregation helpers. Money columns in the harness data
+  // are 2-decimal doubles; double summation is order-dependent, so every
+  // re-associative aggregate goes through DECIMAL (exact, associative,
+  // bit-identical to the DuckDB oracle regardless of row order /
+  // parallelism). Per-row arithmetic stays IEEE-double (deterministic).
+  // ---------------------------------------------------------------------
+  def exactSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  def exactAvg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double") / count(lit(1))
+
+  // ---------------------------------------------------------------------
+  // Ordered group-concat (reference's sorted emit + trailing-comma strip,
+  // UserHotcar.java:175-198): collect, sort, join — concat_ws makes the
+  // trailing-delimiter strip (F7) unnecessary.
+  // ---------------------------------------------------------------------
+  def orderedConcat(c: Column, sep: String = ","): Column =
+    array_join(array_sort(collect_list(c)), sep)
+
+  // ---------------------------------------------------------------------
+  // Embedding math over array<float> — all higher-order functions, no
+  // UDFs. Accumulation in double, sequential left fold (deterministic).
+  // ---------------------------------------------------------------------
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  // ---------------------------------------------------------------------
+  // Text helpers for the LLM-pipeline operators.
+  // ---------------------------------------------------------------------
+  /** Whitespace tokenizer (single-space split matches the oracle's
+    * string_split; the corpus is single-spaced).
+    */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Collapse runs of whitespace and lowercase — canonical form used by
+    * fingerprinting / near-dup blocking.
+    */
+  def normalizeText(c: Column): Column =
+    lower(regexp_replace(c, "\\s+", " "))
+
+  /** Word n-gram shingles of a token array (distinct), for MinHash /
+    * Jaccard near-dup. Uses sequence+transform so it stays codegen-able.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+
+  /** MinHash signature: for each seed, min over shingles of
+    * xxhash64(seed ++ shingle). Returns array<bigint> of length nHashes.
+    */
+  def minHashSignature(sh: Column, nHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(nHashes - 1)),
+      seed => array_min(transform(sh, s => xxhash64(seed, s))))
+
+  /** Deterministic polynomial rolling hash of the first `maxLen` chars,
+    * mod 1e9+7 (stays far from Long overflow — Spark 4 runs ANSI mode).
+    */
+  def rollingHash(c: Column, maxLen: Int = 64): Column =
+    aggregate(
+      sequence(lit(1), least(length(c), lit(maxLen))),
+      lit(0L),
+      (acc, i) => (acc * 31L + ascii(substring(c, i.cast("int"), lit(1)))) % 1000000007L)
+}

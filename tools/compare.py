@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: for each query result
+parquet written by graft.Verify, run the oracle SQL from oracle_sql.json in
+DuckDB over the same sf dir and compare (columns sorted by name, rows
+sorted, exact value equality; floats compared bitwise then with 1e-9 rel
+tolerance fallback reported separately)."""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(rows):
+    out = []
+    for r in rows:
+        out.append(tuple("NULL" if v is None else v for v in r))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+def approx_eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if a == b or (math.isnan(a) and math.isnan(b)):
+            return True
+        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            spark_cols = sorted(spark_rel.columns)
+            spark_rows = norm(con.sql(
+                f"SELECT {', '.join(spark_cols)} FROM spark_rel").fetchall())
+            duck_rel = con.sql(sql)
+            duck_cols = sorted(duck_rel.columns)
+            duck_rows = norm(con.sql(
+                f"SELECT {', '.join(duck_cols)} FROM duck_rel").fetchall())
+        except Exception as e:
+            print(f"FAIL {name}: ERROR {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if spark_cols != duck_cols:
+            print(f"FAIL {name}: cols spark={spark_cols} duck={duck_cols}")
+            n_fail += 1
+            continue
+        if len(spark_rows) != len(duck_rows):
+            print(f"FAIL {name}: rows spark={len(spark_rows)} duck={len(duck_rows)}")
+            n_fail += 1
+            continue
+        exact = spark_rows == duck_rows
+        if exact:
+            print(f"PASS {name} ({len(spark_rows)} rows, exact)")
+            n_pass += 1
+            continue
+        # locate first mismatch
+        bad = None
+        n_close = 0
+        for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
+            if a != b:
+                if all(approx_eq(x, y) for x, y in zip(a, b)):
+                    n_close += 1
+                    continue
+                bad = (i, a, b)
+                break
+        if bad is None:
+            print(f"NEAR {name} ({len(spark_rows)} rows, {n_close} float-eps diffs)")
+            n_fail += 1  # driver hashes exactly -> treat as fail
+        else:
+            print(f"FAIL {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
