@@ -15,13 +15,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     jobs.RecPipeline.qRecommend(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * LLM-pipeline extensions (dedup, similarity, text, temporal,
+    * multimodal).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    jobs.CoreQueries.queries ++ jobs.RecPipeline.queries
+    jobs.CoreQueries.queries ++ jobs.RecPipeline.queries ++
+      ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextOps.queries ++
+      ext.Sessions.queries ++ ext.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omit for non-SQL-expressible ops (those get
+    * the driver's weaker rows-only check).
     */
   def oracleSql: Map[String, String] =
-    jobs.CoreQueries.oracles ++ jobs.RecPipeline.oracles
+    jobs.CoreQueries.oracles ++ jobs.RecPipeline.oracles ++
+      ext.Dedup.oracles ++ ext.Similarity.oracles ++ ext.TextOps.oracles ++
+      ext.Sessions.oracles ++ ext.Multimodal.oracles
 }

@@ -1,0 +1,181 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Ops
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline, over
+  * the `documents` table: exact (hash group-by), blocking-signature
+  * near-dup, word-n-gram Jaccard within blocks, MinHash+LSH, SimHash.
+  *
+  * Scale posture: every variant is a shuffle-on-signature group-by or a
+  * bucket-equi-join — never an all-pairs cross join. MinHash candidate
+  * generation is the classic shingle → signature → band → bucket-join
+  * pipeline; verification only touches candidate pairs.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Exact dedup: content hash → canonical representative (min doc_id) +
+  // multiplicity. The 100 TB path: one shuffle on a 256-bit hash,
+  // perfectly balanced keys.
+  val qDedupExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+           count(lit(1)).as("n_copies"))
+      .orderBy(col("canonical_id"))
+
+  val qDedupExactSql: String =
+    """SELECT sha256(text) AS text_hash, min(doc_id) AS canonical_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin
+
+  // Blocking-signature near-dup: cheap deterministic signature
+  // (lang, length bucket, normalized 40-char prefix) groups likely
+  // duplicates without any pairwise work — the first stage of a
+  // candidate-generation funnel.
+  val qDedupBlock: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"),
+               floor(col("n_chars") / 100.0).cast("bigint").as("len_bucket"),
+               substring(Ops.normalizeText(col("text")), 1, 40).as("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("canonical_id"))
+
+  val qDedupBlockSql: String =
+    """SELECT lang, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_bucket,
+      |       substring(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 40) AS prefix,
+      |       count(*) AS n_docs, min(doc_id) AS canonical_id
+      |FROM documents GROUP BY 1, 2, 3 HAVING count(*) > 1
+      |ORDER BY canonical_id""".stripMargin
+
+  // Word-3-gram Jaccard near-dup within deterministic blocks
+  // (lang, n_chars/20): all-pairs only *inside* a block, so the pair count
+  // stays linear-ish in corpus size as long as blocks stay bounded.
+  val qNgramJaccard: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+              floor(col("n_chars") / 20.0).cast("bigint").as("len_bucket"),
+              Ops.shingles(Ops.tokens(col("text")), 3).as("grams"))
+    val a = docs.select(col("lang"), col("len_bucket"),
+                        col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val b = docs.select(col("lang"), col("len_bucket"),
+                        col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    a.join(b, Seq("lang", "len_bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      // int/int division is bit-identical in Spark and DuckDB — no
+      // rounding, which would risk half-up vs half-even divergence on
+      // exact-rational values.
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qNgramJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, lang, CAST(FLOOR(n_chars / 20.0) AS BIGINT) AS len_bucket,
+      |         list_distinct(list_transform(
+      |           range(greatest(len(string_split(text, ' ')) - 2, 1)),
+      |           i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS grams
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |         len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+      |FROM sh a JOIN sh b
+      |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+      |ORDER BY 1, 2""".stripMargin
+
+  // MinHash + LSH near-dup (non-SQL-expressible → rows-only check):
+  // shingle → 32-hash MinHash signature → 8 bands × 4 rows → bucket
+  // equi-join for candidates → Jaccard verification on candidates only.
+  // Output is one row per document with its dedup decision.
+  val NumHashes = 32
+  val NumBands = 8
+  val RowsPerBand = NumHashes / NumBands
+
+  val qDedupMinhash: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+              Ops.shingles(Ops.tokens(col("text")), 3).as("grams"))
+      .withColumn("sig", Ops.minHashSignature(col("grams"), NumHashes))
+    val banded = docs.select(
+      col("doc_id"), col("grams"),
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+        j => xxhash64(slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand))))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bucket")
+    val left = banded.select(col("band_id"), col("bucket"),
+                             col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val right = banded.select(col("band_id"), col("bucket"),
+                              col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    val pairs = left.join(right, Seq("band_id", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("grams_a"), col("grams_b"))
+      .distinct()
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+        size(array_union(col("grams_a"), col("grams_b"))))
+    val partners = pairs.select(col("doc_a").as("doc_id"), col("jaccard"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("jaccard")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"), max(col("jaccard")).as("max_jaccard"))
+    val dupFlag = pairs.filter(col("jaccard") >= 0.9)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(partners, Seq("doc_id"), "left")
+      .join(dupFlag, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+              round(coalesce(col("max_jaccard"), lit(0.0)), 6).as("max_jaccard"),
+              coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  // SimHash (non-SQL-expressible → rows-only): 64-bit signature where bit
+  // i is the sign of Σ_tokens (±1 by bit i of xxhash64(token)). Computed
+  // as an explode + single group-by with 64 partial-aggregating sums —
+  // map-side combine keeps the shuffle at one row per (doc, 64 counters).
+  // Also carries the polynomial rolling-hash fingerprint (Ops.rollingHash).
+  val qDedupSimhash: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L))
+        .as(s"b$i")
+    }
+    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"),
+              Ops.rollingHash(Ops.normalizeText(col("text"))).as("fingerprint"))
+    sums.select(col("doc_id"), simhash.as("simhash"))
+      .join(fp, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact"   -> qDedupExact,
+    "q_dedup_block"   -> qDedupBlock,
+    "q_ngram_jaccard" -> qNgramJaccard,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact"   -> qDedupExactSql,
+    "q_dedup_block"   -> qDedupBlockSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql,
+  )
+}

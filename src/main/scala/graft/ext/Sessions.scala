@@ -1,0 +1,75 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal/event operators over the `events` table — the streaming-shaped
+  * capability surface in batch form (SURVEY §2.8: the reference is
+  * batch-only; its closest temporal construct is the daily dt= partition).
+  * The same window/gap logic runs under Structured Streaming in
+  * graft.streaming.EventStream.
+  */
+object Sessions {
+  type Q = (SparkSession, String) => DataFrame
+
+  val SessionGapMinutes = 30L
+
+  // Sessionization: gap > 30 min starts a new session. lag + running sum
+  // over a (user, time) window — one shuffle on user_id; epoch micros
+  // comparison avoids interval-type divergence between engines.
+  val qSessionize: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > SessionGapMinutes * 60L * 1000000L,
+             1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val qSessionizeSql: String =
+    """WITH x AS (
+      |  SELECT user_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+      |       count(*) AS n_events
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Time-bucket aggregation (hourly tumbling window) — Spark's window()
+  // operator (the Structured-Streaming-compatible form), value sums made
+  // exact via decimal.
+  val qEventWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+              col("event_type"), col("n_events"), col("value_sum"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  val qEventWindowSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+      |       event_type, count(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_sessionize"   -> qSessionize,
+    "q_event_window" -> qEventWindow,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sessionize"   -> qSessionizeSql,
+    "q_event_window" -> qEventWindowSql,
+  )
+}

@@ -1,0 +1,118 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Ops
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`array<float>`, 64-dim).
+  *
+  * Two paths, per the scale playbook:
+  *  - brute-force cosine top-k: broadcast the (small) query set against a
+  *    full scan of the corpus — the exact baseline. At 100 TB the corpus
+  *    side never shuffles; ranking is a window on the bounded
+  *    (query × corpus) candidate stream.
+  *  - sign-LSH (random-hyperplane) bucketed ANN: each vector maps to a
+  *    16-bit bucket via fixed hyperplanes; candidate generation is a
+  *    bucket equi-join, turning O(N·Q) into O(N/2^16-ish · Q) at the cost
+  *    of recall. Hyperplanes are deterministic plan literals (broadcast
+  *    for free, reproducible across runs).
+  *
+  * All vector math is higher-order functions folding in double — no UDFs,
+  * deterministic sequential accumulation.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  val NumQueries = 10
+  val TopK = 5
+
+  // Brute-force exact cosine top-k. Scores are rounded to 6 decimals on
+  // BOTH engines before ranking so that float-summation-order noise in
+  // the oracle can never flip a rank; vec_id breaks residual ties.
+  val qSimilarityTopk: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cand = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("score", round(Ops.cosine(col("qe"), col("embedding")), 6))
+    Ops.topKPerGroup(cand, Seq("qid"), -col("score"), col("vec_id"), TopK)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val qSimilarityTopkSql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 10),
+      |cand AS (
+      |  SELECT q.qid, e.vec_id,
+      |         round(
+      |           (SELECT SUM(CAST(qe[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))
+      |            FROM generate_series(1, 64) i(i)) /
+      |           (sqrt((SELECT SUM(CAST(qe[i.i] AS DOUBLE) ** 2)
+      |                  FROM generate_series(1, 64) i(i))) *
+      |            sqrt((SELECT SUM(CAST(e.embedding[i.i] AS DOUBLE) ** 2)
+      |                  FROM generate_series(1, 64) i(i)))), 6) AS score
+      |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT qid, vec_id, score,
+      |         CAST(row_number() OVER (PARTITION BY qid
+      |                ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+      |  FROM cand)
+      |SELECT qid, vec_id, score, rn FROM ranked WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Sign-LSH ANN (non-SQL-expressible → rows-only check).
+  // ------------------------------------------------------------------
+  val NumPlanes = 16
+  val Dim = 64
+
+  /** Deterministic pseudo-random hyperplanes in [-1, 1], from a plain LCG
+    * (same constants as java.util.Random) seeded per (plane, dim). Plan
+    * literals: shipped once with the plan, identical on every executor
+    * and every run.
+    */
+  private[ext] def planes: Seq[Seq[Double]] =
+    (0 until NumPlanes).map { j =>
+      (0 until Dim).map { i =>
+        var x = (j.toLong * 1000003L + i.toLong * 7919L + 12345L)
+        x = (x * 0x5DEECE66DL + 0xBL) & ((1L << 48) - 1)
+        x = (x * 0x5DEECE66DL + 0xBL) & ((1L << 48) - 1)
+        (x.toDouble / (1L << 47).toDouble) - 1.0
+      }
+    }
+
+  /** 16-bit sign-LSH bucket of an embedding column. */
+  def lshBucket(emb: Column): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(Ops.dot(emb, typedlit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  // ANN: bucket the corpus once, probe each query's bucket only, exact
+  // cosine re-rank inside the bucket. Output keeps the bucket id so
+  // recall/selectivity is inspectable.
+  val qAnnLsh: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), lshBucket(col("embedding")).as("bucket"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              col("bucket").as("qbucket"))
+    val cand = e.join(broadcast(q),
+                      col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("score", round(Ops.cosine(col("qe"), col("embedding")), 6))
+    Ops.topKPerGroup(cand, Seq("qid"), -col("score"), col("vec_id"), TopK)
+      .select(col("qid"), col("bucket"), col("vec_id"), col("score"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_similarity_topk" -> qSimilarityTopk,
+    "q_ann_lsh"         -> qAnnLsh,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_similarity_topk" -> qSimilarityTopkSql,
+  )
+}

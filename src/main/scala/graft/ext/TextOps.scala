@@ -1,0 +1,144 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Ops
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * corpus stats, BPE-ish token counting, language-ID heuristic, quality
+  * scoring, content fingerprinting. All pure `functions._` column math —
+  * embarrassingly parallel scans, no shuffles except the final group-bys.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Corpus statistics per language: doc/token/char totals (exact integer
+  // arithmetic) + tokens-per-doc as a deterministic double division.
+  val qTextStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(Ops.tokens(col("text"))).cast("bigint")).as("total_tokens"),
+           sum(col("n_chars")).as("total_chars"))
+      .withColumn("avg_tokens", col("total_tokens").cast("double") / col("n_docs"))
+      .orderBy(col("lang"))
+
+  val qTextStatsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // BPE-ish token counting: runs of letters, runs of digits, or single
+  // non-alphanumeric marks — the classic pre-tokenizer regex shape.
+  // Identical pattern semantics in Java regex and DuckDB's RE2 for this
+  // ASCII-class-only pattern.
+  private val TokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  val qTokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"),
+              expr(s"size(regexp_extract_all(text, '$TokenPattern', 0))")
+                .cast("bigint").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_toks")).as("total_bpe_tokens"),
+           max(col("n_toks")).as("max_bpe_tokens"))
+      .orderBy(col("source"))
+
+  val qTokenCountSql: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |       CAST(SUM(len(regexp_extract_all(text, '$TokenPattern'))) AS BIGINT)
+       |         AS total_bpe_tokens,
+       |       CAST(MAX(len(regexp_extract_all(text, '$TokenPattern'))) AS BIGINT)
+       |         AS max_bpe_tokens
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Language-ID heuristic: stopword-evidence scoring (the n-gram/stopword
+  // family of cheap lang-ID). Output is the (true lang × predicted)
+  // confusion matrix, which is also how a pipeline would evaluate the
+  // heuristic against labeled data.
+  private def hits(c: Column, words: Seq[String]): Column =
+    words.map(w => when(contains(concat(lit(" "), c, lit(" ")), lit(s" $w ")), 1)
+                     .otherwise(0))
+      .reduce(_ + _)
+
+  val EnStop = Seq("the", "a", "of", "and", "to", "is")
+
+  val qLangId: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("en_score", hits(col("text"), EnStop))
+      .withColumn("predicted", when(col("en_score") >= 2, lit("en")).otherwise(lit("other")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+
+  val qLangIdSql: String = {
+    val scoreExpr = EnStop
+      .map(w => s"CASE WHEN ' ' || text || ' ' LIKE '% $w %' THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT lang,
+       |       CASE WHEN ($scoreExpr) >= 2 THEN 'en' ELSE 'other' END AS predicted,
+       |       count(*) AS n_docs
+       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // Quality scoring: length factor, punctuation-free ratio, stopword
+  // presence — deterministic per-row double arithmetic (no re-association,
+  // bit-identical to the oracle). Output per doc.
+  val qQualityScore: Q = (s, d) => {
+    val toks = size(Ops.tokens(col("text"))).cast("double")
+    val alnum = length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")).cast("double")
+    val lenScore = least(toks / 100.0, lit(1.0))
+    val cleanRatio = alnum / col("n_chars").cast("double")
+    val stopScore = least(hits(col("text"), EnStop).cast("double") / 3.0, lit(1.0))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              ((lenScore + cleanRatio + stopScore) / 3.0).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualityScoreSql: String = {
+    val scoreExpr = EnStop
+      .map(w => s"CASE WHEN ' ' || text || ' ' LIKE '% $w %' THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id,
+       |       (least(len(string_split(text, ' ')) / 100.0, 1.0)
+       |        + CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |            / CAST(n_chars AS DOUBLE)
+       |        + least(($scoreExpr) / 3.0, 1.0)) / 3.0 AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // Content fingerprint: MD5 of whitespace-normalized lowercase text —
+  // the oracle-able face of fingerprinting (the polynomial rolling hash
+  // rides in q_dedup_simhash). Grouped to expose collision multiplicity.
+  val qFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(Ops.normalizeText(col("text"))).as("fingerprint"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("canonical_id"))
+
+  val qFingerprintSql: String =
+    """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+      |       min(doc_id) AS canonical_id, count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_text_stats"    -> qTextStats,
+    "q_token_count"   -> qTokenCount,
+    "q_lang_id"       -> qLangId,
+    "q_quality_score" -> qQualityScore,
+    "q_fingerprint"   -> qFingerprint,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats"    -> qTextStatsSql,
+    "q_token_count"   -> qTokenCountSql,
+    "q_lang_id"       -> qLangIdSql,
+    "q_quality_score" -> qQualityScoreSql,
+    "q_fingerprint"   -> qFingerprintSql,
+  )
+}
