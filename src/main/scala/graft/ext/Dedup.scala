@@ -60,18 +60,21 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
               floor(col("n_chars") / 20.0).cast("bigint").as("len_bucket"),
               Ops.shingles(Ops.tokens(col("text")), 3).as("grams"))
-    val a = docs.select(col("lang"), col("len_bucket"),
-                        col("doc_id").as("doc_a"), col("grams").as("grams_a"))
-    val b = docs.select(col("lang"), col("len_bucket"),
-                        col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+      // grams are distinct, so |A∪B| = |A|+|B|−|A∩B|: precompute sizes
+      // and skip the array_union — one set operation per pair, not two.
+      .withColumn("n_grams", size(col("grams")))
+    val a = docs.select(col("lang"), col("len_bucket"), col("doc_id").as("doc_a"),
+                        col("grams").as("grams_a"), col("n_grams").as("n_a"))
+    val b = docs.select(col("lang"), col("len_bucket"), col("doc_id").as("doc_b"),
+                        col("grams").as("grams_b"), col("n_grams").as("n_b"))
     a.join(b, Seq("lang", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("grams_a"), col("grams_b"))))
       // int/int division is bit-identical in Spark and DuckDB — no
       // rounding, which would risk half-up vs half-even divergence on
       // exact-rational values.
       .withColumn("jaccard",
-        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-          size(array_union(col("grams_a"), col("grams_b"))))
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

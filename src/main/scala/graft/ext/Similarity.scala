@@ -27,16 +27,23 @@ object Similarity {
   val NumQueries = 10
   val TopK = 5
 
-  // Brute-force exact cosine top-k. Scores are rounded to 6 decimals on
-  // BOTH engines before ranking so that float-summation-order noise in
-  // the oracle can never flip a rank; vec_id breaks residual ties.
+  // Brute-force exact cosine top-k. Norms are computed ONCE per vector
+  // before the pair join (per-pair norm recomputation is the classic
+  // O(Q×) waste at scale); the per-pair work is a single dot product.
+  // Scores are rounded to 6 decimals on BOTH engines before ranking so
+  // that float-summation-order noise in the oracle can never flip a
+  // rank; vec_id breaks residual ties.
   val qSimilarityTopk: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+              Ops.l2Norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val cand = e.select(col("vec_id"), col("embedding"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              col("nrm").as("qnrm"))
+    val cand = e
       .join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("score", round(Ops.cosine(col("qe"), col("embedding")), 6))
+      .withColumn("score",
+        round(Ops.dot(col("qe"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
     Ops.topKPerGroup(cand, Seq("qid"), -col("score"), col("vec_id"), TopK)
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))
       .orderBy(col("qid"), col("rn"))
@@ -95,13 +102,16 @@ object Similarity {
   // recall/selectivity is inspectable.
   val qAnnLsh: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), lshBucket(col("embedding")).as("bucket"))
+      .select(col("vec_id"), col("embedding"),
+              lshBucket(col("embedding")).as("bucket"),
+              Ops.l2Norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-              col("bucket").as("qbucket"))
+              col("bucket").as("qbucket"), col("nrm").as("qnrm"))
     val cand = e.join(broadcast(q),
                       col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-      .withColumn("score", round(Ops.cosine(col("qe"), col("embedding")), 6))
+      .withColumn("score",
+        round(Ops.dot(col("qe"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
     Ops.topKPerGroup(cand, Seq("qid"), -col("score"), col("vec_id"), TopK)
       .select(col("qid"), col("bucket"), col("vec_id"), col("score"), col("rn"))
       .orderBy(col("qid"), col("rn"))

@@ -3,7 +3,6 @@ package graft.jobs
 import graft.Tables
 import graft.ops.Ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's flagship UserHotcar/UserNewcar pipeline (reference
@@ -92,35 +91,42 @@ object RecPipeline {
   // `user_city`-keyed JSON payloads, byte-compatible with the reference's
   // `<userId>_<cityId> \001 {"infoids": "..."}` record (FIXTURES.md §1.5)
   // minus the \001 (two columns instead).
+  //
+  // Shape insight that kills every shuffle: a scoring group is exactly
+  // (one user row × its city's bounded item list). So instead of
+  // explode → shuffle → window (which moves |users|×|items/city| rows —
+  // 12M at sf0.1, petabytes at 100 TB), pre-aggregate the small side to
+  // one array per city, broadcast it, and do sort/min-max/top-K/concat
+  // per row with array HOFs. The big side is a pure map — no exchange at
+  // any scale. array_sort on struct(dist, id) is lexicographic, giving
+  // the (dist asc, id asc) deterministic order SURVEY §7.4.4 requires.
   val qRecommend: Q = (s, d) => {
     val users = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_nationkey").as("city"), col("c_acctbal"))
-    val items = Tables.part(s, d)
-      .select((col("p_partkey") % 25).cast("int").as("city"),
-              col("p_partkey"), col("p_retailprice"))
-    val cand = users.join(broadcast(items), Seq("city"), "inner")
-      .select(col("c_custkey"), col("city"), col("p_partkey"),
-              abs(col("c_acctbal") - col("p_retailprice")).as("dist"))
-    val grp = Window.partitionBy(col("c_custkey"), col("city"))
-    val ranked = cand
-      .withColumn("rn", row_number().over(grp.orderBy(col("dist").asc, col("p_partkey").asc))
-                          .cast("bigint"))
-      .withColumn("mn", min(col("dist")).over(grp))
-      .withColumn("mx", max(col("dist")).over(grp))
-    val scored = ranked.filter(col("rn") <= TopK)
-      .withColumn("score",
-        when(col("mx") === col("mn"), lit(1.0))
-          .otherwise(lit(1.0) - (col("dist") - col("mn")) / (col("mx") - col("mn"))))
-      .withColumn("item", concat(col("p_partkey").cast("string"), lit("@"),
-                                 format_string("%.4f", col("score"))))
-    scored
-      .groupBy(concat(col("c_custkey").cast("string"), lit("_"),
-                      col("city").cast("string")).as("user_city"))
-      .agg(concat(lit("{\"infoids\": \""),
-                  array_join(transform(array_sort(collect_list(struct(col("rn"), col("item")))),
-                                       x => x.getField("item")), ","),
-                  lit("\"}")).as("payload"),
-           count(lit(1)).as("n_items"))
+    val cityItems = Tables.part(s, d)
+      .groupBy((col("p_partkey") % 25).cast("int").as("city"))
+      .agg(collect_list(struct(col("p_partkey"), col("p_retailprice"))).as("items"))
+    users.join(broadcast(cityItems), Seq("city"), "inner")
+      .withColumn("sorted",
+        array_sort(transform(col("items"), it =>
+          struct(abs(col("c_acctbal") - it.getField("p_retailprice")).as("dist"),
+                 it.getField("p_partkey").as("id")))))
+      .withColumn("mn", col("sorted")(0)("dist"))
+      .withColumn("mx", element_at(col("sorted"), -1)("dist"))
+      .withColumn("top", slice(col("sorted"), 1, TopK))
+      .select(
+        concat(col("c_custkey").cast("string"), lit("_"),
+               col("city").cast("string")).as("user_city"),
+        concat(lit("{\"infoids\": \""),
+               array_join(transform(col("top"), x =>
+                 concat(x.getField("id").cast("string"), lit("@"),
+                        format_string("%.4f",
+                          when(col("mx") === col("mn"), lit(1.0))
+                            .otherwise(lit(1.0) -
+                              (x.getField("dist") - col("mn")) /
+                                (col("mx") - col("mn")))))), ","),
+               lit("\"}")).as("payload"),
+        size(col("top")).cast("bigint").as("n_items"))
       .orderBy(col("user_city"))
   }
 
