@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.Tables
+import graft.functions.VectorFunctions
 import graft.ops.Ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,8 +19,11 @@ import org.apache.spark.sql.functions._
   *    of recall. Hyperplanes are deterministic plan literals (broadcast
   *    for free, reproducible across runs).
   *
-  * All vector math is higher-order functions folding in double — no UDFs,
-  * deterministic sequential accumulation.
+  * Vector math uses the native codegen'd Catalyst expressions in
+  * graft.functions.VectorFunctions (index-order double accumulation —
+  * bit-identical to the HOF formulation and the DuckDB oracle, but a
+  * tight primitive loop inside whole-stage codegen instead of an
+  * interpreted lambda per element).
   */
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
@@ -36,14 +40,14 @@ object Similarity {
   val qSimilarityTopk: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
-              Ops.l2Norm(col("embedding")).as("nrm"))
+              VectorFunctions.vecNorm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
               col("nrm").as("qnrm"))
     val cand = e
       .join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("score",
-        round(Ops.dot(col("qe"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
+        round(VectorFunctions.vecDot(col("qe"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
     Ops.topKPerGroup(cand, Seq("qid"), -col("score"), col("vec_id"), TopK)
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))
       .orderBy(col("qid"), col("rn"))
@@ -81,20 +85,20 @@ object Similarity {
     * literals: shipped once with the plan, identical on every executor
     * and every run.
     */
-  private[ext] def planes: Seq[Seq[Double]] =
+  private[ext] def planes: Seq[Seq[Float]] =
     (0 until NumPlanes).map { j =>
       (0 until Dim).map { i =>
         var x = (j.toLong * 1000003L + i.toLong * 7919L + 12345L)
         x = (x * 0x5DEECE66DL + 0xBL) & ((1L << 48) - 1)
         x = (x * 0x5DEECE66DL + 0xBL) & ((1L << 48) - 1)
-        (x.toDouble / (1L << 47).toDouble) - 1.0
+        ((x.toDouble / (1L << 47).toDouble) - 1.0).toFloat
       }
     }
 
   /** 16-bit sign-LSH bucket of an embedding column. */
   def lshBucket(emb: Column): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      when(Ops.dot(emb, typedlit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(VectorFunctions.vecDot(emb, typedlit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   // ANN: bucket the corpus once, probe each query's bucket only, exact
@@ -104,14 +108,14 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
               lshBucket(col("embedding")).as("bucket"),
-              Ops.l2Norm(col("embedding")).as("nrm"))
+              VectorFunctions.vecNorm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
               col("bucket").as("qbucket"), col("nrm").as("qnrm"))
     val cand = e.join(broadcast(q),
                       col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
       .withColumn("score",
-        round(Ops.dot(col("qe"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
+        round(VectorFunctions.vecDot(col("qe"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
     Ops.topKPerGroup(cand, Seq("qid"), -col("score"), col("vec_id"), TopK)
       .select(col("qid"), col("bucket"), col("vec_id"), col("score"), col("rn"))
       .orderBy(col("qid"), col("rn"))

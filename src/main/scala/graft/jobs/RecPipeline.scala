@@ -100,7 +100,18 @@ object RecPipeline {
   // per row with array HOFs. The big side is a pure map — no exchange at
   // any scale. array_sort on struct(dist, id) is lexicographic, giving
   // the (dist asc, id asc) deterministic order SURVEY §7.4.4 requires.
-  val qRecommend: Q = (s, d) => {
+  val qRecommend: Q = recommend(TopK)
+
+  /** UserNewcar is a ~95% clone of UserHotcar with K=60 and the side
+    * table read from a dt=<yesterday> partition (reference
+    * UserNewcar.java:33,241-247) — here one parameterized pipeline. The
+    * partitioned-directory side-source itself is covered by
+    * sources.TextTables.readDatePartition.
+    */
+  val TopKNewcar = 60 // reference TOP_60, UserNewcar.java:33
+  val qRecommendNewcar: Q = recommend(TopKNewcar)
+
+  private def recommend(k: Int): Q = (s, d) => {
     val users = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_nationkey").as("city"), col("c_acctbal"))
     val cityItems = Tables.part(s, d)
@@ -113,7 +124,7 @@ object RecPipeline {
                  it.getField("p_partkey").as("id")))))
       .withColumn("mn", col("sorted")(0)("dist"))
       .withColumn("mx", element_at(col("sorted"), -1)("dist"))
-      .withColumn("top", slice(col("sorted"), 1, TopK))
+      .withColumn("top", slice(col("sorted"), 1, k))
       .select(
         concat(col("c_custkey").cast("string"), lit("_"),
                col("city").cast("string")).as("user_city"),
@@ -130,8 +141,11 @@ object RecPipeline {
       .orderBy(col("user_city"))
   }
 
-  val qRecommendSql: String =
-    """WITH cand AS (
+  val qRecommendSql: String = recommendSql(TopK)
+  val qRecommendNewcarSql: String = recommendSql(TopKNewcar)
+
+  private def recommendSql(k: Int): String =
+    s"""WITH cand AS (
       |  SELECT c_custkey, c_nationkey AS city, p_partkey,
       |         ABS(c_acctbal - p_retailprice) AS dist
       |  FROM customer JOIN part ON CAST(p_partkey % 25 AS INT) = c_nationkey),
@@ -145,7 +159,7 @@ object RecPipeline {
       |scored AS (
       |  SELECT *, CASE WHEN mx = mn THEN 1.0
       |                 ELSE 1.0 - (dist - mn) / (mx - mn) END AS score
-      |  FROM ranked WHERE rn <= 100)
+      |  FROM ranked WHERE rn <= $k)
       |SELECT CAST(c_custkey AS VARCHAR) || '_' || CAST(city AS VARCHAR) AS user_city,
       |       '{"infoids": "' ||
       |         string_agg(CAST(p_partkey AS VARCHAR) || '@' || printf('%.4f', score),
@@ -158,6 +172,7 @@ object RecPipeline {
     "q_minmax_norm"    -> qMinmaxNorm,
     "q_group_concat"   -> qGroupConcat,
     "q_recommend"      -> qRecommend,
+    "q_recommend_k60"  -> qRecommendNewcar,
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,5 +180,6 @@ object RecPipeline {
     "q_minmax_norm"    -> qMinmaxNormSql,
     "q_group_concat"   -> qGroupConcatSql,
     "q_recommend"      -> qRecommendSql,
+    "q_recommend_k60"  -> qRecommendNewcarSql,
   )
 }

@@ -1,0 +1,131 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.sources.TextTables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Text-source round-trips in the reference's own record formats
+  * (FIXTURES.md §1.3-1.5), partitioned-directory pruning, and the native
+  * Catalyst vector expressions (value parity vs the HOF formulation +
+  * SQL registration).
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def tmp(): String = Files.createTempDirectory("graft_src").toString
+
+  test("\\u0001-keyed JSON profile source parses and drops malformed rows") {
+    val dir = tmp()
+    val lines = Seq(
+      "u1{\"bycar_profile\": {\"cityid\": \"7@0.9$9@0.1\", \"priceid\": \"150000.0\"}}",
+      "u2{\"bycar_profile\": {\"cityid\": \"3@0.5\", \"priceid\": \"garbage\"}}",
+      "malformed-no-delimiter",
+      "u3{\"other\": 1}")
+    TextTables.writeTextUncompressed(lines.toDF("value"), s"$dir/profiles")
+    val got = TextTables.parseProfiles(
+        TextTables.readLines(spark, s"$dir/profiles"))
+      .as[(String, String, Float)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("u1", "7@0.9$9@0.1", 150000.0f),
+      ("u2", "3@0.5", 0.0f))) // permissive priceid default; u3/malformed dropped
+  }
+
+  test("city->cars side source + sideInputMap broadcast") {
+    val dir = tmp()
+    val lines = Seq(
+      "7{\"infoidlist\": \"101@99000,102@150000\"}",
+      "9{\"infoidlist\": \"201@80000\"}")
+    TextTables.writeTextUncompressed(lines.toDF("value"), s"$dir/cars")
+    val cars = TextTables.parseCityCars(TextTables.readLines(spark, s"$dir/cars"))
+    val bc = TextTables.sideInputMap(cars, "city_id", "infoidlist")
+    assert(bc.value == Map("7" -> "101@99000,102@150000", "9" -> "201@80000"))
+  }
+
+  test("overwrite semantics: second write replaces the first (S7)") {
+    val dir = tmp()
+    TextTables.writeTextUncompressed(Seq("old").toDF("value"), s"$dir/out")
+    TextTables.writeTextUncompressed(Seq("new1", "new2").toDF("value"), s"$dir/out")
+    val back = spark.read.text(s"$dir/out").as[String].collect().sorted
+    assert(back.toSeq == Seq("new1", "new2"))
+  }
+
+  test("dt= partitioned source prunes to one partition (S4)") {
+    val dir = tmp()
+    for (dt <- Seq("2026-08-10", "2026-08-11", "2026-08-12"))
+      TextTables.writeTextUncompressed(
+        Seq(s"row-of-$dt").toDF("value"), s"$dir/side/dt=$dt")
+    val yesterday = TextTables.yesterday(java.time.LocalDate.parse("2026-08-12"))
+    val df = TextTables.readDatePartition(spark, s"$dir/side", yesterday)
+    assert(df.as[(String, String)].collect().toSeq == Seq(("row-of-2026-08-11", "2026-08-11")))
+    // partition pruning must reach the file index, not a post-scan filter
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(dt"), scan)
+  }
+
+  test("weather fixed-width source end-to-end (BootStrap shape)") {
+    val dir = tmp()
+    def line(y: Int, t: Int) = {
+      val sb = new StringBuilder("0" * 105)
+      sb.replace(15, 19, y.toString)
+      sb.replace(87, 92, f"${if (t < 0) "-" else "+"}${math.abs(t)}%04d")
+      sb.toString
+    }
+    TextTables.writeTextUncompressed(
+      Seq(line(1950, -11), line(1950, 5), line(1951, 22)).toDF("value"),
+      s"$dir/weather")
+    val got = TextTables.parseWeather(TextTables.readLines(spark, s"$dir/weather"))
+      .groupBy($"year").agg(max($"temp").as("m"))
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("1950" -> 5, "1951" -> 22))
+  }
+
+  test("native vector expressions == HOF formulation, bit-exact") {
+    val e = Tables.embeddings(spark, TestSpark.Sf).limit(50)
+      .select($"vec_id", $"embedding")
+    val both = e.select(
+      VectorFunctions.vecDot($"embedding", $"embedding").as("native"),
+      graft.ops.Ops.dot($"embedding", $"embedding").as("hof"),
+      VectorFunctions.vecNorm($"embedding").as("nnorm"),
+      graft.ops.Ops.l2Norm($"embedding").as("hnorm"))
+    val rows = both.as[(Double, Double, Double, Double)].collect()
+    assert(rows.forall(r => r._1 == r._2 && r._3 == r._4)) // bitwise equal
+  }
+
+  test("native expressions registered for SQL use") {
+    VectorFunctions.registerAll(spark)
+    Tables.embeddings(spark, TestSpark.Sf).limit(3).createOrReplaceTempView("emb_t")
+    val r = spark.sql(
+      """SELECT graft_dot(embedding, embedding) AS d,
+        |       graft_norm(embedding) AS n,
+        |       graft_hamming(7, 1) AS h
+        |FROM emb_t""".stripMargin).collect()
+    assert(r.length == 3)
+    assert(r.forall(x => math.abs(x.getDouble(0) - x.getDouble(1) * x.getDouble(1)) < 1e-9))
+    assert(r.forall(_.getInt(2) == 2))
+  }
+
+  test("hamming distance pairs simhash signatures") {
+    import graft.ext.Dedup
+    val sh = Dedup.qDedupSimhash(spark, TestSpark.Sf).limit(20)
+      .select($"doc_id", $"simhash")
+    val a = sh.toDF("id_a", "h_a")
+    val b = sh.toDF("id_b", "h_b")
+    val d = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .select(VectorFunctions.hamming($"h_a", $"h_b").as("hd"))
+      .as[Int].collect()
+    assert(d.forall(x => x >= 0 && x <= 64))
+  }
+
+  test("recommend K variants: newcar is a strict prefix of hotcar") {
+    import graft.jobs.RecPipeline
+    val hot = RecPipeline.qRecommend(spark, TestSpark.Sf)
+      .select($"user_city", $"n_items").as[(String, Long)].collect().toMap
+    val newc = RecPipeline.qRecommendNewcar(spark, TestSpark.Sf)
+      .select($"user_city", $"n_items").as[(String, Long)].collect().toMap
+    assert(newc.keySet == hot.keySet)
+    assert(newc.forall { case (k, n) => n == math.min(hot(k), 60L) })
+  }
+}
