@@ -13,6 +13,14 @@ object ExtDemo {
     println("[ext-demo] codegen check:")
     val df = spark.sql("SELECT graft_dot(embedding, embedding) d FROM embeddings")
     df.queryExecution.executedPlan.toString.linesIterator.take(4).foreach(l => println(s"[ext-demo] $l"))
+    // salted top-K parity on real data (library surface)
+    import graft.ops.Ops
+    import org.apache.spark.sql.functions._
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+    val plain = Ops.topKPerGroup(o, Seq("o_custkey"), col("o_totalprice"), col("o_orderkey"), 5).collect().toSet
+    val salted = Ops.topKPerGroupSalted(o, Seq("o_custkey"), col("o_totalprice"), col("o_orderkey"), 5).collect().toSet
+    println(s"[ext-demo] salted==plain: ${salted == plain} (${plain.size} rows)")
     spark.stop()
   }
 }

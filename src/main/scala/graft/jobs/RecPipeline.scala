@@ -49,6 +49,23 @@ object RecPipeline {
       |  FROM orders JOIN customer ON o_custkey = c_custkey)
       |WHERE rn <= 10 ORDER BY c_custkey, rn""".stripMargin
 
+  // T1/T2 via the bounded-heap aggregate (graftshim.BoundedTopK): same
+  // semantics and oracle as q_topk_per_group, but partial aggregation
+  // ships only K rows per group per partition through the shuffle — the
+  // 100 TB path for skewed/huge groups, and the faithful equivalent of
+  // the reference's bounded reducer emit.
+  val qTopkHeap: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+      .select(col("c_custkey"), col("o_orderkey"),
+              abs(col("o_totalprice") - col("c_acctbal")).as("dist"))
+    Ops.topKHeap(joined, Seq("c_custkey"), col("dist"), col("o_orderkey"), 10,
+                 outScore = "dist", outId = "o_orderkey")
+      .select(col("c_custkey"), col("o_orderkey"), col("dist"), col("rn"))
+      .orderBy(col("c_custkey"), col("rn"))
+  }
+
   // A2/A3 — per-group min-max normalization over the *full* group
   // (UserHotcar.java:166-183), with the max==min → 1.0 guard replacing
   // the reference's divide-by-zero NaN (SURVEY §7.4.3).
@@ -169,6 +186,7 @@ object RecPipeline {
 
   val queries: Map[String, Q] = Map(
     "q_topk_per_group" -> qTopkPerGroup,
+    "q_topk_heap"      -> qTopkHeap,
     "q_minmax_norm"    -> qMinmaxNorm,
     "q_group_concat"   -> qGroupConcat,
     "q_recommend"      -> qRecommend,
@@ -177,6 +195,7 @@ object RecPipeline {
 
   val oracles: Map[String, String] = Map(
     "q_topk_per_group" -> qTopkPerGroupSql,
+    "q_topk_heap"      -> qTopkPerGroupSql, // same semantics, same oracle
     "q_minmax_norm"    -> qMinmaxNormSql,
     "q_group_concat"   -> qGroupConcatSql,
     "q_recommend"      -> qRecommendSql,

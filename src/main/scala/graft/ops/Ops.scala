@@ -69,6 +69,45 @@ object Ops {
       .filter(col(rnCol) <= k)
   }
 
+  /** Skew-resistant two-phase top-K: per-(group, salt) top-K first, then
+    * top-K of the ≤ saltBuckets×k survivors per group. Identical result
+    * to topKPerGroup (the global top-K is contained in the union of
+    * per-salt top-Ks), but a hot key's first-phase sort is spread across
+    * saltBuckets partitions instead of one reducer — the classic salting
+    * pattern for power-law group sizes at scale.
+    */
+  def topKPerGroupSalted(df: DataFrame, groupCols: Seq[String], orderCol: Column,
+                         tiebreak: Column, k: Int,
+                         saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(tiebreak), lit(saltBuckets)))
+    val phase1 = topKPerGroup(salted, groupCols :+ "__salt", orderCol, tiebreak,
+                              k, rnCol = "__rn1")
+      .drop("__salt", "__rn1")
+    topKPerGroup(phase1, groupCols, orderCol, tiebreak, k)
+  }
+
+  /** Per-group bounded top-K as a heap aggregate (graftshim.BoundedTopK):
+    * map-side partial aggregation keeps ≤ k rows per group per partition,
+    * so the shuffle carries O(groups × k) instead of every row — the
+    * scale path when groups are huge or skewed. Output schema matches
+    * topKPerGroup: groupCols ++ (idCol, scoreCol, rn).
+    */
+  def topKHeap(df: DataFrame, groupCols: Seq[String], scoreCol: Column,
+               idCol: Column, k: Int,
+               outScore: String = "score", outId: String = "id"): DataFrame = {
+    import org.apache.spark.sql.graftshim.{BoundedTopK, Shim}
+    val agg = Shim.column(
+      BoundedTopK(Shim.expression(scoreCol), Shim.expression(idCol), k)
+        .toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg.as("__topk"))
+      .select(groupCols.map(col) :+ posexplode(col("__topk")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("col.id").as(outId),
+        col("col.score").as(outScore),
+        (col("pos") + 1).cast("bigint").as("rn")): _*)
+  }
+
   // ---------------------------------------------------------------------
   // Min-max normalization per group: 1 − (x − min)/(max − min)
   // (reference UserHotcar.java:183). The reference divides by zero when a

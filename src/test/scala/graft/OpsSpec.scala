@@ -78,6 +78,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("salted top-K == plain top-K (skew path is semantics-preserving)") {
+    val rnd = new scala.util.Random(7)
+    // power-law-ish: group 0 gets ~80% of rows (the hot key)
+    val rows = (1 to 3000).map { i =>
+      val g = if (rnd.nextDouble() < 0.8) 0 else rnd.nextInt(5)
+      (g, rnd.nextDouble() * 100, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id")
+    val plain = Ops.topKPerGroup(df, Seq("g"), col("v"), col("id"), 7)
+      .select($"g", $"v", $"id", $"rn").collect().toSet
+    val salted = Ops.topKPerGroupSalted(df, Seq("g"), col("v"), col("id"), 7)
+      .select($"g", $"v", $"id", $"rn").collect().toSet
+    assert(salted == plain)
+  }
+
+  test("heap top-K aggregate == window top-K (bounded shuffle path)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 2000).map(i => (rnd.nextInt(20), rnd.nextDouble() * 100, i.toLong))
+    val df = rows.toDF("g", "v", "id").repartition(8)
+    val window = Ops.topKPerGroup(df, Seq("g"), col("v"), col("id"), 5)
+      .select($"g", $"id", $"v".as("score"), $"rn")
+      .as[(Int, Long, Double, Long)].collect().toSet
+    val heap = Ops.topKHeap(df, Seq("g"), col("v"), col("id"), 5)
+      .select($"g", $"id", $"score", $"rn")
+      .as[(Int, Long, Double, Long)].collect().toSet
+    assert(heap == window)
+  }
+
   test("minMaxNorm: [0,1] range and max==min guard") {
     val df = Seq((1, 10.0), (1, 20.0), (1, 30.0), (2, 7.0))
       .toDF("g", "x")
