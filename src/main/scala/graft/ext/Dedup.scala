@@ -56,23 +56,28 @@ object Dedup {
   // (lang, n_chars/20): all-pairs only *inside* a block, so the pair count
   // stays linear-ish in corpus size as long as blocks stay bounded.
   val qNgramJaccard: Q = (s, d) => {
+    // Inverted-index formulation: explode each doc's (distinct) grams and
+    // count shared grams per candidate pair via a gram-keyed equi-join —
+    // the shuffle carries single grams, not whole gram arrays duplicated
+    // per pair, and pairs sharing no gram never materialize. |A∪B| =
+    // |A|+|B|−|A∩B| since gram sets are distinct. A pair's jaccard is an
+    // int/int division — bit-identical in Spark and DuckDB, so no
+    // rounding (which would risk half-up vs half-even divergence).
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
               floor(col("n_chars") / 20.0).cast("bigint").as("len_bucket"),
               Ops.shingles(Ops.tokens(col("text")), 3).as("grams"))
-      // grams are distinct, so |A∪B| = |A|+|B|−|A∩B|: precompute sizes
-      // and skip the array_union — one set operation per pair, not two.
       .withColumn("n_grams", size(col("grams")))
-    val a = docs.select(col("lang"), col("len_bucket"), col("doc_id").as("doc_a"),
-                        col("grams").as("grams_a"), col("n_grams").as("n_a"))
-    val b = docs.select(col("lang"), col("len_bucket"), col("doc_id").as("doc_b"),
-                        col("grams").as("grams_b"), col("n_grams").as("n_b"))
-    a.join(b, Seq("lang", "len_bucket"))
+    val inv = docs.select(col("lang"), col("len_bucket"), col("doc_id"),
+                          col("n_grams"), explode(col("grams")).as("gram"))
+    val a = inv.select(col("lang"), col("len_bucket"), col("gram"),
+                       col("doc_id").as("doc_a"), col("n_grams").as("n_a"))
+    val b = inv.select(col("lang"), col("len_bucket"), col("gram"),
+                       col("doc_id").as("doc_b"), col("n_grams").as("n_b"))
+    a.join(b, Seq("lang", "len_bucket", "gram"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("n_common", size(array_intersect(col("grams_a"), col("grams_b"))))
-      // int/int division is bit-identical in Spark and DuckDB — no
-      // rounding, which would risk half-up vs half-even divergence on
-      // exact-rational values.
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= 0.5)

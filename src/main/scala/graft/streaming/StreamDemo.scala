@@ -19,8 +19,11 @@ object StreamDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val out = EventStream.runOnce(spark, dir)
-    println(s"[stream-demo] rows=${out.count()}")
+    println(s"[stream-demo] hourly-agg rows=${out.count()}")
     out.orderBy("bucket", "event_type").show(5, truncate = false)
+    val sessions = SessionStream.runOverStaticDir(spark, dir)
+    println(s"[stream-demo] sessionized users=${sessions.count()}")
+    sessions.orderBy("user_id").show(5, truncate = false)
     spark.stop()
   }
 }

@@ -129,6 +129,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq("a b c", "b c d"))
   }
 
+  test("native shingles == HOF shingles on the real corpus") {
+    val toks = Ops.tokens(col("text"))
+    val both = Tables.documents(spark, TestSpark.Sf)
+      .select(Ops.shingles(toks, 3).as("native"),
+              Ops.shinglesHof(toks, 3).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(both.forall { case (a, b) => a == b })
+    // edge: fewer tokens than n
+    val short = Seq("a b", "x").toDF("text")
+      .select(Ops.shingles(Ops.tokens(col("text")), 3).as("n"),
+              Ops.shinglesHof(Ops.tokens(col("text")), 3).as("h"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(short.forall { case (a, b) => a == b })
+  }
+
   test("minhash signature: identical docs identical, length fixed") {
     val df = Seq("x y z w", "x y z w", "totally different words here")
       .toDF("t")

@@ -31,6 +31,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.map(_._3.length).sum == 100)
   }
 
+  test("stateful streaming sessionization == batch sessionization") {
+    import graft.streaming.SessionStream
+    val batch = Sessions.qSessionize(spark, sf)
+      .select($"user_id", $"n_sessions", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    val stream = SessionStream.runOverStaticDir(spark, sf)
+      .select($"user_id", $"n_sessions", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stream == batch)
+  }
+
   test("streaming hourly agg == batch hourly agg (semantic parity)") {
     val batch = Sessions.qEventWindow(spark, sf)
       .select($"bucket", $"event_type", $"n_events", $"value_sum")
