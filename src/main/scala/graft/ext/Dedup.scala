@@ -173,7 +173,55 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // Embedding-cosine near-dup: pairwise cosine within deterministic
+  // blocks (label = the natural partition; at scale the LSH sign-bucket
+  // from ext.Similarity is the candidate generator instead of the full
+  // block). The corpus carries no high-cosine pairs (max ≈ 0.6), so the
+  // operator demonstrates on a 0.3 threshold over a deterministic sample
+  // (vec_id % 4 = 0, label < 5) that keeps the oracle's correlated-
+  // subquery cosine cheap. Norms computed once per vector; the per-pair
+  // work is a single native dot product.
+  val EmbDupThreshold = 0.3
+
+  val qDedupEmbedding: Q = (s, d) => {
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 4 === 0 && col("label") < 5)
+      .select(col("label"), col("vec_id"), col("embedding"),
+              VectorFunctions.vecNorm(col("embedding")).as("nrm"))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+                     col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+                     col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        round(VectorFunctions.vecDot(col("emb_a"), col("emb_b")) /
+                (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cos") >= EmbDupThreshold)
+      .select(col("label"), col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val qDedupEmbeddingSql: String =
+    """WITH e AS (
+      |  SELECT label, vec_id, embedding
+      |  FROM embeddings WHERE vec_id % 4 = 0 AND label < 5),
+      |scored AS (
+      |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |         round(
+      |           (SELECT SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE))
+      |            FROM generate_series(1, 64) i(i)) /
+      |           (sqrt((SELECT SUM(CAST(a.embedding[i.i] AS DOUBLE) ** 2)
+      |                  FROM generate_series(1, 64) i(i))) *
+      |            sqrt((SELECT SUM(CAST(b.embedding[i.i] AS DOUBLE) ** 2)
+      |                  FROM generate_series(1, 64) i(i)))), 6) AS cos
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT label, vec_a, vec_b, cos FROM scored WHERE cos >= 0.3
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_exact"   -> qDedupExact,
     "q_dedup_block"   -> qDedupBlock,
     "q_ngram_jaccard" -> qNgramJaccard,
@@ -182,6 +230,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_dedup_exact"   -> qDedupExactSql,
     "q_dedup_block"   -> qDedupBlockSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,

@@ -56,33 +56,65 @@ object TextOps {
        |         AS max_bpe_tokens
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // Language-ID heuristic: stopword-evidence scoring (the n-gram/stopword
-  // family of cheap lang-ID). Output is the (true lang × predicted)
-  // confusion matrix, which is also how a pipeline would evaluate the
-  // heuristic against labeled data.
+  // Language-ID heuristic: per-language stopword-evidence scores with a
+  // deterministic argmax (ties broken by the fixed language order below,
+  // mirrored exactly in the oracle SQL). Output is the (true lang ×
+  // predicted) confusion matrix — how a pipeline would evaluate the
+  // heuristic against labeled data. The synthetic corpus shares an
+  // English-ish vocabulary across langs, so the matrix mostly shows
+  // en/other; the operator shape is what matters.
   private def hits(c: Column, words: Seq[String]): Column =
     words.map(w => when(contains(concat(lit(" "), c, lit(" ")), lit(s" $w ")), 1)
                      .otherwise(0))
       .reduce(_ + _)
 
-  val EnStop = Seq("the", "a", "of", "and", "to", "is")
+  /** Tiny per-language stopword evidence sets, in tie-break priority
+    * order.
+    */
+  val StopSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "los", "las", "que", "y", "es"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une"))
 
-  val qLangId: Q = (s, d) =>
-    Tables.documents(s, d)
-      .withColumn("en_score", hits(col("text"), EnStop))
-      .withColumn("predicted", when(col("en_score") >= 2, lit("en")).otherwise(lit("other")))
+  val EnStop: Seq[String] = StopSets.head._2
+
+  val MinEvidence = 2
+
+  val qLangId: Q = (s, d) => {
+    val scored = StopSets.foldLeft(Tables.documents(s, d)) {
+      case (df, (l, words)) => df.withColumn(s"s_$l", hits(col("text"), words))
+    }
+    // argmax with fixed priority: a language wins iff it meets the
+    // evidence floor and no earlier-priority language ties or beats it.
+    val predicted = StopSets.zipWithIndex.foldRight(lit("other")) {
+      case (((l, _), i), elseCol) =>
+        val beatsLater = StopSets.drop(i + 1)
+          .map { case (m, _) => col(s"s_$l") >= col(s"s_$m") }
+          .foldLeft(lit(true))(_ && _)
+        when(col(s"s_$l") >= MinEvidence && beatsLater, lit(l)).otherwise(elseCol)
+    }
+    scored.withColumn("predicted", predicted)
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("predicted"))
+  }
 
   val qLangIdSql: String = {
-    val scoreExpr = EnStop
+    def scoreExpr(words: Seq[String]) = words
       .map(w => s"CASE WHEN ' ' || text || ' ' LIKE '% $w %' THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    s"""SELECT lang,
-       |       CASE WHEN ($scoreExpr) >= 2 THEN 'en' ELSE 'other' END AS predicted,
+      .mkString("(", " + ", ")")
+    val scores = StopSets.map { case (l, ws) => s"${scoreExpr(ws)} AS s_$l" }
+    val branches = StopSets.zipWithIndex.map { case ((l, _), i) =>
+      val beatsLater = StopSets.drop(i + 1).map { case (m, _) => s"s_$l >= s_$m" }
+      val cond = (s"s_$l >= $MinEvidence" +: beatsLater).mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }
+    s"""WITH scored AS (SELECT lang, ${scores.mkString(", ")} FROM documents)
+       |SELECT lang,
+       |       CASE ${branches.mkString(" ")} ELSE 'other' END AS predicted,
        |       count(*) AS n_docs
-       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   // Quality scoring: length factor, punctuation-free ratio, stopword

@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.Ops
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck property suites for the quirk-sensitive operators (SURVEY
+  * §5: top-K bound, min-max range, permissive-parse defaults) — run by
+  * sbt's scalacheck integration alongside the ScalaTest suites.
+  */
+object OpsProps extends Properties("graft.Ops") {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val rowsGen: Gen[List[(Int, Double, Long)]] = for {
+    n <- Gen.chooseNum(1, 60)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.chooseNum(0, 3)
+      v <- Gen.chooseNum(-1000.0, 1000.0)
+    } yield (g, v))
+  } yield rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+
+  property("topK emits <= K per group and exactly the K smallest") =
+    Prop.forAllNoShrink(rowsGen) { rows =>
+      val df = rows.toDF("g", "v", "id")
+      val got = Ops.topKPerGroup(df, Seq("g"), col("v"), col("id"), 3)
+        .select($"g", $"v", $"id").as[(Int, Double, Long)].collect()
+      val byGroup = got.groupBy(_._1)
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3)).sorted.take(3).toSet
+      }
+      byGroup.forall { case (g, rs) => rs.length <= 3 } &&
+        expected.forall { case (g, exp) =>
+          byGroup.getOrElse(g, Array.empty).map(r => (r._2, r._3)).toSet == exp
+        }
+    }
+
+  property("minMaxNorm stays in [0,1] and never NaN") =
+    Prop.forAllNoShrink(rowsGen) { rows =>
+      val df = rows.toDF("g", "v", "id")
+      val scores = df.select(Ops.minMaxNorm($"v", Seq($"g")).as("s"))
+        .as[Double].collect()
+      scores.forall(s => s >= 0.0 && s <= 1.0 && !s.isNaN)
+    }
+
+  property("permissiveDouble: parses doubles, defaults everything else") =
+    Prop.forAllNoShrink(Gen.listOf(Gen.oneOf(
+      Gen.chooseNum(-1e6, 1e6).map(_.toString),
+      // prefix with 'x' so pathological alpha draws ("NaN", "Infinity")
+      // can't parse on either side
+      Gen.alphaStr.map("x" + _), Gen.const(""), Gen.const("1.5e3"), Gen.const("-"),
+    ))) { xs =>
+      xs.isEmpty || {
+        val got = xs.toDF("s").select(Ops.permissiveDouble($"s").as("v"))
+          .as[Double].collect()
+        got.zip(xs).forall { case (v, s) =>
+          val expect = try s.toDouble catch { case _: Throwable => 0.0 }
+          v == expect || (v == 0.0 && s.trim.isEmpty)
+        }
+      }
+    }
+
+  property("rollingHash is a function of the string only") =
+    Prop.forAllNoShrink(Gen.listOfN(5, Gen.asciiPrintableStr)) { xs =>
+      xs.isEmpty || {
+        val twice = (xs ++ xs).toDF("s")
+          .select($"s", Ops.rollingHash($"s").as("h"))
+          .as[(String, Long)].collect()
+        twice.groupBy(_._1).values.forall(g => g.map(_._2).distinct.length == 1)
+      }
+    }
+}

@@ -134,7 +134,7 @@ class QueriesSpec extends AnyFunSuite {
   test("lang-id + quality: outputs well-formed") {
     val conf = TextOps.qLangId(spark, sf)
       .select($"predicted").as[String].collect().toSet
-    assert(conf.subsetOf(Set("en", "other")))
+    assert(conf.subsetOf(Set("en", "de", "es", "fr", "other")))
     val q = TextOps.qQualityScore(spark, sf).select($"quality").as[Double].collect()
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }

@@ -82,6 +82,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == Map("1950" -> 5, "1951" -> 22))
   }
 
+  test("codec support (S8): compressed parquet/text round-trips") {
+    val dir = tmp()
+    val df = Tables.customer(spark, TestSpark.Sf)
+      .select($"c_custkey", $"c_name")
+    df.write.option("compression", "zstd").parquet(s"$dir/zstd")
+    df.write.option("compression", "snappy").parquet(s"$dir/snappy")
+    Seq("a", "b").toDF("value").write.option("compression", "gzip")
+      .text(s"$dir/gz")
+    assert(spark.read.parquet(s"$dir/zstd").count() == df.count())
+    assert(spark.read.parquet(s"$dir/snappy").count() == df.count())
+    assert(spark.read.text(s"$dir/gz").count() == 2)
+    val files = new java.io.File(s"$dir/gz").listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".gz")), files.mkString(","))
+  }
+
   test("native vector expressions == HOF formulation, bit-exact") {
     val e = Tables.embeddings(spark, TestSpark.Sf).limit(50)
       .select($"vec_id", $"embedding")
