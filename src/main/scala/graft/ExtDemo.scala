@@ -21,6 +21,15 @@ object ExtDemo {
     val plain = Ops.topKPerGroup(o, Seq("o_custkey"), col("o_totalprice"), col("o_orderkey"), 5).collect().toSet
     val salted = Ops.topKPerGroupSalted(o, Seq("o_custkey"), col("o_totalprice"), col("o_orderkey"), 5).collect().toSet
     println(s"[ext-demo] salted==plain: ${salted == plain} (${plain.size} rows)")
+    // FsUtil round-trip on the local scheme (S5 surface)
+    import graft.sources.FsUtil
+    val fsDir = java.nio.file.Files.createTempDirectory("graft_fs").toString
+    FsUtil.writeString(s"$fsDir/demo/x.txt", "graft-fs-demo")
+    println(s"[ext-demo] fs read back: ${FsUtil.readString(s"$fsDir/demo/x.txt")}, ls=${FsUtil.ls(s"$fsDir/demo").size}")
+    // IVF ANN sample
+    val ivf = graft.ext.Similarity.qAnnIvf(spark, "/root/testdata/sf0.001")
+    println(s"[ext-demo] ivf rows=${ivf.count()}")
+    ivf.show(5, truncate = false)
     spark.stop()
   }
 }

@@ -121,9 +121,57 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  // ------------------------------------------------------------------
+  // IVF ANN (non-SQL-expressible → rows-only check): coarse-quantize the
+  // corpus into NumCells inverted lists, probe the query's NProbe
+  // nearest cells only, exact cosine re-rank inside them. Centroids here
+  // are the first NumCells vectors by id — a deterministic stand-in for
+  // a k-means codebook (the index-build step is a bounded driver-side
+  // collect of NumCells rows; the corpus-side assignment is a pure map).
+  // ------------------------------------------------------------------
+  val NumCells = 16
+  val NProbe = 2
+
+  val qAnnIvf: Q = (s, d) => {
+    val e0 = Tables.embeddings(s, d)
+    val cents: Array[(Int, Seq[Float])] = e0
+      .filter(col("vec_id") < NumCells)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+
+    // struct(score, -id, id): lexicographic array_sort makes score the
+    // primary key and smaller id the deterministic tiebreak on reverse.
+    def cellScores(emb: Column): Column = array(cents.map { case (id, v) =>
+      struct(VectorFunctions.vecDot(emb, typedlit(v)).as("s"),
+             lit(-id).as("negid"), lit(id).as("id"))
+    }: _*)
+    def rankedCells(emb: Column): Column = reverse(array_sort(cellScores(emb)))
+    def homeCell(emb: Column): Column = rankedCells(emb)(0).getField("id")
+
+    val e = e0.select(col("vec_id"), col("embedding"),
+                      homeCell(col("embedding")).as("cell"),
+                      VectorFunctions.vecNorm(col("embedding")).as("nrm"))
+    val q = e0.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              VectorFunctions.vecNorm(col("embedding")).as("qnrm"),
+              explode(transform(slice(rankedCells(col("embedding")), 1, NProbe),
+                                c => c.getField("id"))).as("probe_cell"))
+    val cand = e.join(broadcast(q),
+                      col("cell") === col("probe_cell") && col("vec_id") =!= col("qid"))
+      .withColumn("score",
+        round(VectorFunctions.vecDot(col("qe"), col("embedding")) /
+                (col("qnrm") * col("nrm")), 6))
+    Ops.topKPerGroup(cand, Seq("qid"), -col("score"), col("vec_id"), TopK)
+      .select(col("qid"), col("cell"), col("vec_id"), col("score"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_similarity_topk" -> qSimilarityTopk,
     "q_ann_lsh"         -> qAnnLsh,
+    "q_ann_ivf"         -> qAnnIvf,
   )
 
   val oracles: Map[String, String] = Map(

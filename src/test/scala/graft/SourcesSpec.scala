@@ -134,6 +134,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(d.forall(x => x >= 0 && x <= 64))
   }
 
+  test("FsUtil (S5): write/read/ls/delete round-trip on the local scheme") {
+    import graft.sources.FsUtil
+    val dir = tmp()
+    FsUtil.writeString(s"$dir/a/x.txt", "hello graft")
+    FsUtil.writeString(s"$dir/a/b/y.txt", "nested")
+    assert(FsUtil.readString(s"$dir/a/x.txt") == "hello graft")
+    val listed = FsUtil.ls(s"$dir/a")
+    assert(listed.count(_.endsWith(".txt")) == 2)
+    assert(FsUtil.deleteIfExists(s"$dir/a/b"))
+    assert(FsUtil.ls(s"$dir/a").count(_.endsWith(".txt")) == 1)
+    // overwrite semantics (create(true)): second write replaces
+    FsUtil.writeString(s"$dir/a/x.txt", "v2")
+    assert(FsUtil.readString(s"$dir/a/x.txt") == "v2")
+  }
+
+  test("IVF ANN: probes only its cells, ranks descending, finds brute-force hits") {
+    import graft.ext.Similarity
+    val ivf = Similarity.qAnnIvf(spark, TestSpark.Sf)
+      .select($"qid", $"cell", $"vec_id", $"score", $"rn")
+      .as[(Long, Int, Long, Double, Long)].collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_._1).foreach { case (_, g) =>
+      val scores = g.sortBy(_._5).map(_._4)
+      assert(scores.sameElements(scores.sortBy(-(_: Double))))
+      assert(g.length <= Similarity.TopK)
+    }
+    // recall sanity: some overlap with the exact top-K is expected even
+    // from a 2-probe search over 16 cells
+    val exact = Similarity.qSimilarityTopk(spark, TestSpark.Sf)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val approx = ivf.map(r => (r._1, r._3)).toSet
+    assert(approx.intersect(exact).nonEmpty)
+  }
+
   test("recommend K variants: newcar is a strict prefix of hotcar") {
     import graft.jobs.RecPipeline
     val hot = RecPipeline.qRecommend(spark, TestSpark.Sf)
