@@ -63,13 +63,67 @@ object Sessions {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // As-of (temporal) join: for every purchase, the user's most recent
+  // click at-or-before it — an operator Spark has no native node for,
+  // composed per the preference order (SURVEY §7.3 / prompt rule (a)):
+  // tag-union both sides, then `last(click, ignoreNulls) OVER (user
+  // ORDER BY ts, side, id)` carries the latest click forward into each
+  // purchase row. One shuffle on user_id, no range-join explosion —
+  // the standard distributed as-of plan. Clicks are deduped to one per
+  // (user, ts) first so same-timestamp ties are unambiguous in both
+  // engines (the oracle is DuckDB's native ASOF LEFT JOIN).
+  val qAsofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+              col("click_id").as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"))
+    // side 0 < 1: a click at the exact purchase timestamp sorts first,
+    // so it is visible to the purchase — matching ASOF's >= semantics.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click",
+        last(when(col("side") === 0,
+                  struct(col("ts").as("cts"), col("event_id").as("cid"))),
+             ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"),
+              col("user_id"),
+              unix_micros(col("ts")).as("purchase_us"),
+              col("last_click.cid").as("click_id"),
+              (unix_micros(col("ts")) - unix_micros(col("last_click.cts")))
+                .as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |purch AS (
+      |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id,
+      |       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+      |       c.click_id,
+      |       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+      |FROM purch p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sessionize"   -> qSessionize,
     "q_event_window" -> qEventWindow,
+    "q_asof_join"    -> qAsofJoin,
   )
 
   val oracles: Map[String, String] = Map(
     "q_sessionize"   -> qSessionizeSql,
     "q_event_window" -> qEventWindowSql,
+    "q_asof_join"    -> qAsofJoinSql,
   )
 }

@@ -131,6 +131,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("as-of join: prior click is at-or-before the purchase, per user") {
+    import graft.ext.Sessions
+    val rows = Sessions.qAsofJoin(spark, sf)
+      .select($"user_id", $"purchase_us", $"gap_us")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.isNullAt(2) || r.getLong(2) >= 0L))
+  }
+
   test("lang-id + quality: outputs well-formed") {
     val conf = TextOps.qLangId(spark, sf)
       .select($"predicted").as[String].collect().toSet
