@@ -269,7 +269,63 @@ object CoreQueries {
       |       COUNT(DISTINCT user_id) AS n_users
       |FROM events""".stripMargin
 
+  // Aggregation breadth beyond the reference (SURVEY §2.4 marks these
+  // absent-but-free): ROLLUP subtotals over the classic pricing-summary
+  // shape. Subtotal NULLs are rendered as 'ALL' on both sides so the
+  // engines' differing NULL sort orders can't skew the compare.
+  val qRollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Ops.exactSum(col("l_quantity")).as("sum_qty"),
+           Ops.exactSum(col("l_extendedprice")).as("sum_price"),
+           count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_qty"), col("sum_price"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val qRollupSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |       count(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY 1, 2""".stripMargin
+
+  // Window analytics breadth (SURVEY §2.5 absent-but-free): rank, lag,
+  // and a 3-row moving sum per customer. The moving sum goes through
+  // DECIMAL because sliding-window implementations (running fold vs
+  // segment tree) associate float additions differently across engines.
+  val qWindowAnalytics: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              rank().over(w).cast("bigint").as("rnk"),
+              lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).over(w3)
+                .cast("double").as("moving3_sum"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val qWindowAnalyticsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(rank() OVER w AS BIGINT) AS rnk,
+      |       lag(o_totalprice, 1) OVER w AS prev_price,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         AS moving3_sum
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_rollup"           -> qRollup,
+    "q_window_analytics" -> qWindowAnalytics,
     "q_max_per_group"    -> qMaxPerGroup,
     "q_fixedwidth_parse" -> qFixedwidthParse,
     "q_reduce_join"      -> qReduceJoin,
@@ -285,6 +341,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rollup"           -> qRollupSql,
+    "q_window_analytics" -> qWindowAnalyticsSql,
     "q_max_per_group"    -> qMaxPerGroupSql,
     "q_fixedwidth_parse" -> qFixedwidthParseSql,
     "q_reduce_join"      -> qReduceJoinSql,
