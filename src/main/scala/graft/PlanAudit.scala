@@ -44,7 +44,8 @@ object PlanAudit {
         println(s"| $name | $shuffles | $bcasts | $codegen | " +
                 s"${scanCols.length} (${scanCols.mkString("/")}) |")
       } catch {
-        case e: Throwable => println(s"| $name | ERROR ${e.getMessage.take(60)} |")
+        case e: Throwable =>
+          println(s"| $name | ERROR ${String.valueOf(e.getMessage).take(60)} |")
       }
     }
     spark.stop()

@@ -114,20 +114,28 @@ object Dedup {
       .select(col("doc_id"),
               Ops.shingles(Ops.tokens(col("text")), 3).as("grams"))
       .withColumn("sig", Ops.minHashSignature(col("grams"), NumHashes))
+    // Band/bucket/dedup on (ids, bucket) ONLY — carrying gram arrays
+    // through the 8-band explode, the self-join, and the pair distinct
+    // would multiply shuffle bytes by ~8× the array size at scale. Grams
+    // join back exactly once, for the unique candidate pairs.
     val banded = docs.select(
-      col("doc_id"), col("grams"),
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
         j => xxhash64(slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand))))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bucket")
-    val left = banded.select(col("band_id"), col("bucket"),
-                             col("doc_id").as("doc_a"), col("grams").as("grams_a"))
-    val right = banded.select(col("band_id"), col("bucket"),
-                              col("doc_id").as("doc_b"), col("grams").as("grams_b"))
-    val pairs = left.join(right, Seq("band_id", "bucket"))
+    val left = banded.select(col("band_id"), col("bucket"), col("doc_id").as("doc_a"))
+    val right = banded.select(col("band_id"), col("bucket"), col("doc_id").as("doc_b"))
+    val candidateIds = left.join(right, Seq("band_id", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("grams_a"), col("grams_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
+    val gramsOf = docs.select(col("doc_id"), col("grams"))
+    val pairs = candidateIds
+      .join(gramsOf.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")),
+            Seq("doc_a"))
+      .join(gramsOf.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")),
+            Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
         size(array_union(col("grams_a"), col("grams_b"))))

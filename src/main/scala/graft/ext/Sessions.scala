@@ -47,14 +47,19 @@ object Sessions {
 
   // Time-bucket aggregation (hourly tumbling window) — Spark's window()
   // operator (the Structured-Streaming-compatible form), value sums made
-  // exact via decimal.
-  val qEventWindow: Q = (s, d) =>
-    Tables.events(s, d)
+  // exact via decimal. The transform is shared verbatim with the
+  // streaming plane (graft.streaming.EventStream) so batch/stream parity
+  // is by construction, not by keeping two copies in sync.
+  def hourlyAggTransform(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
               col("event_type"), col("n_events"), col("value_sum"))
+
+  val qEventWindow: Q = (s, d) =>
+    hourlyAggTransform(Tables.events(s, d))
       .orderBy(col("bucket"), col("event_type"))
 
   val qEventWindowSql: String =

@@ -323,9 +323,64 @@ object CoreQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // Join-type breadth (SURVEY §2.3 marks semi/anti absent-but-free):
+  // per nation, customers with vs without orders via left_semi /
+  // left_anti against the same build side.
+  val qSemiAnti: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey"))
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with_orders"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without_orders"))
+    c.select(col("c_nationkey")).distinct()
+      .join(withOrders, Seq("c_nationkey"), "left")
+      .join(withoutOrders, Seq("c_nationkey"), "left")
+      .select(col("c_nationkey"),
+              coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+              coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val qSemiAntiSql: String =
+    """SELECT c_nationkey,
+      |       COALESCE(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |                         THEN 1 ELSE 0 END), 0) AS n_with_orders,
+      |       COALESCE(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |                         THEN 1 ELSE 0 END), 0) AS n_without_orders
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Set-operation breadth (SURVEY §2.6): nations that have customers
+  // INTERSECT/EXCEPT nations that have suppliers.
+  val qSetOps: Q = (s, d) => {
+    val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    cn.intersect(sn).withColumn("set_op", lit("both"))
+      .unionByName(cn.except(sn).withColumn("set_op", lit("customer_only")))
+      .unionByName(sn.except(cn).withColumn("set_op", lit("supplier_only")))
+      .orderBy(col("set_op"), col("nationkey"))
+  }
+
+  val qSetOpsSql: String =
+    """SELECT * FROM (
+      |  SELECT nationkey, 'both' AS set_op FROM (
+      |    SELECT c_nationkey AS nationkey FROM customer
+      |    INTERSECT SELECT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT nationkey, 'customer_only' FROM (
+      |    SELECT c_nationkey AS nationkey FROM customer
+      |    EXCEPT SELECT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT nationkey, 'supplier_only' FROM (
+      |    SELECT s_nationkey AS nationkey FROM supplier
+      |    EXCEPT SELECT c_nationkey FROM customer))
+      |ORDER BY set_op, nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_rollup"           -> qRollup,
     "q_window_analytics" -> qWindowAnalytics,
+    "q_semi_anti_join"   -> qSemiAnti,
+    "q_set_ops"          -> qSetOps,
     "q_max_per_group"    -> qMaxPerGroup,
     "q_fixedwidth_parse" -> qFixedwidthParse,
     "q_reduce_join"      -> qReduceJoin,
@@ -343,6 +398,8 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q_rollup"           -> qRollupSql,
     "q_window_analytics" -> qWindowAnalyticsSql,
+    "q_semi_anti_join"   -> qSemiAntiSql,
+    "q_set_ops"          -> qSetOpsSql,
     "q_max_per_group"    -> qMaxPerGroupSql,
     "q_fixedwidth_parse" -> qFixedwidthParseSql,
     "q_reduce_join"      -> qReduceJoinSql,

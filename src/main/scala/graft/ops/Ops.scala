@@ -22,10 +22,13 @@ object Ops {
     substring(c, from + 1, until - from)
 
   /** Signed fixed-width int, tolerating a leading '+' (the NCDC encoding:
-    * `+0011` / `-0011`). `cast("int")` alone handles both signs.
+    * `+0011` / `-0011`). try_cast, not cast: Spark 4 runs ANSI mode, where
+    * a plain cast THROWS on malformed slices — try_cast yields null so the
+    * reference's malformed-row drop (P3, arity/parse guards) stays a
+    * filter instead of a job crash.
     */
   def fixedWidthInt(c: Column, from: Int, until: Int): Column =
-    fixedWidth(c, from, until).cast("int")
+    fixedWidth(c, from, until).try_cast("int")
 
   // ---------------------------------------------------------------------
   // Permissive numeric parse (reference UserHotcar.java:57-62: parseFloat

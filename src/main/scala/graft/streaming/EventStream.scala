@@ -25,10 +25,13 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming hourly windowed aggregation with a 1-hour watermark. */
+  /** Streaming hourly windowed aggregation with a 1-hour watermark — the
+    * aggregation itself is graft.ext.Sessions.hourlyAggTransform, shared
+    * with the batch operator so the planes agree by construction.
+    */
   def hourlyAgg(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val src = spark.readStream
       .schema(eventsSchema)
       // FileStreamSource requires a directory path; select just the
       // events file(s) from the sf dir with a glob filter.
@@ -36,11 +39,7 @@ object EventStream {
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-           sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
-              col("event_type"), col("n_events"), col("value_sum"))
+    graft.ext.Sessions.hourlyAggTransform(src)
   }
 
   /** Drive the streaming query synchronously over the (static) parquet

@@ -17,7 +17,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object SessionStream {
 
-  val GapUs: Long = 30L * 60L * 1000000L // Sessions.SessionGapMinutes, in micros
+  /** Derived from the batch operator's constant so the two planes can't
+    * silently diverge.
+    */
+  val GapUs: Long = graft.ext.Sessions.SessionGapMinutes * 60L * 1000000L
 
   /** ts stays in the record so the watermark column survives into the
     * stateful operator (event-time timeout requires it); session-gap math

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftshim
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -50,9 +50,13 @@ case class BoundedTopK(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKState] {
+  extends TypedImperativeAggregate[TopKState] with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  // implicit casts (int score -> double, int id -> bigint) keep this
+  // generic helper accepting the same inputs the window formulation does,
+  // instead of ClassCastException-ing at executor runtime
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(new StructType()
     .add("score", DoubleType).add("id", LongType), containsNull = false)

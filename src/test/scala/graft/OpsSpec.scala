@@ -48,6 +48,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map("1950" -> -11, "1951" -> -12, "1952" -> 3))
   }
 
+  test("fixed-width parse DROPS malformed rows instead of crashing (ANSI mode)") {
+    // short line + alpha garbage in the temp slice: the reference drops
+    // these (P3); under Spark 4 ANSI a plain cast would throw mid-job.
+    val lines = Seq(ncdcLine(1950, -11), "too short",
+                    ncdcLine(1951, 5).patch(87, "XXXXX", 5))
+    val got = lines.toDF("value")
+      .select(Ops.fixedWidth($"value", 15, 19).as("year"),
+              Ops.fixedWidthInt($"value", 87, 92).as("temp"))
+      .filter($"temp".isNotNull)
+      .as[(String, Int)].collect().toSeq
+    assert(got == Seq(("1950", -11)))
+  }
+
+  test("heap top-K accepts int score/id via implicit casts") {
+    val df = Seq((1, 5, 10), (1, 3, 11), (1, 7, 12), (2, 1, 20))
+      .toDF("g", "v", "id") // all IntegerType
+    val got = Ops.topKHeap(df, Seq("g"), col("v"), col("id"), 2)
+      .select($"g", $"id", $"score", $"rn").as[(Int, Long, Double, Long)]
+      .collect().toSet
+    assert(got == Set((1, 11L, 3.0, 1L), (1, 10L, 5.0, 2L), (2, 20L, 1.0, 1L)))
+  }
+
   test("permissive parse defaults to 0.0 on garbage (UserHotcar.java:57-62)") {
     val got = Seq("1.5", "abc", "", "2", "-3.25")
       .toDF("s").select(Ops.permissiveDouble($"s").as("v"))

@@ -56,22 +56,30 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({len(spark_rows)} rows, exact)")
             n_pass += 1
             continue
-        # locate first mismatch
+        # Re-sort with floats rounded to 9 significant digits before
+        # comparing: a last-ulp float difference can change the raw string
+        # sort key and misalign a positional zip, which would report a
+        # bogus hard mismatch instead of a float-eps NEAR.
+        def blur(rows):
+            out = []
+            for r in rows:
+                out.append(tuple(f"{v:.9g}" if isinstance(v, float) else v
+                                 for v in r))
+            return sorted(out, key=lambda t: tuple(str(x) for x in t))
+        if blur(spark_rows) == blur(duck_rows):
+            print(f"NEAR {name} ({len(spark_rows)} rows, float-eps diffs only)")
+            n_fail += 1  # driver hashes exactly -> still a fail
+            continue
         bad = None
-        n_close = 0
         for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
-            if a != b:
-                if all(approx_eq(x, y) for x, y in zip(a, b)):
-                    n_close += 1
-                    continue
+            if a != b and not all(approx_eq(x, y) for x, y in zip(a, b)):
                 bad = (i, a, b)
                 break
         if bad is None:
-            print(f"NEAR {name} ({len(spark_rows)} rows, {n_close} float-eps diffs)")
-            n_fail += 1  # driver hashes exactly -> treat as fail
+            print(f"NEAR {name} ({len(spark_rows)} rows, float-eps diffs)")
         else:
             print(f"FAIL {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
-            n_fail += 1
+        n_fail += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
 
