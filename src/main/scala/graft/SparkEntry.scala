@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     jobs.CoreQueries.queries ++ jobs.RecPipeline.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextOps.queries ++
-      ext.Sessions.queries ++ ext.Multimodal.queries
+      ext.Sessions.queries ++ ext.Multimodal.queries ++ ext.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those get
@@ -31,5 +31,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     jobs.CoreQueries.oracles ++ jobs.RecPipeline.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++ ext.TextOps.oracles ++
-      ext.Sessions.oracles ++ ext.Multimodal.oracles
+      ext.Sessions.oracles ++ ext.Multimodal.oracles ++ ext.Pipeline.oracles
 }

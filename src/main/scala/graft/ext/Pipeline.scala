@@ -1,0 +1,105 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Ops
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed training-data pipeline (SURVEY §7.1's ext/Pipeline): the
+  * individual operators — quality scoring, content-hash dedup,
+  * language-ID routing, token accounting — fused into one declarative
+  * plan, the shape a 100 TB corpus-preparation job actually runs:
+  *
+  *   documents → quality gate → exact dedup (keep min doc_id per
+  *   fingerprint) → predicted-language partition → per-partition corpus
+  *   accounting.
+  *
+  * One narrow scan feeds everything; the only shuffles are the dedup
+  * group-by (on a hash — perfectly balanced) and the final per-language
+  * rollup. Catalyst pipelines the quality filter below the dedup.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  val QualityFloor = 0.5
+
+  val qTrainingPipeline: Q = (s, d) => {
+    val toks = size(Ops.tokens(col("text"))).cast("double")
+    val alnum = length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")).cast("double")
+    val quality =
+      (least(toks / 100.0, lit(1.0)) +
+       alnum / col("n_chars").cast("double") +
+       least(TextOps.EnStop.map(w =>
+           when(contains(concat(lit(" "), col("text"), lit(" ")), lit(s" $w ")), 1)
+             .otherwise(0)).reduce(_ + _).cast("double") / 3.0,
+         lit(1.0))) / 3.0
+
+    val scored = Tables.documents(s, d)
+      .withColumn("quality", quality)
+      .filter(col("quality") >= QualityFloor)
+      .withColumn("fingerprint", md5(Ops.normalizeText(col("text"))))
+
+    // exact dedup: canonical survivor = min doc_id per fingerprint
+    val canonical = scored
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val kept = scored.join(canonical, Seq("fingerprint", "doc_id"))
+
+    // language routing (same argmax as q_lang_id) + corpus accounting
+    val langScored = TextOps.StopSets.foldLeft(kept) { case (df, (l, words)) =>
+      df.withColumn(s"s_$l",
+        words.map(w => when(contains(concat(lit(" "), col("text"), lit(" ")),
+                                     lit(s" $w ")), 1).otherwise(0)).reduce(_ + _))
+    }
+    val predicted = TextOps.StopSets.zipWithIndex.foldRight(lit("other")) {
+      case (((l, _), i), elseCol) =>
+        val beatsLater = TextOps.StopSets.drop(i + 1)
+          .map { case (m, _) => col(s"s_$l") >= col(s"s_$m") }
+          .foldLeft(lit(true))(_ && _)
+        when(col(s"s_$l") >= TextOps.MinEvidence && beatsLater, lit(l))
+          .otherwise(elseCol)
+    }
+    langScored.withColumn("lang_pred", predicted)
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(Ops.tokens(col("text"))).cast("bigint")).as("total_tokens"),
+           sum(col("n_chars")).as("total_chars"),
+           min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang_pred"))
+  }
+
+  val qTrainingPipelineSql: String = {
+    def scoreExpr(words: Seq[String]) = words
+      .map(w => s"CASE WHEN ' ' || text || ' ' LIKE '% $w %' THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    val branches = TextOps.StopSets.zipWithIndex.map { case ((l, _), i) =>
+      val beatsLater = TextOps.StopSets.drop(i + 1).map { case (m, _) => s"s_$l >= s_$m" }
+      val cond = (s"s_$l >= ${TextOps.MinEvidence}" +: beatsLater).mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }
+    val scores = TextOps.StopSets.map { case (l, ws) => s"${scoreExpr(ws)} AS s_$l" }
+    s"""WITH scored AS (
+       |  SELECT *,
+       |         (least(len(string_split(text, ' ')) / 100.0, 1.0)
+       |          + CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |              / CAST(n_chars AS DOUBLE)
+       |          + least((${scoreExpr(TextOps.EnStop)}) / 3.0, 1.0)) / 3.0 AS quality,
+       |         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+       |  FROM documents),
+       |gated AS (SELECT * FROM scored WHERE quality >= ${QualityFloor}),
+       |kept AS (
+       |  SELECT g.* FROM gated g
+       |  JOIN (SELECT fingerprint, min(doc_id) AS doc_id FROM gated GROUP BY 1) c
+       |    ON g.fingerprint = c.fingerprint AND g.doc_id = c.doc_id),
+       |routed AS (SELECT *, ${scores.mkString(", ")} FROM kept)
+       |SELECT CASE ${branches.mkString(" ")} ELSE 'other' END AS lang_pred,
+       |       count(*) AS n_docs,
+       |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |       min(doc_id) AS first_doc
+       |FROM routed GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map("q_training_pipeline" -> qTrainingPipeline)
+  val oracles: Map[String, String] = Map("q_training_pipeline" -> qTrainingPipelineSql)
+}
