@@ -30,6 +30,21 @@ object ExtDemo {
     val ivf = graft.ext.Similarity.qAnnIvf(spark, "/root/testdata/sf0.001")
     println(s"[ext-demo] ivf rows=${ivf.count()}")
     ivf.show(5, truncate = false)
+    // bucketed co-located join: no exchange (S-scale join strategy)
+    import graft.sources.Bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Bucketing.writeBucketed(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_custkey"), col("o_totalprice")), "demo_b_orders", "o_custkey", 4)
+    Bucketing.writeBucketed(
+      spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_acctbal")), "demo_b_cust", "o_custkey", 4)
+    val bj = Bucketing.bucketedJoin(spark, "demo_b_orders", "demo_b_cust", "o_custkey")
+    println(s"[ext-demo] bucketed join rows=${bj.count()}")
+    val bplan = bj.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    println(s"[ext-demo] bucketed join exchanges=${bplan.linesIterator.count(_.contains("Exchange hashpartitioning"))}")
+    bplan.linesIterator.filter(l => l.contains("SortMergeJoin") || l.contains("Scan")).take(3).foreach(l => println(s"[ext-demo] ${l.trim.take(90)}"))
+    spark.sql("DROP TABLE IF EXISTS demo_b_orders"); spark.sql("DROP TABLE IF EXISTS demo_b_cust")
     spark.stop()
   }
 }

@@ -134,6 +134,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(d.forall(x => x >= 0 && x <= 64))
   }
 
+  test("bucketed tables: co-located join runs with NO shuffle exchange") {
+    import graft.sources.Bucketing
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path so the exchange (or its absence) is
+      // what we observe, not a broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Bucketing.writeBucketed(
+        Tables.orders(spark, TestSpark.Sf).select($"o_custkey", $"o_totalprice"),
+        "b_orders", "o_custkey", 8)
+      Bucketing.writeBucketed(
+        Tables.customer(spark, TestSpark.Sf)
+          .select($"c_custkey".as("o_custkey"), $"c_acctbal"),
+        "b_customer", "o_custkey", 8)
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_customer", "o_custkey")
+      assert(joined.count() == Tables.orders(spark, TestSpark.Sf).count())
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      // control: the same join over plain parquet DOES exchange
+      val unbucketed = Tables.orders(spark, TestSpark.Sf)
+        .select($"o_custkey", $"o_totalprice")
+        .join(Tables.customer(spark, TestSpark.Sf)
+                .select($"c_custkey".as("o_custkey"), $"c_acctbal"),
+              Seq("o_custkey"))
+      unbucketed.count()
+      val controlPlan = unbucketed.queryExecution.executedPlan.toString
+      assert(controlPlan.contains("Exchange hashpartitioning"), "control should shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("FsUtil (S5): write/read/ls/delete round-trip on the local scheme") {
     import graft.sources.FsUtil
     val dir = tmp()
