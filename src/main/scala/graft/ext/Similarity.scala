@@ -148,7 +148,14 @@ object Similarity {
              lit(-id).as("negid"), lit(id).as("id"))
     }: _*)
     def rankedCells(emb: Column): Column = reverse(array_sort(cellScores(emb)))
-    def homeCell(emb: Column): Column = rankedCells(emb)(0).getField("id")
+    // corpus-side assignment only needs the argmax — greatest over the
+    // (score, -id, id) structs, no per-row 16-struct sort. (The query
+    // side still sorts: it needs the top-NProbe cells, and is tiny.)
+    def homeCell(emb: Column): Column =
+      greatest(cents.map { case (id, v) =>
+        struct(VectorFunctions.vecDot(emb, typedlit(v)).as("s"),
+               lit(-id).as("negid"), lit(id).as("id"))
+      }: _*).getField("id")
 
     val e = e0.select(col("vec_id"), col("embedding"),
                       homeCell(col("embedding")).as("cell"),
