@@ -120,10 +120,22 @@ object Sessions {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
 
+  // Sketch aggregation (HLL++): approximate distinct users per event
+  // type next to the exact count. Sketch internals differ per engine, so
+  // this is rows-only (no oracle); the spec bounds the relative error.
+  val qApproxDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+           approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, Q] = Map(
-    "q_sessionize"   -> qSessionize,
-    "q_event_window" -> qEventWindow,
-    "q_asof_join"    -> qAsofJoin,
+    "q_sessionize"      -> qSessionize,
+    "q_event_window"    -> qEventWindow,
+    "q_asof_join"       -> qAsofJoin,
+    "q_approx_distinct" -> qApproxDistinct,
   )
 
   val oracles: Map[String, String] = Map(

@@ -143,7 +143,7 @@ object Similarity {
 
     // struct(score, -id, id): lexicographic array_sort makes score the
     // primary key and smaller id the deterministic tiebreak on reverse.
-    def cellScores(emb: Column): Column = array(cents.map { case (id, v) =>
+    def cellScores(emb: Column): Column = array(cents.toIndexedSeq.map { case (id, v) =>
       struct(VectorFunctions.vecDot(emb, typedlit(v)).as("s"),
              lit(-id).as("negid"), lit(id).as("id"))
     }: _*)
@@ -152,7 +152,7 @@ object Similarity {
     // (score, -id, id) structs, no per-row 16-struct sort. (The query
     // side still sorts: it needs the top-NProbe cells, and is tiny.)
     def homeCell(emb: Column): Column =
-      greatest(cents.map { case (id, v) =>
+      greatest(cents.toIndexedSeq.map { case (id, v) =>
         struct(VectorFunctions.vecDot(emb, typedlit(v)).as("s"),
                lit(-id).as("negid"), lit(id).as("id"))
       }: _*).getField("id")

@@ -131,6 +131,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("approx distinct: HLL estimate within configured error of exact") {
+    import graft.ext.Sessions
+    val rows = Sessions.qApproxDistinct(spark, sf)
+      .select($"exact_users", $"approx_users").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (exact, approx) =>
+      assert(math.abs(approx - exact).toDouble / exact <= 0.1,
+             s"approx $approx too far from exact $exact")
+    }
+  }
+
   test("as-of join: prior click is at-or-before the purchase, per user") {
     import graft.ext.Sessions
     val rows = Sessions.qAsofJoin(spark, sf)
