@@ -45,21 +45,10 @@ object Pipeline {
       .agg(min(col("doc_id")).as("doc_id"))
     val kept = scored.join(canonical, Seq("fingerprint", "doc_id"))
 
-    // language routing (same argmax as q_lang_id) + corpus accounting
-    val langScored = TextOps.StopSets.foldLeft(kept) { case (df, (l, words)) =>
-      df.withColumn(s"s_$l",
-        words.map(w => when(contains(concat(lit(" "), col("text"), lit(" ")),
-                                     lit(s" $w ")), 1).otherwise(0)).reduce(_ + _))
-    }
-    val predicted = TextOps.StopSets.zipWithIndex.foldRight(lit("other")) {
-      case (((l, _), i), elseCol) =>
-        val beatsLater = TextOps.StopSets.drop(i + 1)
-          .map { case (m, _) => col(s"s_$l") >= col(s"s_$m") }
-          .foldLeft(lit(true))(_ && _)
-        when(col(s"s_$l") >= TextOps.MinEvidence && beatsLater, lit(l))
-          .otherwise(elseCol)
-    }
-    langScored.withColumn("lang_pred", predicted)
+    // language routing — the SAME scoring + argmax as q_lang_id, by
+    // construction (shared helpers in TextOps)
+    TextOps.withLangScores(kept)
+      .withColumn("lang_pred", TextOps.predictedLang)
       .groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"),
            sum(size(Ops.tokens(col("text"))).cast("bigint")).as("total_tokens"),
@@ -100,6 +89,29 @@ object Pipeline {
        |FROM routed GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  val queries: Map[String, Q] = Map("q_training_pipeline" -> qTrainingPipeline)
+  // Stratified corpus rebalancing: seeded per-language sampling (keep all
+  // minority-language docs, downsample the majority) — the standard
+  // rebalancing step before training-data mixing. Bernoulli sampling is
+  // engine-specific → rows-only; determinism across runs comes from the
+  // fixed seed and is pinned by spec.
+  val SampleSeed = 42L
+  val MajorityFraction = 0.5
+
+  val qStratifiedSample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val langs = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val fractions = langs.map(l => l -> (if (l == "en") MajorityFraction else 1.0)).toMap
+    docs.stat.sampleBy("lang", fractions, SampleSeed)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+      .join(docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total")), Seq("lang"))
+      .orderBy(col("lang"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_training_pipeline" -> qTrainingPipeline,
+    "q_stratified_sample" -> qStratifiedSample,
+  )
   val oracles: Map[String, String] = Map("q_training_pipeline" -> qTrainingPipelineSql)
 }

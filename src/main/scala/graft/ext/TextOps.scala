@@ -81,24 +81,33 @@ object TextOps {
 
   val MinEvidence = 2
 
-  val qLangId: Q = (s, d) => {
-    val scored = StopSets.foldLeft(Tables.documents(s, d)) {
-      case (df, (l, words)) => df.withColumn(s"s_$l", hits(col("text"), words))
+  /** Add one `s_<lang>` evidence column per stopword set. Shared with
+    * the composed pipeline (ext.Pipeline) so routing can't drift.
+    */
+  def withLangScores(df: DataFrame): DataFrame =
+    StopSets.foldLeft(df) {
+      case (acc, (l, words)) => acc.withColumn(s"s_$l", hits(col("text"), words))
     }
-    // argmax with fixed priority: a language wins iff it meets the
-    // evidence floor and no earlier-priority language ties or beats it.
-    val predicted = StopSets.zipWithIndex.foldRight(lit("other")) {
+
+  /** Deterministic fixed-priority argmax over the `s_<lang>` columns: a
+    * language wins iff it meets the evidence floor and no
+    * earlier-priority language ties or beats it.
+    */
+  def predictedLang: Column =
+    StopSets.zipWithIndex.foldRight(lit("other")) {
       case (((l, _), i), elseCol) =>
         val beatsLater = StopSets.drop(i + 1)
           .map { case (m, _) => col(s"s_$l") >= col(s"s_$m") }
           .foldLeft(lit(true))(_ && _)
         when(col(s"s_$l") >= MinEvidence && beatsLater, lit(l)).otherwise(elseCol)
     }
-    scored.withColumn("predicted", predicted)
+
+  val qLangId: Q = (s, d) =>
+    withLangScores(Tables.documents(s, d))
+      .withColumn("predicted", predictedLang)
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("predicted"))
-  }
 
   val qLangIdSql: String = {
     def scoreExpr(words: Seq[String]) = words

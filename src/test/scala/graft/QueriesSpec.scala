@@ -131,6 +131,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("stratified sample: deterministic, honors per-language fractions") {
+    import graft.ext.Pipeline
+    val a = Pipeline.qStratifiedSample(spark, sf).collect().toSeq
+    val b = Pipeline.qStratifiedSample(spark, sf).collect().toSeq
+    assert(a == b, "seeded sampling must be run-deterministic")
+    a.foreach { r =>
+      val (lang, n, total) = (r.getString(0), r.getLong(1), r.getLong(3))
+      if (lang == "en")
+        assert(n < total && n > total / 5, s"en downsampled oddly: $n of $total")
+      else assert(n == total, s"minority lang $lang must be kept whole")
+    }
+  }
+
   test("approx distinct: HLL estimate within configured error of exact") {
     import graft.ext.Sessions
     val rows = Sessions.qApproxDistinct(spark, sf)
