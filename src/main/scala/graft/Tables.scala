@@ -24,15 +24,23 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
   /** events.parquet stores `ts` as Parquet TIMESTAMP(NANOS), which Spark
     * has no native type for. Read it as nanos-since-epoch (legacy conf)
-    * and floor-divide to micros with integer `div` — a double division
-    * would lose precision above 2^53 ns. DuckDB's ns→µs coercion floors
-    * the same way, so oracle parity holds.
+    * and floor-divide to micros in integer space — a double division
+    * would lose precision above 2^53 ns. `(ts - pmod(ts, 1000)) div 1000`
+    * is true floor division (pmod is non-negative), matching DuckDB's
+    * ns→µs flooring even for pre-1970 (negative) nanos, where plain `div`
+    * would truncate toward zero instead.
+    *
+    * The conf set below is an intentional session-wide mutation: the
+    * harness driver builds the SparkSession itself, so the reader is the
+    * only hook this library has. The flag only affects TIMESTAMP(NANOS)
+    * parquet columns (they fail to load at all without it) and setting it
+    * is idempotent.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

@@ -198,7 +198,7 @@ object CoreQueries {
 
   val qJsonExtractSql: String =
     """SELECT event_type,
-      |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_valid,
       |       COUNT(*) AS n_total
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
@@ -264,8 +264,8 @@ object CoreQueries {
 
   val qCountersSql: String =
     """SELECT COUNT(*) AS n_total,
-      |       SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
-      |                THEN 1 ELSE 0 END) AS n_valid,
+      |       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
       |       COUNT(DISTINCT user_id) AS n_users
       |FROM events""".stripMargin
 
@@ -344,10 +344,10 @@ object CoreQueries {
 
   val qSemiAntiSql: String =
     """SELECT c_nationkey,
-      |       COALESCE(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-      |                         THEN 1 ELSE 0 END), 0) AS n_with_orders,
-      |       COALESCE(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-      |                         THEN 1 ELSE 0 END), 0) AS n_without_orders
+      |       CAST(COALESCE(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_with_orders,
+      |       CAST(COALESCE(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_without_orders
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
   // Set-operation breadth (SURVEY §2.6): nations that have customers

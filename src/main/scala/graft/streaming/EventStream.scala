@@ -37,7 +37,7 @@ object EventStream {
       // events file(s) from the sf dir with a glob filter.
       .option("pathGlobFilter", "events*.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       .withWatermark("ts", "1 hour")
     graft.ext.Sessions.hourlyAggTransform(src)
   }

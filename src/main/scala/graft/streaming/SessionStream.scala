@@ -31,19 +31,23 @@ object SessionStream {
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
   /** Merge one micro-batch of a user's events into the running session
-    * list. Events may arrive out of order inside the batch: sort by
-    * (ts, event_id) — the same total order as the batch operator.
+    * list. Events may arrive out of order both inside a batch and across
+    * batches (any ts still above the watermark): each event enters as a
+    * singleton session and the whole list is re-coalesced — two sessions
+    * merge when the later one starts within GapUs of the earlier one's
+    * end, so an out-of-order event that lands inside (or bridges) earlier
+    * sessions folds in instead of opening a spurious new session. Result
+    * is descending by start (head = most recent), matching prior layout.
     */
-  private[streaming] def merge(
+  private[graft] def merge(
       st: List[(Long, Long, Long)], evs: Seq[Ev]): List[(Long, Long, Long)] = {
-    val sorted = evs.sortBy(e => (e.ts_us, e.event_id))
-    sorted.foldLeft(st) { case (acc, e) =>
-      acc match {
-        case (s0, e0, n0) :: rest if e.ts_us - e0 <= GapUs && e.ts_us >= s0 =>
-          (s0, math.max(e0, e.ts_us), n0 + 1) :: rest
-        case _ => (e.ts_us, e.ts_us, 1L) :: acc
+    val all = evs.foldLeft(st)((acc, e) => (e.ts_us, e.ts_us, 1L) :: acc)
+    all.sortBy(s => (s._1, s._2))
+      .foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((ps, pe, pn) :: rest, (cs, ce, cn)) if cs - pe <= GapUs =>
+          (ps, math.max(pe, ce), pn + cn) :: rest
+        case (acc, s) => s :: acc
       }
-    }
   }
 
   private def flatMapFn(
@@ -72,7 +76,7 @@ object SessionStream {
       .schema(EventStream.eventsSchema)
       .option("pathGlobFilter", "events*.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts"), expr("unix_micros(ts)").as("ts_us"),
               col("event_id"))

@@ -42,6 +42,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("session merge: out-of-order event across batches joins the right session") {
+    import graft.streaming.SessionStream
+    import SessionStream.{Ev, GapUs, merge}
+    def ev(us: Long) = Ev(1L, new java.sql.Timestamp(us / 1000), us, us)
+    val hour = 3600L * 1000000L
+    // batch 1: two sessions an hour apart → state holds both
+    val st1 = merge(Nil, Seq(ev(0L), ev(hour)))
+    assert(st1.map(s => (s._1, s._2, s._3)).toSet == Set((0L, 0L, 1L), (hour, hour, 1L)))
+    // batch 2: a LATE event 1s after the EARLIER session — must extend it,
+    // not open a third session (the round-1 bug extended only the head)
+    val st2 = merge(st1, Seq(ev(1000000L)))
+    assert(st2.toSet == Set((0L, 1000000L, 2L), (hour, hour, 1L)))
+    // a late event that bridges two sessions coalesces them
+    val near = GapUs + 1000000L // session 2 starts gap+1s after session 1 ends
+    val stA = merge(Nil, Seq(ev(0L), ev(near)))
+    assert(stA.size == 2)
+    val stB = merge(stA, Seq(ev(GapUs / 2)))
+    assert(stB == List((0L, near, 3L)))
+    // arrival-order independence: any batch split yields the same sessions
+    val evs = Seq(0L, hour, 1000000L, hour + GapUs / 2, 2 * hour).map(ev)
+    val allAtOnce = merge(Nil, evs)
+    val oneByOne = evs.reverse.foldLeft(List.empty[(Long, Long, Long)])(
+      (st, e) => merge(st, Seq(e)))
+    assert(allAtOnce.toSet == oneByOne.toSet)
+  }
+
   test("streaming hourly agg == batch hourly agg (semantic parity)") {
     val batch = Sessions.qEventWindow(spark, sf)
       .select($"bucket", $"event_type", $"n_events", $"value_sum")

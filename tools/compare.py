@@ -47,6 +47,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: cols spark={spark_cols} duck={duck_cols}")
             n_fail += 1
             continue
+        # Column-type parity: the driver's hash is type-sensitive (a DuckDB
+        # HUGEINT sum vs Spark's BIGINT hash-mismatches even when the values
+        # are equal), but fetchall() coerces both to Python int and hides
+        # it. Compare declared types, name-aligned, before values.
+        spark_types = {c: str(t) for c, t in zip(spark_rel.columns, spark_rel.types)}
+        duck_types = {c: str(t) for c, t in zip(duck_rel.columns, duck_rel.types)}
+        type_mismatch = {c: (spark_types[c], duck_types[c])
+                         for c in spark_cols if spark_types[c] != duck_types[c]}
+        if type_mismatch:
+            print(f"FAIL {name}: types {type_mismatch}")
+            n_fail += 1
+            continue
         if len(spark_rows) != len(duck_rows):
             print(f"FAIL {name}: rows spark={len(spark_rows)} duck={len(duck_rows)}")
             n_fail += 1
