@@ -11,12 +11,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/file-index paths so startup cost isn't charged
-    // to whichever query happens to run first. Guarded: a bad sf dir must
-    // surface as per-query -1 markers in the metric line, not a crash
-    // before any JSON is emitted.
+    // to whichever query happens to run first: touch every table's file
+    // index + footer, and run one shuffle + one broadcast-join shape so
+    // the generic exchange/codegen infrastructure is JIT'd. Guarded: a bad
+    // sf dir must surface as per-query -1 markers in the metric line, not
+    // a crash before any JSON is emitted.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case e: Throwable =>
+    try {
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "documents", "embeddings"))
+        spark.read.parquet(s"$sfDir/$t.parquet").count()
+      Tables.events(spark, sfDir).count()
+      val a = spark.range(100000L).selectExpr("id", "id % 100 AS k")
+      val b = spark.range(100L).selectExpr("id AS k", "id * 2 AS v")
+      a.join(org.apache.spark.sql.functions.broadcast(b), "k")
+        .groupBy("k").count().count()
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup read failed: ${e.getMessage}") }
     // Keep the sorted Seq end-to-end: deterministic execution AND output
     // key order. A failing query records -1 (not its time-to-throw) so

@@ -95,11 +95,13 @@ object Similarity {
       }
     }
 
-  /** 16-bit sign-LSH bucket of an embedding column. */
+  /** 16-bit sign-LSH bucket of an embedding column — one native
+    * expression over a row-major plane matrix (a plan-bound reference
+    * object) instead of 16 dot/when/OR subtrees, so analysis and codegen
+    * cost stay O(1) in NumPlanes.
+    */
   def lshBucket(emb: Column): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      when(VectorFunctions.vecDot(emb, typedlit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    VectorFunctions.signBucket(emb, planes.flatten.toArray, Dim)
 
   // ANN: bucket the corpus once, probe each query's bucket only, exact
   // cosine re-rank inside the bucket. Output keeps the bucket id so
@@ -134,37 +136,28 @@ object Similarity {
 
   val qAnnIvf: Q = (s, d) => {
     val e0 = Tables.embeddings(s, d)
-    val cents: Array[(Int, Seq[Float])] = e0
+    // Index build: a bounded driver-side collect of NumCells centroid
+    // rows, flattened row-major into one plan-bound matrix. Cell ranking
+    // (dot desc, id asc — smaller id breaks ties) happens in a single
+    // native expression per row instead of NumCells dot-product subtrees.
+    val cents: Array[Array[Float]] = e0
       .filter(col("vec_id") < NumCells)
       .orderBy(col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
+      .select(col("embedding"))
       .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+      .map(_.getSeq[Float](0).toArray)
+    val mat = cents.flatten
 
-    // struct(score, -id, id): lexicographic array_sort makes score the
-    // primary key and smaller id the deterministic tiebreak on reverse.
-    def cellScores(emb: Column): Column = array(cents.toIndexedSeq.map { case (id, v) =>
-      struct(VectorFunctions.vecDot(emb, typedlit(v)).as("s"),
-             lit(-id).as("negid"), lit(id).as("id"))
-    }: _*)
-    def rankedCells(emb: Column): Column = reverse(array_sort(cellScores(emb)))
-    // corpus-side assignment only needs the argmax — greatest over the
-    // (score, -id, id) structs, no per-row 16-struct sort. (The query
-    // side still sorts: it needs the top-NProbe cells, and is tiny.)
-    def homeCell(emb: Column): Column =
-      greatest(cents.toIndexedSeq.map { case (id, v) =>
-        struct(VectorFunctions.vecDot(emb, typedlit(v)).as("s"),
-               lit(-id).as("negid"), lit(id).as("id"))
-      }: _*).getField("id")
+    def rankedCells(emb: Column): Column =
+      VectorFunctions.matrixDotRank(emb, mat, Dim)
 
     val e = e0.select(col("vec_id"), col("embedding"),
-                      homeCell(col("embedding")).as("cell"),
+                      element_at(rankedCells(col("embedding")), 1).as("cell"),
                       VectorFunctions.vecNorm(col("embedding")).as("nrm"))
     val q = e0.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
               VectorFunctions.vecNorm(col("embedding")).as("qnrm"),
-              explode(transform(slice(rankedCells(col("embedding")), 1, NProbe),
-                                c => c.getField("id"))).as("probe_cell"))
+              explode(slice(rankedCells(col("embedding")), 1, NProbe)).as("probe_cell"))
     val cand = e.join(broadcast(q),
                       col("cell") === col("probe_cell") && col("vec_id") =!= col("qid"))
       .withColumn("score",

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{FloatVectorDot, FloatVectorNorm, HammingDistance, Shim}
+import org.apache.spark.sql.graftshim.{FloatMatrixDotRank, FloatMatrixSignBucket, FloatVectorDot, FloatVectorNorm, HammingDistance, Shim}
 
 /** Column-API face of the native Catalyst vector expressions (the
   * expression classes live in the graftshim package because they use
@@ -15,6 +15,17 @@ object VectorFunctions {
     Shim.column(HammingDistance(Shim.expression(a), Shim.expression(b)))
   def vecCosine(a: Column, b: Column): Column =
     vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+
+  /** Codebook-row ids ranked by dot product with `a` (dot desc, id asc).
+    * `mat` is row-major numRows×dim; it rides the plan as one reference
+    * object instead of numRows literal subtrees.
+    */
+  def matrixDotRank(a: Column, mat: Array[Float], dim: Int): Column =
+    Shim.column(FloatMatrixDotRank(Shim.expression(a), mat, dim))
+
+  /** Sign-LSH bucket of `a` against row-major numPlanes×dim hyperplanes. */
+  def signBucket(a: Column, planes: Array[Float], dim: Int): Column =
+    Shim.column(FloatMatrixSignBucket(Shim.expression(a), planes, dim))
 
   /** Register the native functions for SQL use in an existing session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -3,6 +3,7 @@ package org.apache.spark.sql.graftshim
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for the embedding hot path.
@@ -90,6 +91,117 @@ case class FloatVectorNorm(child: Expression)
     })
 
   override protected def withNewChildInternal(newChild: Expression): FloatVectorNorm =
+    copy(child = newChild)
+}
+
+/** Ranks the rows of a fixed codebook matrix by dot product with the
+  * input vector: returns `array<int>` of row ids ordered by
+  * (dot desc, id asc). One expression replaces numRows× replicated
+  * dot-product subtrees (each with its own 64-float literal), which
+  * bloated analysis time and generated-code size linearly in the number
+  * of cells. The matrix rides along as a plan-bound reference object —
+  * shipped once per executor, like a broadcast.
+  *
+  * Used for IVF coarse quantization: element 1 is the home cell
+  * (argmax), a prefix slice is the probe list. Ties break toward the
+  * smaller row id — identical to the previous
+  * greatest/array_sort(struct(s, -id, id)) formulation.
+  */
+case class FloatMatrixDotRank(child: Expression, mat: Array[Float], dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(dim > 0 && mat.length % dim == 0, "matrix must be numRows x dim")
+
+  private val numRows: Int = mat.length / dim
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_matrix_dot_rank"
+
+  /** Dots then a stable insertion sort on (dot desc, id asc); numRows is
+    * small (a codebook), so O(R^2) beats allocating comparator boxes.
+    */
+  private def rank(dots: Array[Double]): Array[Int] = {
+    val ids = Array.tabulate(numRows)(identity)
+    var i = 1
+    while (i < numRows) {
+      val id = ids(i)
+      val d = dots(id)
+      var j = i - 1
+      while (j >= 0 && (dots(ids(j)) < d || (dots(ids(j)) == d && ids(j) > id))) {
+        ids(j + 1) = ids(j); j -= 1
+      }
+      ids(j + 1) = id
+      i += 1
+    }
+    ids
+  }
+
+  private def dots(x: ArrayData): Array[Double] = {
+    val n = math.min(x.numElements(), dim)
+    val out = new Array[Double](numRows)
+    var r = 0
+    while (r < numRows) {
+      var acc = 0.0
+      var i = 0
+      val base = r * dim
+      while (i < n) { acc += x.getFloat(i).toDouble * mat(base + i).toDouble; i += 1 }
+      out(r) = acc
+      r += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(rank(dots(a.asInstanceOf[ArrayData])))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("graftMatRank", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatMatrixDotRank =
+    copy(child = newChild)
+}
+
+/** Sign-LSH bucket: bit j of the result is set iff dot(input, plane j)
+  * >= 0. Same single-pass, plan-bound-matrix treatment as
+  * FloatMatrixDotRank — replaces numPlanes× (dot >= 0 → 1<<j) OR-chains.
+  */
+case class FloatMatrixSignBucket(child: Expression, planes: Array[Float], dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(dim > 0 && planes.length % dim == 0, "planes must be numPlanes x dim")
+  require(planes.length / dim <= 63, "bucket bits must fit a long")
+
+  private val numPlanes: Int = planes.length / dim
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sign_bucket"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    var bucket = 0L
+    var j = 0
+    while (j < numPlanes) {
+      var acc = 0.0
+      var i = 0
+      val base = j * dim
+      while (i < n) { acc += x.getFloat(i).toDouble * planes(base + i).toDouble; i += 1 }
+      if (acc >= 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("graftSignBucket", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (Long) $self.nullSafeEval($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatMatrixSignBucket =
     copy(child = newChild)
 }
 

@@ -189,4 +189,29 @@ class OpsSpec extends AnyFunSuite {
     val got = df.as[Double].collect()
     assert(math.abs(got(0) - 1.0) < 1e-12 && got(1) == 0.0)
   }
+
+  test("matrixDotRank/signBucket == compositional dot formulation") {
+    import graft.functions.VectorFunctions
+    val dim = 4
+    // 3 codebook rows, chosen so vec (1,0,0,0) ties rows 0 and 2 on dot
+    // — the tie must break toward the smaller row id.
+    val rows = Array(
+      Array(1.0f, 0.0f, 0.0f, 0.0f),
+      Array(0.0f, 1.0f, 0.0f, 0.0f),
+      Array(1.0f, 0.0f, 0.0f, 0.0f))
+    val mat = rows.flatten
+    val vecs = Seq(Seq(1.0f, 0.0f, 0.0f, 0.0f), Seq(0.1f, 2.0f, -1.0f, 0.5f),
+                   Seq(-1.0f, -1.0f, 1.0f, 1.0f))
+    val df = vecs.toDF("v")
+      .select($"v", VectorFunctions.matrixDotRank($"v", mat, dim).as("rank"),
+              VectorFunctions.signBucket($"v", mat, dim).as("bucket"))
+    val got = df.as[(Seq[Float], Seq[Int], Long)].collect()
+    for ((v, rank, bucket) <- got) {
+      def dot(r: Array[Float]) = r.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val expRank = rows.indices.sortBy(i => (-dot(rows(i)), i))
+      val expBucket = rows.indices.map(i => if (dot(rows(i)) >= 0) 1L << i else 0L).sum
+      assert(rank == expRank, s"rank for $v")
+      assert(bucket == expBucket, s"bucket for $v")
+    }
+  }
 }
