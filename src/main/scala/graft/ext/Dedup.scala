@@ -110,10 +110,16 @@ object Dedup {
   val RowsPerBand = NumHashes / NumBands
 
   val qDedupMinhash: Q = (s, d) => {
+    // One md5 per gram (engine-portable 60-bit digest), then 32 cheap
+    // affine min-hashes over the pre-hashed values — not 32 re-hashes of
+    // every gram. Band buckets are the packed signature slice itself (a
+    // ':'-joined string): equality on the slice is what LSH needs, no
+    // second hash required, and it stays byte-identical across engines.
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
               Ops.shingles(Ops.tokens(col("text")), 3).as("grams"))
-      .withColumn("sig", Ops.minHashSignature(col("grams"), NumHashes))
+      .withColumn("sig", Ops.minHashSignatureMod(
+        transform(col("grams"), g => Ops.md5Bits60(g) % Ops.HashModP), NumHashes))
     // Band/bucket/dedup on (ids, bucket) ONLY — carrying gram arrays
     // through the 8-band explode, the self-join, and the pair distinct
     // would multiply shuffle bytes by ~8× the array size at scale. Grams
@@ -121,7 +127,9 @@ object Dedup {
     val banded = docs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
-        j => xxhash64(slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand))))))
+        j => array_join(transform(
+               slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand)),
+               _.cast("string")), ":"))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bucket")
     val left = banded.select(col("band_id"), col("bucket"), col("doc_id").as("doc_a"))
@@ -156,21 +164,77 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  // SimHash (non-SQL-expressible → rows-only): 64-bit signature where bit
-  // i is the sign of Σ_tokens (±1 by bit i of xxhash64(token)). Computed
-  // as an explode + single group-by with 64 partial-aggregating sums —
-  // map-side combine keeps the shuffle at one row per (doc, 64 counters).
-  // Also carries the polynomial rolling-hash fingerprint (Ops.rollingHash).
+  /** The DuckDB side of the MinHash pipeline, re-derived relationally:
+    * same md5-60-bit gram digests, same affine hash family, same packed
+    * band buckets — so candidate generation and the verified jaccards
+    * hash-match the Spark plan exactly.
+    */
+  val qDedupMinhashSql: String = {
+    val gramsSql =
+      """list_distinct(list_transform(
+        |           range(greatest(len(string_split(text, ' ')) - 2, 1)),
+        |           i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))""".stripMargin
+    s"""WITH docs AS (
+       |  SELECT doc_id, $gramsSql AS grams
+       |  FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, grams,
+       |         list_transform(range($NumHashes), k -> list_min(list_transform(
+       |           list_transform(grams, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % 1000000007),
+       |           x -> ((2*k+1)*x + (1000003*k + 12345)) % 1000000007))) AS sig
+       |  FROM docs),
+       |banded AS (
+       |  SELECT doc_id, b.b AS band_id,
+       |         array_to_string(sig[b.b*$RowsPerBand+1 : b.b*$RowsPerBand+$RowsPerBand], ':') AS bucket
+       |  FROM sigs CROSS JOIN generate_series(0, ${NumBands - 1}) b(b)),
+       |candidates AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM banded a JOIN banded b2
+       |    ON a.band_id = b2.band_id AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+       |           len(list_distinct(list_concat(ga.grams, gb.grams))) AS jaccard
+       |  FROM candidates c
+       |  JOIN sigs ga ON ga.doc_id = c.doc_a
+       |  JOIN sigs gb ON gb.doc_id = c.doc_b),
+       |partners AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates, max(jaccard) AS max_jaccard
+       |  FROM (SELECT doc_a AS doc_id, jaccard FROM pairs
+       |        UNION ALL SELECT doc_b, jaccard FROM pairs)
+       |  GROUP BY 1),
+       |dup AS (SELECT DISTINCT doc_b AS doc_id, CAST(1 AS BIGINT) AS is_dup
+       |        FROM pairs WHERE jaccard >= 0.9)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |       round(COALESCE(p.max_jaccard, 0.0), 6) AS max_jaccard,
+       |       CAST(COALESCE(u.is_dup, 0) AS BIGINT) AS is_dup
+       |FROM documents d
+       |LEFT JOIN partners p ON p.doc_id = d.doc_id
+       |LEFT JOIN dup u ON u.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // SimHash: 60-bit signature where bit i is the sign of
+  // Σ_tokens (±1 by bit i of the token's md5-60-bit digest). 60 bits, not
+  // 64: 15 hex chars of md5 are the widest slice that fits a signed
+  // BIGINT in both engines, which is what makes the signature
+  // exact-oracle-able. Computed as an explode + single group-by with 60
+  // partial-aggregating sums — map-side combine keeps the shuffle at one
+  // row per (doc, 60 counters). Also carries the polynomial rolling-hash
+  // fingerprint (Ops.rollingHash).
+  val SimhashBits = 60
+
   val qDedupSimhash: Q = (s, d) => {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { i =>
+      .select(col("doc_id"), Ops.md5Bits60(col("tok")).as("h"))
+    val bitSums = (0 until SimhashBits).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L))
         .as(s"b$i")
     }
     val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64)
+    val simhash = (0 until SimhashBits)
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     val fp = Tables.documents(s, d)
@@ -180,6 +244,34 @@ object Dedup {
       .join(fp, Seq("doc_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** DuckDB oracle for SimHash: same 60-bit md5 digests; the rolling-hash
+    * fingerprint folds with list_reduce (its implicit first-element seed
+    * equals the (0·31 + c₁) first step of the Spark aggregate).
+    */
+  val qDedupSimhashSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t),
+       |bits AS (
+       |  SELECT doc_id, b.b AS bit,
+       |         SUM(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM tok CROSS JOIN generate_series(0, ${SimhashBits - 1}) b(b)
+       |  GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY 1),
+       |fp AS (
+       |  SELECT doc_id,
+       |         list_reduce(
+       |           list_transform(range(1, least(length(nt), 64) + 1),
+       |                          i -> CAST(ascii(substr(nt, CAST(i AS INT), 1)) AS BIGINT)),
+       |           (a, c) -> (a*31 + c) % 1000000007) AS fingerprint
+       |  FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS nt FROM documents))
+       |SELECT s.doc_id, s.simhash, CAST(f.fingerprint AS BIGINT) AS fingerprint
+       |FROM sh s JOIN fp f ON s.doc_id = f.doc_id
+       |ORDER BY s.doc_id""".stripMargin
 
   // Embedding-cosine near-dup: pairwise cosine within deterministic
   // blocks (label = the natural partition; at scale the LSH sign-bucket
@@ -242,5 +334,7 @@ object Dedup {
     "q_dedup_exact"   -> qDedupExactSql,
     "q_dedup_block"   -> qDedupBlockSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_simhash" -> qDedupSimhashSql,
   )
 }

@@ -89,29 +89,50 @@ object Pipeline {
        |FROM routed GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  // Stratified corpus rebalancing: seeded per-language sampling (keep all
-  // minority-language docs, downsample the majority) — the standard
-  // rebalancing step before training-data mixing. Bernoulli sampling is
-  // engine-specific → rows-only; determinism across runs comes from the
-  // fixed seed and is pinned by spec.
+  // Stratified corpus rebalancing: hash-threshold per-language sampling
+  // (keep all minority-language docs, downsample the majority) — the
+  // standard rebalancing step before training-data mixing. The sampling
+  // decision is md5(doc_id:seed) < threshold rather than an RNG draw:
+  // deterministic across runs, partitionings, AND engines (md5 hex is
+  // identical in Spark and DuckDB), so the query is exact-oracle-able —
+  // and at 100 TB it needs no seed-per-partition coordination, the
+  // classic reason hash sampling beats Bernoulli RNG in pipelines.
+  // MajorityFraction must be k/256: the keep test compares the first two
+  // hex digits against the threshold byte ('80' = 128/256 = 0.5).
   val SampleSeed = 42L
   val MajorityFraction = 0.5
+  private val ThresholdHex = f"${(MajorityFraction * 256).toInt}%02x"
 
   val qStratifiedSample: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val langs = docs.select(col("lang")).distinct()
-      .collect().map(_.getString(0)).sorted
-    val fractions = langs.map(l => l -> (if (l == "en") MajorityFraction else 1.0)).toMap
-    docs.stat.sampleBy("lang", fractions, SampleSeed)
+    val keep = col("lang") =!= "en" ||
+      substring(md5(concat(col("doc_id").cast("string"), lit(s":$SampleSeed"))), 1, 2) < ThresholdHex
+    docs.filter(keep)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
       .join(docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total")), Seq("lang"))
       .orderBy(col("lang"))
   }
 
+  val qStratifiedSampleSql: String =
+    s"""WITH sampled AS (
+       |  SELECT * FROM documents
+       |  WHERE lang <> 'en'
+       |     OR substr(md5(CAST(doc_id AS VARCHAR) || ':$SampleSeed'), 1, 2) < '$ThresholdHex'),
+       |agg AS (
+       |  SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+       |  FROM sampled GROUP BY 1)
+       |SELECT a.lang, a.n_sampled, a.first_doc, t.n_total
+       |FROM agg a JOIN (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1) t
+       |  ON a.lang = t.lang
+       |ORDER BY a.lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_training_pipeline" -> qTrainingPipeline,
     "q_stratified_sample" -> qStratifiedSample,
   )
-  val oracles: Map[String, String] = Map("q_training_pipeline" -> qTrainingPipelineSql)
+  val oracles: Map[String, String] = Map(
+    "q_training_pipeline" -> qTrainingPipelineSql,
+    "q_stratified_sample" -> qStratifiedSampleSql,
+  )
 }

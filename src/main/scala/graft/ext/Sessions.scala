@@ -120,16 +120,84 @@ object Sessions {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
 
-  // Sketch aggregation (HLL++): approximate distinct users per event
-  // type next to the exact count. Sketch internals differ per engine, so
-  // this is rows-only (no oracle); the spec bounds the relative error.
-  val qApproxDistinct: Q = (s, d) =>
+  // Sketch aggregation: HyperLogLog distinct-user estimate per event
+  // type next to the exact count. Engine-native HLL++ sketches differ
+  // per engine, so instead the sketch itself is portable: md5-60-bit
+  // hashes (identical in Spark and DuckDB), m=64 registers (low 6 bits),
+  // rank = leading-zero position in the remaining 54 bits, and the
+  // register sum Σ 2^(−M_r) carried as the EXACT integer Σ 2^(55−M_r)
+  // (≤ 64·2^54 < 2^63) so float summation order can't perturb the
+  // estimate — making a cardinality sketch hash-match an oracle exactly.
+  // At scale this is the same two-level aggregation HLL always is:
+  // partial per-partition register maxes, tiny merge.
+  val HllRegisters = 64 // 6-bit register index; alpha below is for m=64
+  val HllAlpha = 0.709
+
+  val qApproxDistinct: Q = (s, d) => {
+    val m = HllRegisters
+    val twoP55 = 1L << 55
+    val hashed = Tables.events(s, d)
+      .select(col("event_type"),
+              graft.ops.Ops.md5Bits60(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"),
+              (col("h") % m).as("r"),
+              shiftright(col("h"), 6).as("w"))
+      .withColumn("rank",
+        when(col("w") === 0L, lit(55)).otherwise(lit(55) - length(bin(col("w")))))
+    val regs = hashed.groupBy(col("event_type"), col("r"))
+      .agg(max(col("rank")).as("mr"))
+    val z = regs.groupBy(col("event_type"))
+      .agg((sum(pow(lit(2.0), lit(55) - col("mr")).cast("bigint")) +
+              (lit(m.toLong) - count(lit(1))) * twoP55).as("zs"),
+           (lit(m.toLong) - count(lit(1))).as("v"))
+    // alpha·m²·2^55 folded to one double literal (exact: the two factors
+    // beyond alpha are powers of two), shared verbatim with the oracle so
+    // neither engine's constant-folding order can matter.
+    val estRaw = lit(HllAlpha * (m.toDouble * m.toDouble) * twoP55.toDouble) /
+      col("zs").cast("double")
+    val est = z.select(col("event_type"),
+      when(estRaw <= lit(2.5 * m) && col("v") > 0,
+           lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+        .otherwise(estRaw).as("e"))
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"),
-           approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
            count(lit(1)).as("n_events"))
+      .join(est, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+              round(col("e"), 4).as("approx_users"), col("n_events"))
       .orderBy(col("event_type"))
+  }
+
+  val qApproxDistinctSql: String =
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM events),
+       |regs AS (
+       |  SELECT event_type, h % 64 AS r,
+       |         MAX(CASE WHEN (h >> 6) = 0 THEN 55
+       |                  ELSE 55 - length(bin(h >> 6)) END) AS mr
+       |  FROM h GROUP BY 1, 2),
+       |z AS (
+       |  SELECT event_type,
+       |         CAST(SUM(CAST(2 ** (55 - mr) AS BIGINT)) AS BIGINT)
+       |           + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS zs,
+       |         CAST(64 - COUNT(*) AS BIGINT) AS v
+       |  FROM regs GROUP BY 1),
+       |est AS (
+       |  SELECT event_type,
+       |         CASE WHEN (1.0462993238608057e+20 / CAST(zs AS DOUBLE)) <= 160.0
+       |                   AND v > 0
+       |              THEN 64.0 * ln(CAST(64 AS DOUBLE) / CAST(v AS DOUBLE))
+       |              ELSE 1.0462993238608057e+20 / CAST(zs AS DOUBLE) END AS e
+       |  FROM z),
+       |base AS (
+       |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n_events
+       |  FROM events GROUP BY 1)
+       |SELECT b.event_type, b.exact_users, round(e.e, 4) AS approx_users, b.n_events
+       |FROM base b JOIN est e USING (event_type)
+       |ORDER BY 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q_sessionize"      -> qSessionize,
@@ -139,8 +207,9 @@ object Sessions {
   )
 
   val oracles: Map[String, String] = Map(
-    "q_sessionize"   -> qSessionizeSql,
-    "q_event_window" -> qEventWindowSql,
-    "q_asof_join"    -> qAsofJoinSql,
+    "q_sessionize"      -> qSessionizeSql,
+    "q_event_window"    -> qEventWindowSql,
+    "q_asof_join"       -> qAsofJoinSql,
+    "q_approx_distinct" -> qApproxDistinctSql,
   )
 }

@@ -152,7 +152,7 @@ object Similarity {
       VectorFunctions.matrixDotRank(emb, mat, Dim)
 
     val e = e0.select(col("vec_id"), col("embedding"),
-                      element_at(rankedCells(col("embedding")), 1).as("cell"),
+                      element_at(rankedCells(col("embedding")), 1).cast("bigint").as("cell"),
                       VectorFunctions.vecNorm(col("embedding")).as("nrm"))
     val q = e0.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -168,6 +168,91 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** DuckDB oracle for the sign-LSH ANN. The hyperplanes are re-derived
+    * IN SQL from the same two-step LCG as `planes` (HUGEINT modmul keeps
+    * the 48-bit wrap exact; the REAL cast reproduces `.toFloat`), so both
+    * engines bucket identically — dots are in-index-order double sums on
+    * both sides, making even the sign of a near-zero dot deterministic.
+    */
+  val qAnnLshSql: String = {
+    val x0 = "(j.j*1000003 + (i.i-1)*7919 + 12345)"
+    val step1 = s"((CAST($x0 AS HUGEINT) * 25214903917 + 11) % 281474976710656)"
+    val step2 = s"((CAST($step1 AS HUGEINT) * 25214903917 + 11) % 281474976710656)"
+    val plane = s"CAST(CAST($step2 AS DOUBLE) / 140737488355328.0 - 1.0 AS REAL)"
+    s"""WITH pd AS (
+       |  SELECT e.vec_id, j.j,
+       |         (SELECT SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST($plane AS DOUBLE))
+       |          FROM generate_series(1, $Dim) i(i)) AS dot
+       |  FROM embeddings e CROSS JOIN generate_series(0, ${NumPlanes - 1}) j(j)),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pd GROUP BY 1),
+       |nrm AS (
+       |  SELECT vec_id, sqrt((SELECT SUM(CAST(embedding[i.i] AS DOUBLE) ** 2)
+       |                       FROM generate_series(1, $Dim) i(i))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, bucket AS qbucket FROM buckets WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT q.qid, b.bucket, e.vec_id,
+       |         round((SELECT SUM(CAST(qe.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))
+       |                FROM generate_series(1, $Dim) i(i)) / (nq.nrm * ne.nrm), 6) AS score
+       |  FROM q
+       |  JOIN buckets b ON b.bucket = q.qbucket
+       |  JOIN embeddings e ON e.vec_id = b.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = q.qid
+       |  JOIN nrm nq ON nq.vec_id = q.qid
+       |  JOIN nrm ne ON ne.vec_id = e.vec_id
+       |  WHERE e.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, bucket, vec_id, score,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+       |  FROM cand)
+       |SELECT qid, bucket, vec_id, score, rn FROM ranked WHERE rn <= $TopK
+       |ORDER BY qid, rn""".stripMargin
+  }
+
+  /** DuckDB oracle for the IVF ANN: centroids are the same first
+    * NumCells corpus vectors, cell assignment/probing the same
+    * (dot desc, id asc) ranking — all re-derived relationally.
+    */
+  val qAnnIvfSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $NumCells),
+       |dots AS (
+       |  SELECT e.vec_id, c.cid,
+       |         (SELECT SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.ce[i.i] AS DOUBLE))
+       |          FROM generate_series(1, $Dim) i(i)) AS dot
+       |  FROM embeddings e CROSS JOIN cents c),
+       |ranked_cells AS (
+       |  SELECT vec_id, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS cell_rn
+       |  FROM dots),
+       |assigned AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE cell_rn = 1),
+       |nrm AS (
+       |  SELECT vec_id, sqrt((SELECT SUM(CAST(embedding[i.i] AS DOUBLE) ** 2)
+       |                       FROM generate_series(1, $Dim) i(i))) AS nrm
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid AS probe_cell FROM ranked_cells
+       |  WHERE vec_id < $NumQueries AND cell_rn <= $NProbe),
+       |cand AS (
+       |  SELECT p.qid, a.cell, e.vec_id,
+       |         round((SELECT SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))
+       |                FROM generate_series(1, $Dim) i(i)) / (nq.nrm * ne.nrm), 6) AS score
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.probe_cell
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN embeddings q ON q.vec_id = p.qid
+       |  JOIN nrm nq ON nq.vec_id = p.qid
+       |  JOIN nrm ne ON ne.vec_id = e.vec_id
+       |  WHERE e.vec_id <> p.qid),
+       |ranked AS (
+       |  SELECT qid, cell, vec_id, score,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+       |  FROM cand)
+       |SELECT qid, cell, vec_id, score, rn FROM ranked WHERE rn <= $TopK
+       |ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_similarity_topk" -> qSimilarityTopk,
     "q_ann_lsh"         -> qAnnLsh,
@@ -176,5 +261,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_similarity_topk" -> qSimilarityTopkSql,
+    "q_ann_lsh"         -> qAnnLshSql,
+    "q_ann_ivf"         -> qAnnIvfSql,
   )
 }

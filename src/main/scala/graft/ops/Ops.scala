@@ -200,6 +200,30 @@ object Ops {
       sequence(lit(0), lit(nHashes - 1)),
       seed => array_min(transform(sh, s => xxhash64(seed, s))))
 
+  // ---------------------------------------------------------------------
+  // Cross-engine-deterministic hashing: md5 hex is byte-identical in
+  // Spark and DuckDB, so a 60-bit integer digest (15 hex chars — 16
+  // would overflow signed BIGINT) gives both engines the same hash
+  // values, making MinHash/SimHash/HLL sketches exact-oracle-able.
+  // ---------------------------------------------------------------------
+  val HashModP = 1000000007L
+
+  /** First 60 bits of md5(c) as a non-negative bigint. */
+  def md5Bits60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  /** MinHash signature over pre-hashed gram values (md5Bits60 % HashModP):
+    * hash family k ↦ ((2k+1)·x + (1000003k + 12345)) mod P — one md5 per
+    * gram, then nHashes cheap affine maps. Same family is re-derivable in
+    * plain SQL, so the signature is engine-portable.
+    */
+  def minHashSignatureMod(xs: Column, nHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(nHashes - 1)),
+      k => array_min(transform(xs,
+        x => ((k.cast("bigint") * 2L + 1L) * x +
+              (k.cast("bigint") * 1000003L + 12345L)) % HashModP)))
+
   /** Deterministic polynomial rolling hash of the first `maxLen` chars,
     * mod 1e9+7 (stays far from Long overflow — Spark 4 runs ANSI mode).
     */

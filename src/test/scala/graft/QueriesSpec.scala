@@ -144,13 +144,14 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("approx distinct: HLL estimate within configured error of exact") {
+  test("approx distinct: portable HLL estimate within 2/sqrt(m) of exact") {
     import graft.ext.Sessions
     val rows = Sessions.qApproxDistinct(spark, sf)
-      .select($"exact_users", $"approx_users").as[(Long, Long)].collect()
+      .select($"exact_users", $"approx_users").as[(Long, Double)].collect()
     assert(rows.nonEmpty)
+    // m=64 registers -> standard error 1.04/sqrt(64) = 13%; assert 2 sigma
     rows.foreach { case (exact, approx) =>
-      assert(math.abs(approx - exact).toDouble / exact <= 0.1,
+      assert(math.abs(approx - exact) / exact <= 0.26,
              s"approx $approx too far from exact $exact")
     }
   }

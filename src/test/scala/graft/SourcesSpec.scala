@@ -188,7 +188,7 @@ class SourcesSpec extends AnyFunSuite {
     import graft.ext.Similarity
     val ivf = Similarity.qAnnIvf(spark, TestSpark.Sf)
       .select($"qid", $"cell", $"vec_id", $"score", $"rn")
-      .as[(Long, Int, Long, Double, Long)].collect()
+      .as[(Long, Long, Long, Double, Long)].collect()
     assert(ivf.nonEmpty)
     ivf.groupBy(_._1).foreach { case (_, g) =>
       val scores = g.sortBy(_._5).map(_._4)
