@@ -21,6 +21,7 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     jobs.CoreQueries.queries ++ jobs.RecPipeline.queries ++
+      jobs.AnalyticsQueries.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextOps.queries ++
       ext.Sessions.queries ++ ext.Multimodal.queries ++ ext.Pipeline.queries
 
@@ -30,6 +31,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     jobs.CoreQueries.oracles ++ jobs.RecPipeline.oracles ++
+      jobs.AnalyticsQueries.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++ ext.TextOps.oracles ++
       ext.Sessions.oracles ++ ext.Multimodal.oracles ++ ext.Pipeline.oracles
 }

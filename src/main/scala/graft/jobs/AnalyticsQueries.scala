@@ -1,0 +1,230 @@
+package graft.jobs
+
+import graft.Tables
+import graft.ops.Ops
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation / join breadth beyond the reference's own surface (SURVEY
+  * §2.4/§2.5/§2.6 mark these absent-but-free in Spark): pivot, grouping
+  * sets, exact percentiles, moment statistics from exact sums, a range
+  * (interval lookback) join, and latest-record-per-key dedup — the
+  * standard warehouse shapes a user of the reference would reach for
+  * next, each exact-oracle-checked against DuckDB.
+  *
+  * Float-parity conventions follow README "Design for 100 TB": every
+  * re-associative aggregate rides DECIMAL (associative, order-free),
+  * derived statistics are computed in double FROM those exact sums with
+  * the same expression text on both engines, and ranked/derived floats
+  * are rounded before comparison.
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------------
+  // Pivot: order-priority counts per market segment (wide layout). The
+  // value list is pinned (priorities are a closed domain), so the plan
+  // is a single groupBy with one CASE-aggregated column per value — no
+  // second pass to discover values, which is what keeps pivot scalable.
+  // ------------------------------------------------------------------
+  private val Priorities = Seq(
+    "1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high", "3-MEDIUM" -> "p3_medium",
+    "4-NOT SPECIFIED" -> "p4_not_specified", "5-LOW" -> "p5_low")
+
+  val qPivot: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    val aggs = Priorities.map { case (v, alias) =>
+      sum(when(col("o_orderpriority") === v, 1L).otherwise(0L)).as(alias)
+    }
+    joined.groupBy(col("c_mktsegment"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qPivotSql: String = {
+    val cols = Priorities.map { case (v, alias) =>
+      s"CAST(SUM(CASE WHEN o_orderpriority = '$v' THEN 1 ELSE 0 END) AS BIGINT) AS $alias"
+    }
+    s"""SELECT c_mktsegment,
+       |       ${cols.mkString(",\n       ")}
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Grouping sets: per-returnflag and per-linestatus subtotals plus the
+  // grand total in one pass (finer than rollup's prefix hierarchy —
+  // q_rollup covers that shape). Subtotal NULLs render as 'ALL' on both
+  // sides so NULL sort order can't skew the compare.
+  // ------------------------------------------------------------------
+  val qGroupingSets: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(Ops.exactSum(col("l_quantity")).as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_qty"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val qGroupingSetsSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Exact percentiles (median / p90, linear interpolation) per line
+  // status. l_quantity is integer-valued, so the interpolated values
+  // stay well clear of round-to-6 boundaries even if the two engines
+  // associate the interpolation differently.
+  // ------------------------------------------------------------------
+  val qPercentiles: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)"), 6)
+             .as("median_qty"),
+           round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)"), 6)
+             .as("p90_qty"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_linestatus"))
+
+  val qPercentilesSql: String =
+    """SELECT l_linestatus,
+      |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+      |       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+      |       count(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Correlation / stddev per group — NOT via the engines' streaming
+  // moment aggregates (their accumulation order varies with partitioning
+  // and differs between engines): the five sufficient statistics ride as
+  // exact DECIMAL sums, and the moments are derived in double from those
+  // with the same expression on both sides. Deterministic at any
+  // parallelism — the only way a 1000-executor corr can hash-match.
+  // ------------------------------------------------------------------
+  val qCorrStats: Q = (s, d) => {
+    val x = col("l_quantity")
+    val y = col("l_discount")
+    val sums = Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(x.cast("decimal(28,2)")).as("sx"),
+           sum(y.cast("decimal(28,2)")).as("sy"),
+           sum((x * y).cast("decimal(28,4)")).as("sxy"),
+           sum((x * x).cast("decimal(28,4)")).as("sxx"),
+           sum((y * y).cast("decimal(28,4)")).as("syy"))
+    val n = col("n").cast("double")
+    def dbl(c: String) = col(c).cast("double")
+    val covN = n * dbl("sxy") - dbl("sx") * dbl("sy")
+    val varXN = n * dbl("sxx") - dbl("sx") * dbl("sx")
+    val varYN = n * dbl("syy") - dbl("sy") * dbl("sy")
+    sums.select(col("l_linestatus"), col("n"),
+                round(covN / (sqrt(varXN) * sqrt(varYN)), 6).as("corr_qd"),
+                round(sqrt(varXN / (n * (n - lit(1.0)))), 6).as("stddev_qty"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val qCorrStatsSql: String =
+    """WITH sums AS (
+      |  SELECT l_linestatus, count(*) AS n,
+      |         SUM(CAST(l_quantity AS DECIMAL(28,2))) AS sx,
+      |         SUM(CAST(l_discount AS DECIMAL(28,2))) AS sy,
+      |         SUM(CAST(l_quantity * l_discount AS DECIMAL(28,4))) AS sxy,
+      |         SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS sxx,
+      |         SUM(CAST(l_discount * l_discount AS DECIMAL(28,4))) AS syy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_linestatus, n,
+      |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |         AS corr_qd,
+      |       round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS stddev_qty
+      |FROM sums ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Range (interval lookback) join: for each error event, how many
+  // events did the same user emit in the preceding 5 minutes? Equi on
+  // user_id carries the join; the range predicate prunes inside the
+  // group — the bounded lookback is what makes this bucketable at
+  // scale (a ±window bucket join keeps the shuffle equi-keyed).
+  // ------------------------------------------------------------------
+  val LookbackUs: Long = 5L * 60L * 1000000L
+
+  val qRangeJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val errors = Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+              unix_micros(col("ts")).as("err_us"))
+    errors.join(ev, errors("user_id") === ev("user_id") &&
+                    ev("us") >= errors("err_us") - LookbackUs &&
+                    ev("us") < errors("err_us"))
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_preceding"))
+      .orderBy(col("err_id"))
+  }
+
+  val qRangeJoinSql: String =
+    s"""SELECT e.event_id AS err_id, count(*) AS n_preceding
+       |FROM events e JOIN events p
+       |  ON p.user_id = e.user_id
+       | AND epoch_us(p.ts) >= epoch_us(e.ts) - $LookbackUs
+       | AND epoch_us(p.ts) < epoch_us(e.ts)
+       |WHERE e.event_type = 'error'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Latest-record-per-key dedup (the CDC / compaction shape): one
+  // surviving row per (user, event_type), by latest (ts, event_id).
+  // row_number over a per-key window — one shuffle on the key, no
+  // driver-side state; the workhorse of incremental table maintenance.
+  // ------------------------------------------------------------------
+  val qLatestByKey: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val qLatestByKeySql: String =
+    """SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |                                   ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_pivot"         -> qPivot,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_percentiles"   -> qPercentiles,
+    "q_corr_stats"    -> qCorrStats,
+    "q_range_join"    -> qRangeJoin,
+    "q_latest_by_key" -> qLatestByKey,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pivot"         -> qPivotSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_percentiles"   -> qPercentilesSql,
+    "q_corr_stats"    -> qCorrStatsSql,
+    "q_range_join"    -> qRangeJoinSql,
+    "q_latest_by_key" -> qLatestByKeySql,
+  )
+}

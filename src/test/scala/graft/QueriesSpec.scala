@@ -172,4 +172,34 @@ class QueriesSpec extends AnyFunSuite {
     val q = TextOps.qQualityScore(spark, sf).select($"quality").as[Double].collect()
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("analytics breadth: pivot rows sum to joined count, sets include total") {
+    import graft.jobs.AnalyticsQueries
+    val piv = AnalyticsQueries.qPivot(spark, sf).collect()
+    val pivTotal = piv.map(r => (1 to 5).map(r.getLong).sum).sum
+    val joined = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+            $"o_custkey" === $"c_custkey").count()
+    assert(pivTotal == joined, "pivot cells must partition the joined rows")
+    val sets = AnalyticsQueries.qGroupingSets(spark, sf)
+      .select($"returnflag", $"linestatus", $"n_rows")
+      .as[(String, String, Long)].collect()
+    val total = graft.Tables.lineitem(spark, sf).count()
+    assert(sets.count { case (r, l, _) => r == "ALL" && l == "ALL" } == 1)
+    assert(sets.find { case (r, l, _) => r == "ALL" && l == "ALL" }.get._3 == total)
+    // each single-dimension slice also partitions the table
+    assert(sets.filter(s => s._1 != "ALL").map(_._3).sum == total)
+    assert(sets.filter(s => s._2 != "ALL").map(_._3).sum == total)
+  }
+
+  test("latest-by-key keeps exactly one max-ts row per key; range join bounded") {
+    import graft.jobs.AnalyticsQueries
+    val latest = AnalyticsQueries.qLatestByKey(spark, sf)
+      .groupBy($"user_id", $"event_type").count()
+      .filter($"count" > 1).count()
+    assert(latest == 0L, "one survivor per key")
+    val rj = AnalyticsQueries.qRangeJoin(spark, sf)
+      .select($"n_preceding").as[Long].collect()
+    assert(rj.forall(_ > 0), "inner range join emits only matched errors")
+  }
 }
