@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftshim.{FloatVectorDot, FloatVectorNorm, HammingDistance}
+import org.apache.spark.sql.graftshim.{FloatVectorDot, FloatVectorNorm, HammingDistance, HllSketchAgg}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available as SQL functions in any session built with
@@ -28,5 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hamming"),
       info("graft_hamming", "graft_hamming(a, b) - hamming distance of two int64 signatures"),
       (es: Seq[Expression]) => HammingDistance(es.head, es(1))))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hll"),
+      info("graft_hll", "graft_hll(h) - HyperLogLog (m=64) distinct estimate over 60-bit hashes"),
+      (es: Seq[Expression]) => HllSketchAgg(es.head)))
   }
 }

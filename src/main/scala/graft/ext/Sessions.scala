@@ -133,7 +133,11 @@ object Sessions {
   val HllRegisters = 64 // 6-bit register index; alpha below is for m=64
   val HllAlpha = 0.709
 
-  val qApproxDistinct: Q = (s, d) => {
+  /** Relational formulation of the sketch (register max as a groupBy,
+    * exact-integer register sum): the semantic reference the SQL oracle
+    * transliterates, and the spec's pin for the native aggregate below.
+    */
+  def hllRelational(s: SparkSession, d: String): DataFrame = {
     val m = HllRegisters
     val twoP55 = 1L << 55
     val hashed = Tables.events(s, d)
@@ -155,17 +159,27 @@ object Sessions {
     // neither engine's constant-folding order can matter.
     val estRaw = lit(HllAlpha * (m.toDouble * m.toDouble) * twoP55.toDouble) /
       col("zs").cast("double")
-    val est = z.select(col("event_type"),
+    z.select(col("event_type"),
       when(estRaw <= lit(2.5 * m) && col("v") > 0,
            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
         .otherwise(estRaw).as("e"))
+  }
+
+  /** The production path runs the native single-pass sketch
+    * (graftshim.HllSketchAgg: 64-byte partial state per group per
+    * partition, register-wise merge) — pinned bit-equal to
+    * hllRelational by spec, so the relational SQL oracle still applies.
+    */
+  val qApproxDistinct: Q = (s, d) => {
+    import org.apache.spark.sql.graftshim.{HllSketchAgg, Shim}
+    val sketch = Shim.column(HllSketchAgg(
+      Shim.expression(graft.ops.Ops.md5Bits60(col("user_id").cast("string"))))
+      .toAggregateExpression())
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"),
+           round(sketch, 4).as("approx_users"),
            count(lit(1)).as("n_events"))
-      .join(est, Seq("event_type"))
-      .select(col("event_type"), col("exact_users"),
-              round(col("e"), 4).as("approx_users"), col("n_events"))
       .orderBy(col("event_type"))
   }
 

@@ -36,5 +36,7 @@ object VectorFunctions {
       es => FloatVectorNorm(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hamming",
       es => HammingDistance(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hll",
+      es => org.apache.spark.sql.graftshim.HllSketchAgg(es.head), "scala_udf")
   }
 }

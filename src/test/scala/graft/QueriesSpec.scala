@@ -156,6 +156,19 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("native HLL sketch aggregate == relational register formulation (bit-equal)") {
+    import graft.ext.Sessions
+    val native = Sessions.qApproxDistinct(spark, sf)
+      .select($"event_type", $"approx_users").as[(String, Double)].collect().toMap
+    val relational = Sessions.hllRelational(spark, sf)
+      .select($"event_type", round($"e", 4).as("e")).as[(String, Double)]
+      .collect().toMap
+    assert(native.keySet == relational.keySet)
+    native.foreach { case (k, v) =>
+      assert(v == relational(k), s"$k: native $v != relational ${relational(k)}")
+    }
+  }
+
   test("as-of join: prior click is at-or-before the purchase, per user") {
     import graft.ext.Sessions
     val rows = Sessions.qAsofJoin(spark, sf)
