@@ -24,6 +24,8 @@ object StreamDemo {
     val sessions = SessionStream.runOverStaticDir(spark, dir)
     println(s"[stream-demo] sessionized users=${sessions.count()}")
     sessions.orderBy("user_id").show(5, truncate = false)
+    val deduped = DedupStream.runOnce(spark, dir)
+    println(s"[stream-demo] dedup survivors=${deduped.count()}")
     spark.stop()
   }
 }

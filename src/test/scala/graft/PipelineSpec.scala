@@ -68,6 +68,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(allAtOnce.toSet == oneByOne.toSet)
   }
 
+  test("streaming dedup keeps exactly the batch-distinct key set") {
+    import graft.streaming.DedupStream
+    val kept = DedupStream.runOnce(spark, sf)
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val batchKeys = Tables.events(spark, sf)
+      .select($"user_id", $"event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(kept.length == batchKeys.size, "one survivor per key")
+    assert(kept.toSet == batchKeys)
+  }
+
   test("streaming hourly agg == batch hourly agg (semantic parity)") {
     val batch = Sessions.qEventWindow(spark, sf)
       .select($"bucket", $"event_type", $"n_events", $"value_sum")
