@@ -210,21 +210,113 @@ object AnalyticsQueries {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Unpivot (wide → long): per-status metric sums melted into
+  // (status, metric, value) rows — the inverse of q_pivot, via the
+  // dedicated Dataset.unpivot operator (one pass; the long layout is
+  // what metric stores and training-data stats pipelines ingest).
+  // ------------------------------------------------------------------
+  val qUnpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(Ops.exactSum(col("l_quantity")).as("sum_qty"),
+           Ops.exactSum(col("l_extendedprice")).as("sum_price"),
+           Ops.exactSum(col("l_discount")).as("sum_disc"))
+      .unpivot(Array(col("l_linestatus")),
+               Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+               "metric", "value")
+      .orderBy(col("l_linestatus"), col("metric"))
+
+  val qUnpivotSql: String =
+    """WITH wide AS (
+      |  SELECT l_linestatus,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_linestatus, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      |UNION ALL SELECT l_linestatus, 'sum_price', sum_price FROM wide
+      |UNION ALL SELECT l_linestatus, 'sum_disc', sum_disc FROM wide
+      |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Window-frame breadth: ntile buckets, cumulative distribution, lead,
+  // and an explicit unbounded-preceding frame, all over the same
+  // (customer, order-date) window — one sort serves every function.
+  // ------------------------------------------------------------------
+  val qWindowFrames: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+              ntile(4).over(w).cast("bigint").as("quartile"),
+              round(cume_dist().over(w), 6).as("cd"),
+              lead(col("o_totalprice"), 1).over(w).as("next_price"),
+              first_value(col("o_orderkey")).over(wFrame).as("first_key"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val qWindowFramesSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       ntile(4) OVER w AS quartile,
+      |       round(cume_dist() OVER w, 6) AS cd,
+      |       lead(o_totalprice, 1) OVER w AS next_price,
+      |       first_value(o_orderkey) OVER (PARTITION BY o_custkey
+      |              ORDER BY o_orderdate, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // SCD2 validity intervals (slowly-changing-dimension shape): each
+  // user's event stream becomes [valid_from, valid_to) state intervals
+  // via lead over the per-user timeline; the open (current) interval
+  // carries NULL valid_to. One shuffle on the key — the standard
+  // history-table build in warehouse pipelines.
+  // ------------------------------------------------------------------
+  val qScd2Intervals: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              unix_micros(col("ts")).as("valid_from_us"),
+              lead(unix_micros(col("ts")), 1).over(w).as("valid_to_us"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+  }
+
+  val qScd2IntervalsSql: String =
+    """SELECT user_id, event_type, event_id,
+      |       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+      |       lead(CAST(epoch_us(ts) AS BIGINT), 1)
+      |         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+      |FROM events
+      |ORDER BY user_id, valid_from_us, event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q_pivot"         -> qPivot,
-    "q_grouping_sets" -> qGroupingSets,
-    "q_percentiles"   -> qPercentiles,
-    "q_corr_stats"    -> qCorrStats,
-    "q_range_join"    -> qRangeJoin,
-    "q_latest_by_key" -> qLatestByKey,
+    "q_pivot"          -> qPivot,
+    "q_grouping_sets"  -> qGroupingSets,
+    "q_percentiles"    -> qPercentiles,
+    "q_corr_stats"     -> qCorrStats,
+    "q_range_join"     -> qRangeJoin,
+    "q_latest_by_key"  -> qLatestByKey,
+    "q_unpivot"        -> qUnpivot,
+    "q_window_frames"  -> qWindowFrames,
+    "q_scd2_intervals" -> qScd2Intervals,
   )
 
   val oracles: Map[String, String] = Map(
-    "q_pivot"         -> qPivotSql,
-    "q_grouping_sets" -> qGroupingSetsSql,
-    "q_percentiles"   -> qPercentilesSql,
-    "q_corr_stats"    -> qCorrStatsSql,
-    "q_range_join"    -> qRangeJoinSql,
-    "q_latest_by_key" -> qLatestByKeySql,
+    "q_pivot"          -> qPivotSql,
+    "q_grouping_sets"  -> qGroupingSetsSql,
+    "q_percentiles"    -> qPercentilesSql,
+    "q_corr_stats"     -> qCorrStatsSql,
+    "q_range_join"     -> qRangeJoinSql,
+    "q_latest_by_key"  -> qLatestByKeySql,
+    "q_unpivot"        -> qUnpivotSql,
+    "q_window_frames"  -> qWindowFramesSql,
+    "q_scd2_intervals" -> qScd2IntervalsSql,
   )
 }

@@ -203,6 +203,47 @@ class SourcesSpec extends AnyFunSuite {
     assert(approx.intersect(exact).nonEmpty)
   }
 
+  test("JSONL + CSV sources: schema-pinned round-trip, permissive malformed rows") {
+    import graft.sources.JsonCsv
+    import org.apache.spark.sql.types._
+    val df = Tables.customer(spark, TestSpark.Sf)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_acctbal", DoubleType)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsoncsv").toString
+    JsonCsv.writeJsonl(df, s"$tmp/j")
+    JsonCsv.writeCsv(df, s"$tmp/c", sep = "|")
+    val jBack = JsonCsv.readJsonl(spark, s"$tmp/j", schema)
+    val cBack = JsonCsv.readCsv(spark, s"$tmp/c", schema, sep = "|")
+    val orig = df.collect().map(_.toSeq).toSet
+    assert(jBack.collect().map(_.toSeq).toSet == orig)
+    assert(cBack.collect().map(_.toSeq).toSet == orig)
+    // permissive parse: a malformed JSON line yields a null row, not a crash
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/j/zz_malformed.json"),
+      "not json at all\n".getBytes)
+    assert(JsonCsv.readJsonl(spark, s"$tmp/j", schema).count() == df.count() + 1)
+  }
+
+  test("SQL facade: registered views + native functions run plain SQL") {
+    graft.Sql.registerTables(spark, TestSpark.Sf)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+      .as[(String, Double)].collect().toSeq
+    val viaDf = Tables.lineitem(spark, TestSpark.Sf)
+      .groupBy($"l_returnflag")
+      .agg(graft.ops.Ops.exactSum($"l_quantity").as("s"))
+      .orderBy($"l_returnflag").as[(String, Double)].collect().toSeq
+    assert(viaSql == viaDf)
+    // native function reachable from SQL over a registered view
+    val d = spark.sql(
+      "SELECT graft_dot(embedding, embedding) FROM embeddings WHERE vec_id = 0")
+      .as[Double].head()
+    assert(d > 0.0)
+  }
+
   test("recommend K variants: newcar is a strict prefix of hotcar") {
     import graft.jobs.RecPipeline
     val hot = RecPipeline.qRecommend(spark, TestSpark.Sf)
