@@ -69,4 +69,48 @@ object OpsProps extends Properties("graft.Ops") {
         twice.groupBy(_._1).values.forall(g => g.map(_._2).distinct.length == 1)
       }
     }
+
+  property("md5Bits60: non-negative, < 2^60, equals java digest prefix") =
+    Prop.forAllNoShrink(Gen.listOfN(4, Gen.asciiPrintableStr)) { xs =>
+      xs.isEmpty || {
+        val got = xs.toDF("s").select($"s", Ops.md5Bits60($"s").as("h"))
+          .as[(String, Long)].collect()
+        got.forall { case (s, h) =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          h >= 0L && h < (1L << 60) &&
+            h == java.lang.Long.parseLong(hex.take(15), 16)
+        }
+      }
+    }
+
+  property("minHashSignatureMod: fixed length, permutation-invariant, containment-monotone") =
+    Prop.forAllNoShrink(for {
+      base <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000000006L))
+      extra <- Gen.listOf(Gen.chooseNum(0L, 1000000006L))
+    } yield (base, extra)) { case (base, extra) =>
+      val df = Seq(
+        (1L, base), (2L, scala.util.Random.shuffle(base)), (3L, base ++ extra))
+        .toDF("id", "xs")
+        .select($"id", Ops.minHashSignatureMod($"xs", 8).as("sig"))
+        .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2).toMap
+      df(1).length == 8 &&
+        df(1) == df(2) && // element order can't matter (min over a set)
+        df(3).zip(df(1)).forall { case (sup, sub) => sup <= sub } // superset mins <=
+    }
+
+  property("HLL state merge is commutative and idempotent") =
+    Prop.forAllNoShrink(Gen.listOf(Gen.chooseNum(0L, (1L << 60) - 1))) { hs =>
+      import org.apache.spark.sql.graftshim.HllState
+      val (a, b) = hs.splitAt(hs.length / 2)
+      val stA = new HllState; a.foreach(stA.update)
+      val stB = new HllState; b.foreach(stB.update)
+      val ab = new HllState; ab.mergeFrom(stA); ab.mergeFrom(stB)
+      val ba = new HllState; ba.mergeFrom(stB); ba.mergeFrom(stA)
+      val whole = new HllState; hs.foreach(whole.update)
+      val again = new HllState; again.mergeFrom(ab); again.mergeFrom(ab)
+      ab.regs.sameElements(ba.regs) &&
+        ab.regs.sameElements(whole.regs) &&
+        again.regs.sameElements(ab.regs)
+    }
 }
