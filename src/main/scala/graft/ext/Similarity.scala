@@ -253,15 +253,68 @@ object Similarity {
        |SELECT qid, cell, vec_id, score, rn FROM ranked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Int8 range quantization audit: per-vector (min, max) affine code
+  // (the storage format that cuts a float32 embedding store 4×), with
+  // the reconstruction MSE aggregated per label. All quantization math
+  // is floor-based double arithmetic (floor is deterministic where
+  // round-half could straddle engines), the per-vector MSE is an
+  // in-index-order fold, and the per-label sum rides DECIMAL — so a
+  // lossy-compression audit still hash-matches its oracle exactly.
+  // ------------------------------------------------------------------
+  val qEmbedQuantize: Q = (s, d) => {
+    val xd = (c: Column) => c.cast("double")
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), col("embedding"),
+              xd(array_min(col("embedding"))).as("mn"),
+              xd(array_max(col("embedding"))).as("mx"))
+      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+      .withColumn("mse", round(
+        when(col("scale") === 0.0, 0.0).otherwise(
+          aggregate(col("embedding"), lit(0.0), (acc, x) => {
+            val err = xd(x) -
+              (col("mn") + floor((xd(x) - col("mn")) / col("scale")) * col("scale"))
+            acc + err * err
+          }) / lit(Dim.toDouble)), 6))
+    e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(col("mse").cast("decimal(18,6)")).cast("double").as("sum_mse"),
+           round(max(col("mx") - col("mn")), 6).as("max_range"))
+      .orderBy(col("label"))
+  }
+
+  val qEmbedQuantizeSql: String = {
+    val x = "CAST(s.embedding[i.i] AS DOUBLE)"
+    val recon = s"(s.mn + floor(($x - s.mn) / s.scale) * s.scale)"
+    s"""WITH per AS (
+       |  SELECT label, vec_id, embedding,
+       |         CAST(list_min(embedding) AS DOUBLE) AS mn,
+       |         CAST(list_max(embedding) AS DOUBLE) AS mx
+       |  FROM embeddings),
+       |sc AS (SELECT *, (mx - mn) / 255.0 AS scale FROM per),
+       |m AS (
+       |  SELECT label, mx - mn AS range,
+       |         round(CASE WHEN scale = 0 THEN 0.0 ELSE
+       |           (SELECT SUM(($x - $recon) * ($x - $recon))
+       |            FROM generate_series(1, $Dim) i(i)) / $Dim.0 END, 6) AS mse
+       |  FROM sc s)
+       |SELECT label, count(*) AS n_vecs,
+       |       CAST(SUM(CAST(mse AS DECIMAL(18,6))) AS DOUBLE) AS sum_mse,
+       |       round(max(range), 6) AS max_range
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_similarity_topk" -> qSimilarityTopk,
     "q_ann_lsh"         -> qAnnLsh,
     "q_ann_ivf"         -> qAnnIvf,
+    "q_embed_quantize"  -> qEmbedQuantize,
   )
 
   val oracles: Map[String, String] = Map(
     "q_similarity_topk" -> qSimilarityTopkSql,
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,
+    "q_embed_quantize"  -> qEmbedQuantizeSql,
   )
 }

@@ -87,6 +87,20 @@ object TextTables {
   def yesterday(today: java.time.LocalDate = java.time.LocalDate.now()): String =
     today.minusDays(1).toString
 
+  /** S4 write side — lay a DataFrame out as `path/dt=<date>/` Hive-style
+    * partitions from a date column (the layout the reference's daily
+    * batch consumes). Dynamic partition overwrite replaces only the
+    * partitions present in `df` — the idempotent daily-rerun behavior a
+    * dt= pipeline needs (a full-dir overwrite would drop history).
+    */
+  def writeDatePartitioned(df: DataFrame, path: String, dateCol: String): Unit =
+    df.withColumn("dt", date_format(col(dateCol), "yyyy-MM-dd"))
+      .write
+      .partitionBy("dt")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
   /** S3 — side-input as a literal broadcast map (the distributed-cache →
     * in-heap HashMap pattern, UserHotcar.java:102-142). Prefer a
     * `broadcast(df)` join; this exists for byte-level parity with

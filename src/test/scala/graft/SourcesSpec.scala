@@ -203,6 +203,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(approx.intersect(exact).nonEmpty)
   }
 
+  test("dt= partitioned WRITE: layout, pruned read-back, dynamic overwrite") {
+    import graft.sources.TextTables
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dtwrite").toString
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+    TextTables.writeDatePartitioned(ev, tmp, "ts")
+    val dts = new java.io.File(tmp).listFiles().map(_.getName)
+      .filter(_.startsWith("dt=")).sorted
+    assert(dts.nonEmpty, "hive-style dt= dirs must exist")
+    val oneDay = dts.head.stripPrefix("dt=")
+    val back = spark.read.option("basePath", tmp).parquet(tmp)
+      .filter($"dt" === oneDay)
+    val expected = ev.filter(date_format($"ts", "yyyy-MM-dd") === oneDay).count()
+    assert(back.count() == expected)
+    // partition pruning: the executed scan must only touch the one dt dir
+    val scanDesc = back.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("PartitionFilters") &&
+           scanDesc.contains(s"= $oneDay)"), // attr prints as dt#<exprId>
+           s"expected partition filter in plan")
+    // idempotent daily rerun: rewriting ONE day's slice must not drop others
+    val total = spark.read.parquet(tmp).count()
+    TextTables.writeDatePartitioned(
+      ev.filter(date_format($"ts", "yyyy-MM-dd") === oneDay), tmp, "ts")
+    assert(spark.read.parquet(tmp).count() == total,
+           "dynamic overwrite must leave other partitions intact")
+  }
+
   test("JSONL + CSV sources: schema-pinned round-trip, permissive malformed rows") {
     import graft.sources.JsonCsv
     import org.apache.spark.sql.types._
