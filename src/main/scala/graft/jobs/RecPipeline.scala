@@ -66,6 +66,23 @@ object RecPipeline {
       .orderBy(col("c_custkey"), col("rn"))
   }
 
+  // T1/T2 via the two-phase salted formulation (Ops.topKPerGroupSalted):
+  // identical semantics and oracle again, but a hot key's first-phase
+  // sort spreads over 16 salt buckets — the power-law-skew path. Having
+  // it in the registry means the driver's hash gate itself proves the
+  // skew plan returns byte-identical results.
+  val qTopkSalted: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+      .select(col("c_custkey"), col("o_orderkey"),
+              abs(col("o_totalprice") - col("c_acctbal")).as("dist"))
+    Ops.topKPerGroupSalted(joined, Seq("c_custkey"), col("dist"),
+                           col("o_orderkey"), 10)
+      .select(col("c_custkey"), col("o_orderkey"), col("dist"), col("rn"))
+      .orderBy(col("c_custkey"), col("rn"))
+  }
+
   // A2/A3 — per-group min-max normalization over the *full* group
   // (UserHotcar.java:166-183), with the max==min → 1.0 guard replacing
   // the reference's divide-by-zero NaN (SURVEY §7.4.3).
@@ -187,6 +204,7 @@ object RecPipeline {
   val queries: Map[String, Q] = Map(
     "q_topk_per_group" -> qTopkPerGroup,
     "q_topk_heap"      -> qTopkHeap,
+    "q_topk_salted"    -> qTopkSalted,
     "q_minmax_norm"    -> qMinmaxNorm,
     "q_group_concat"   -> qGroupConcat,
     "q_recommend"      -> qRecommend,
@@ -196,6 +214,7 @@ object RecPipeline {
   val oracles: Map[String, String] = Map(
     "q_topk_per_group" -> qTopkPerGroupSql,
     "q_topk_heap"      -> qTopkPerGroupSql, // same semantics, same oracle
+    "q_topk_salted"    -> qTopkPerGroupSql, // same semantics, same oracle
     "q_minmax_norm"    -> qMinmaxNormSql,
     "q_group_concat"   -> qGroupConcatSql,
     "q_recommend"      -> qRecommendSql,
