@@ -26,6 +26,8 @@ object StreamDemo {
     sessions.orderBy("user_id").show(5, truncate = false)
     val deduped = DedupStream.runOnce(spark, dir)
     println(s"[stream-demo] dedup survivors=${deduped.count()}")
+    val joined = JoinStream.runOnce(spark, dir)
+    println(s"[stream-demo] stream-stream join pairs=${joined.count()}")
     spark.stop()
   }
 }

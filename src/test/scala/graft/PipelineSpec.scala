@@ -79,6 +79,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.toSet == batchKeys)
   }
 
+  test("stream-stream interval join == batch lookback join") {
+    import graft.streaming.JoinStream
+    val stream = JoinStream.runOnce(spark, sf)
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+    val batch = purchases.join(clicks,
+        $"p_user" === $"c_user" && $"c_ts" <= $"p_ts" &&
+          $"c_ts" >= $"p_ts" - org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"))
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(stream == batch, s"stream ${stream.size} pairs vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming hourly agg == batch hourly agg (semantic parity)") {
     val batch = Sessions.qEventWindow(spark, sf)
       .select($"bucket", $"event_type", $"n_events", $"value_sum")
