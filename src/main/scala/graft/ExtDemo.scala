@@ -10,6 +10,11 @@ object ExtDemo {
       .createOrReplaceTempView("embeddings")
     val r = spark.sql("SELECT vec_id, graft_norm(embedding) n, graft_dot(embedding, embedding) d, graft_hamming(vec_id, vec_id+1) h FROM embeddings ORDER BY vec_id LIMIT 3").collect()
     r.foreach(x => println(s"[ext-demo] $x"))
+    val hll = spark.sql(
+      """SELECT label, round(graft_hll(conv(substr(md5(CAST(vec_id AS STRING)),1,15),16,10)), 2) est,
+        |       count(DISTINCT vec_id) exact
+        |FROM embeddings GROUP BY 1 ORDER BY 1 LIMIT 3""".stripMargin).collect()
+    hll.foreach(x => println(s"[ext-demo] hll $x"))
     println("[ext-demo] codegen check:")
     val df = spark.sql("SELECT graft_dot(embedding, embedding) d FROM embeddings")
     df.queryExecution.executedPlan.toString.linesIterator.take(4).foreach(l => println(s"[ext-demo] $l"))
