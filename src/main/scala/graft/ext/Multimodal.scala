@@ -54,6 +54,25 @@ object Multimodal {
     bin.mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
   }
 
+  /** Deterministic resize: shrink a payload to a byte budget derived
+    * from the target (w, h) by even-stride subsampling — the shape of a
+    * real thumbnail/resize stage (1 binary in → 1 smaller binary +
+    * target dims out) with the codec swapped for deterministic byte
+    * math. Partition-preserving mapPartitions, like extractMeta.
+    */
+  def resize(bin: Dataset[(Long, Array[Byte])], targetW: Int, targetH: Int)
+      : Dataset[(Long, Int, Int, Array[Byte])] = {
+    import bin.sparkSession.implicits._
+    val budget = math.max(targetW * targetH / 64, 1) // stub "pixel" budget
+    bin.mapPartitions(_.map { case (id, bytes) =>
+      val out =
+        if (bytes.length <= budget) bytes
+        else Array.tabulate(budget)(k =>
+          bytes((bytes.length.toLong * k / budget).toInt))
+      (id, targetW, targetH, out)
+    })
+  }
+
   /** Deterministic frame sampling: n evenly spaced byte-slices of the
     * payload (what frame extraction looks like shape-wise: 1 binary in →
     * n binaries + indices out).

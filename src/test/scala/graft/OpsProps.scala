@@ -99,6 +99,28 @@ object OpsProps extends Properties("graft.Ops") {
         df(3).zip(df(1)).forall { case (sup, sub) => sup <= sub } // superset mins <=
     }
 
+  property("session merge: any batch split yields the single-batch sessions") =
+    Prop.forAllNoShrink(for {
+      ts <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 20L))
+      splits <- Gen.listOf(Gen.chooseNum(0, 100))
+    } yield (ts, splits)) { case (tsRaw, splits) =>
+      import graft.streaming.SessionStream
+      val gap = SessionStream.GapUs
+      // spread draws over ~4 gap-widths so multi-session layouts occur
+      val evs = tsRaw.zipWithIndex.map { case (t, i) =>
+        SessionStream.Ev(1L, new java.sql.Timestamp(0), t * gap / 5, i.toLong)
+      }
+      val whole = SessionStream.merge(Nil, evs).toSet
+      // partition the (arbitrary-order) event list into random batches
+      val cuts = splits.map(s => s % (evs.length + 1)).sorted.distinct
+      val batches = (0 +: cuts :+ evs.length).distinct.sorted
+        .sliding(2).map { case Seq(a, b) => evs.slice(a, b) }
+        .filter(_.nonEmpty).toList
+      val incremental = batches.foldLeft(List.empty[(Long, Long, Long)])(
+        (st, b) => SessionStream.merge(st, b))
+      whole == incremental.toSet
+    }
+
   property("HLL state merge is commutative and idempotent") =
     Prop.forAllNoShrink(Gen.listOf(Gen.chooseNum(0L, (1L << 60) - 1))) { hs =>
       import org.apache.spark.sql.graftshim.HllState

@@ -23,6 +23,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(meta.toSeq == again.toSeq)
   }
 
+  test("multimodal: resize bounds payload to the target budget, deterministic") {
+    val payloads = (1L to 50L).map(i =>
+      (i, Array.tabulate((i * 13 % 900 + 10).toInt)(b => (b * i % 251).toByte)))
+    val ds = spark.createDataset(payloads).repartition(4)
+    val small = Multimodal.resize(ds, 32, 32).collect().sortBy(_._1)
+    assert(small.length == 50)
+    val budget = 32 * 32 / 64
+    assert(small.forall { case (_, w, h, b) =>
+      w == 32 && h == 32 && b.length <= math.max(budget, payloads.head._2.length) })
+    assert(small.forall { case (id, _, _, b) =>
+      b.length == math.min(payloads(id.toInt - 1)._2.length, budget) ||
+        payloads(id.toInt - 1)._2.length <= budget })
+    val again = Multimodal.resize(ds.repartition(7), 32, 32).collect().sortBy(_._1)
+    assert(small.map(_._4.toSeq).toSeq == again.map(_._4.toSeq).toSeq)
+  }
+
   test("multimodal: frame sampling preserves ids, yields n slices") {
     val ds = spark.createDataset(Seq((1L, Array.fill(100)(7.toByte))))
     val frames = Multimodal.sampleFrames(ds, 4).collect()
