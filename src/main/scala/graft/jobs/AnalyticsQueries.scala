@@ -296,7 +296,61 @@ object AnalyticsQueries {
       |FROM events
       |ORDER BY user_id, valid_from_us, event_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Fixed-bound histogram: 20 × 25k price buckets. Bounds are
+  // data-independent constants, so the bucketing is a pure per-row map
+  // (no min/max pre-pass) and two runs — or two engines — can never
+  // disagree on edges. count per bucket + exact share of total.
+  // ------------------------------------------------------------------
+  val qHistogram: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(least(floor(col("o_totalprice") / 25000.0), lit(19.0))
+                .cast("bigint").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n").cast("double") /
+                sum(col("n")).over(org.apache.spark.sql.expressions.Window
+                  .partitionBy()).cast("double"), 6))
+      .orderBy(col("bucket"))
+
+  val qHistogramSql: String =
+    """SELECT bucket, n,
+      |       round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6) AS share
+      |FROM (SELECT CAST(least(floor(o_totalprice / 25000.0), 19.0) AS BIGINT) AS bucket,
+      |             count(*) AS n
+      |      FROM orders GROUP BY 1)
+      |ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Typed JSON decode: from_json with a pinned schema (vs
+  // q_json_extract's per-path get_json_object) — ONE parse per row
+  // materializes every field, the right shape when a query touches
+  // multiple JSON fields at scale.
+  // ------------------------------------------------------------------
+  val qJsonTyped: Q = (s, d) => {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(s, d)
+      .select(col("event_type"),
+              from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_parsed"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val qJsonTypedSql: String =
+    """SELECT event_type,
+      |       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed,
+      |       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_histogram"      -> qHistogram,
+    "q_json_typed"     -> qJsonTyped,
     "q_pivot"          -> qPivot,
     "q_grouping_sets"  -> qGroupingSets,
     "q_percentiles"    -> qPercentiles,
@@ -309,6 +363,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_histogram"      -> qHistogramSql,
+    "q_json_typed"     -> qJsonTypedSql,
     "q_pivot"          -> qPivotSql,
     "q_grouping_sets"  -> qGroupingSetsSql,
     "q_percentiles"    -> qPercentilesSql,
