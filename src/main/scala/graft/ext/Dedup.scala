@@ -264,10 +264,11 @@ object Dedup {
        |  FROM bits GROUP BY 1),
        |fp AS (
        |  SELECT doc_id,
-       |         list_reduce(
-       |           list_transform(range(1, least(length(nt), 64) + 1),
-       |                          i -> CAST(ascii(substr(nt, CAST(i AS INT), 1)) AS BIGINT)),
-       |           (a, c) -> (a*31 + c) % 1000000007) AS fingerprint
+       |         CASE WHEN length(nt) = 0 THEN 0 ELSE
+       |           list_reduce(
+       |             list_transform(range(1, least(length(nt), 64) + 1),
+       |                            i -> CAST(ascii(substr(nt, CAST(i AS INT), 1)) AS BIGINT)),
+       |             (a, c) -> (a*31 + c) % 1000000007) END AS fingerprint
        |  FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS nt FROM documents))
        |SELECT s.doc_id, s.simhash, CAST(f.fingerprint AS BIGINT) AS fingerprint
        |FROM sh s JOIN fp f ON s.doc_id = f.doc_id

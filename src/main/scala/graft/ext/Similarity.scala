@@ -140,24 +140,33 @@ object Similarity {
     // rows, flattened row-major into one plan-bound matrix. Cell ranking
     // (dot desc, id asc — smaller id breaks ties) happens in a single
     // native expression per row instead of NumCells dot-product subtrees.
-    val cents: Array[Array[Float]] = e0
+    // The REAL vec_ids ride along as a literal lookup: matrixDotRank
+    // returns 0-based matrix ROW indices, which only coincide with
+    // vec_ids when 0..NumCells-1 are all present — a filtered corpus
+    // with a gap would otherwise silently shift every cell label.
+    val cents: Array[(Int, Array[Float])] = e0
       .filter(col("vec_id") < NumCells)
       .orderBy(col("vec_id"))
-      .select(col("embedding"))
+      .select(col("vec_id"), col("embedding"))
       .collect()
-      .map(_.getSeq[Float](0).toArray)
-    val mat = cents.flatten
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+    val cellIds: Seq[Int] = cents.map(_._1).toIndexedSeq
+    val mat = cents.flatMap(_._2)
 
     def rankedCells(emb: Column): Column =
       VectorFunctions.matrixDotRank(emb, mat, Dim)
+    def toCellId(rowIdx: Column): Column =
+      element_at(typedlit(cellIds), rowIdx + 1)
 
     val e = e0.select(col("vec_id"), col("embedding"),
-                      element_at(rankedCells(col("embedding")), 1).cast("bigint").as("cell"),
+                      toCellId(element_at(rankedCells(col("embedding")), 1))
+                        .cast("bigint").as("cell"),
                       VectorFunctions.vecNorm(col("embedding")).as("nrm"))
     val q = e0.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
               VectorFunctions.vecNorm(col("embedding")).as("qnrm"),
-              explode(slice(rankedCells(col("embedding")), 1, NProbe)).as("probe_cell"))
+              explode(transform(slice(rankedCells(col("embedding")), 1, NProbe),
+                                i => toCellId(i))).as("probe_cell"))
     val cand = e.join(broadcast(q),
                       col("cell") === col("probe_cell") && col("vec_id") =!= col("qid"))
       .withColumn("score",

@@ -192,14 +192,6 @@ object Ops {
         sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
 
-  /** MinHash signature: for each seed, min over shingles of
-    * xxhash64(seed ++ shingle). Returns array<bigint> of length nHashes.
-    */
-  def minHashSignature(sh: Column, nHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(nHashes - 1)),
-      seed => array_min(transform(sh, s => xxhash64(seed, s))))
-
   // ---------------------------------------------------------------------
   // Cross-engine-deterministic hashing: md5 hex is byte-identical in
   // Spark and DuckDB, so a 60-bit integer digest (15 hex chars — 16
@@ -226,10 +218,15 @@ object Ops {
 
   /** Deterministic polynomial rolling hash of the first `maxLen` chars,
     * mod 1e9+7 (stays far from Long overflow — Spark 4 runs ANSI mode).
+    * Empty input is explicitly 0: without the guard, sequence(1, 0)
+    * DESCENDS to [1, 0] and the result is 0 only by accident of
+    * ascii('') — and the DuckDB oracle's list_reduce ERRORS on an empty
+    * list, so both sides guard the same way.
     */
   def rollingHash(c: Column, maxLen: Int = 64): Column =
-    aggregate(
-      sequence(lit(1), least(length(c), lit(maxLen))),
-      lit(0L),
-      (acc, i) => (acc * 31L + ascii(substring(c, i.cast("int"), lit(1)))) % 1000000007L)
+    when(length(c) === 0, lit(0L)).otherwise(
+      aggregate(
+        sequence(lit(1), least(length(c), lit(maxLen))),
+        lit(0L),
+        (acc, i) => (acc * 31L + ascii(substring(c, i.cast("int"), lit(1)))) % 1000000007L))
 }

@@ -25,8 +25,13 @@ final class HllState {
   val regs = new Array[Byte](64)
 
   def update(h: Long): Unit = {
-    val r = (h % 64).toInt
-    val w = h >>> 6
+    // graft_hll is a public SQL function: mask to the expected 60-bit
+    // domain so a negative or >=2^60 hash (e.g. xxhash64 output) can't
+    // index regs negatively or produce a non-positive rank. A no-op for
+    // Ops.md5Bits60 inputs, so oracle parity is unchanged.
+    val hm = h & ((1L << 60) - 1)
+    val r = (hm % 64).toInt
+    val w = hm >>> 6
     val rank = if (w == 0L) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
     if (rank > regs(r)) regs(r) = rank.toByte
   }

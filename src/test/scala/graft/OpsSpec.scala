@@ -169,7 +169,9 @@ class OpsSpec extends AnyFunSuite {
   test("minhash signature: identical docs identical, length fixed") {
     val df = Seq("x y z w", "x y z w", "totally different words here")
       .toDF("t")
-      .select(Ops.minHashSignature(Ops.shingles(Ops.tokens($"t"), 2), 16).as("sig"))
+      .select(Ops.minHashSignatureMod(
+        transform(Ops.shingles(Ops.tokens($"t"), 2),
+                  g => Ops.md5Bits60(g) % Ops.HashModP), 16).as("sig"))
     val sigs = df.as[Seq[Long]].collect()
     assert(sigs.forall(_.length == 16))
     assert(sigs(0) == sigs(1) && sigs(0) != sigs(2))
