@@ -230,6 +230,38 @@ class SourcesSpec extends AnyFunSuite {
            "dynamic overwrite must leave other partitions intact")
   }
 
+  test("daily pipeline loop: dt= write -> pruned read -> incremental compaction") {
+    // The reference's daily cadence (UserNewcar dt=<yesterday>) as a full
+    // loop: land events partitioned by day, then for each day read ONLY
+    // that partition and fold it into a compacted latest-per-key state,
+    // asserting the incremental result equals the one-shot batch answer.
+    import graft.sources.TextTables
+    import org.apache.spark.sql.DataFrame
+    val tmp = java.nio.file.Files.createTempDirectory("graft_daily").toString
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+    TextTables.writeDatePartitioned(ev, tmp, "ts")
+    val days = new java.io.File(tmp).listFiles().map(_.getName)
+      .filter(_.startsWith("dt=")).map(_.stripPrefix("dt=")).sorted
+    assert(days.length > 1, "need multiple days for an incremental loop")
+    def latest(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts".desc, $"event_id".desc)
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    }
+    val state = days.foldLeft(Option.empty[DataFrame]) { (acc, day) =>
+      val slice = spark.read.option("basePath", tmp).parquet(tmp)
+        .filter($"dt" === day)
+        .select($"event_id", $"user_id", $"event_type", $"ts")
+      Some(latest(acc.fold(slice)(_.unionByName(slice))))
+    }.get.select($"user_id", $"event_type", $"event_id")
+      .as[(Long, String, Long)].collect().toSet
+    val oneShot = latest(ev).select($"user_id", $"event_type", $"event_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(state == oneShot, "incremental daily fold must equal one-shot batch")
+  }
+
   test("JSONL + CSV sources: schema-pinned round-trip, permissive malformed rows") {
     import graft.sources.JsonCsv
     import org.apache.spark.sql.types._
