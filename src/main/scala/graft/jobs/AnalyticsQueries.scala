@@ -348,7 +348,46 @@ object AnalyticsQueries {
       |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Two-pass heavy hitters: pass 1 runs the Misra–Gries sketch
+  // (graftshim.MisraGriesAgg — O(k) mergeable partial state, any item
+  // with frequency > n/(k+1) guaranteed to survive) to produce a
+  // bounded candidate list + exact row count in ONE aggregation; pass 2
+  // re-counts only the candidates and applies the real threshold. The
+  // sketch's internal counts are order-dependent, but the guarantee is
+  // not, so the final answer is deterministic and oracle-able — while
+  // at scale the expensive full-cardinality groupBy is replaced by a
+  // sketch plus a tiny isin-filtered recount.
+  // ------------------------------------------------------------------
+  val HeavyDivisor = 8.0 // heavy = count > n/8; MG k=64 covers n/65 ≪ n/8
+  val MgCounters = 64
+
+  val qHeavyHitters: Q = (s, d) => {
+    import org.apache.spark.sql.graftshim.{MisraGriesAgg, Shim}
+    val mg = Shim.column(
+      MisraGriesAgg(Shim.expression(col("event_type")), MgCounters)
+        .toAggregateExpression())
+    val sketch = Tables.events(s, d).agg(mg.as("s"))
+      .select(col("s.n_total").as("n"), col("s.candidates.item").as("items"))
+      .collect()(0)
+    val n = sketch.getLong(0)
+    val cands = sketch.getSeq[String](1)
+    Tables.events(s, d)
+      .filter(col("event_type").isin(cands: _*))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") > n / HeavyDivisor)
+      .orderBy(col("event_type"))
+  }
+
+  val qHeavyHittersSql: String =
+    s"""SELECT event_type, count(*) AS n_occurrences
+       |FROM events GROUP BY 1
+       |HAVING count(*) > (SELECT count(*) FROM events) / $HeavyDivisor
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_heavy_hitters"  -> qHeavyHitters,
     "q_histogram"      -> qHistogram,
     "q_json_typed"     -> qJsonTyped,
     "q_pivot"          -> qPivot,
@@ -363,6 +402,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_heavy_hitters"  -> qHeavyHittersSql,
     "q_histogram"      -> qHistogramSql,
     "q_json_typed"     -> qJsonTypedSql,
     "q_pivot"          -> qPivotSql,

@@ -121,6 +121,28 @@ object OpsProps extends Properties("graft.Ops") {
       whole == incremental.toSet
     }
 
+  property("Misra-Gries: freq > n/(k+1) items always survive, even merged") =
+    Prop.forAllNoShrink(for {
+      items <- Gen.nonEmptyListOf(Gen.chooseNum(0, 30).map(i => s"w$i"))
+      cut <- Gen.chooseNum(0, 100)
+    } yield (items, cut)) { case (items, cut) =>
+      import org.apache.spark.sql.graftshim.MgState
+      val k = 5
+      val freq = items.groupBy(identity).map { case (w, g) => w -> g.size }
+      val guaranteed = freq.filter(_._2 > items.size.toDouble / (k + 1)).keySet
+      val whole = new MgState(k); items.foreach(whole.update)
+      // and via a partition split + summary merge (the partial-agg path)
+      val at = cut % items.size
+      val (a, b) = items.splitAt(at)
+      val sa = new MgState(k); a.foreach(sa.update)
+      val sb = new MgState(k); b.foreach(sb.update)
+      val merged = new MgState(k); merged.mergeFrom(sa); merged.mergeFrom(sb)
+      whole.n == items.size &&
+        guaranteed.subsetOf(whole.counters.keySet) &&
+        guaranteed.subsetOf(merged.counters.keySet) &&
+        whole.counters.size <= k && merged.counters.size <= k
+    }
+
   property("HLL state merge is commutative and idempotent") =
     Prop.forAllNoShrink(Gen.listOf(Gen.chooseNum(0L, (1L << 60) - 1))) { hs =>
       import org.apache.spark.sql.graftshim.HllState
