@@ -15,6 +15,10 @@ object ExtDemo {
         |       count(DISTINCT vec_id) exact
         |FROM embeddings GROUP BY 1 ORDER BY 1 LIMIT 3""".stripMargin).collect()
     hll.foreach(x => println(s"[ext-demo] hll $x"))
+    // k=16 > label cardinality (10) -> every label survives with its count
+    val hh = spark.sql(
+      "SELECT graft_heavy_hitters(CAST(label AS STRING), 16) FROM embeddings").collect()
+    println(s"[ext-demo] heavy-hitter sketch: ${hh.head.get(0).toString.take(100)}")
     println("[ext-demo] codegen check:")
     val df = spark.sql("SELECT graft_dot(embedding, embedding) d FROM embeddings")
     df.queryExecution.executedPlan.toString.linesIterator.take(4).foreach(l => println(s"[ext-demo] $l"))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftshim.{FloatVectorDot, FloatVectorNorm, HammingDistance, HllSketchAgg}
+import org.apache.spark.sql.graftshim.{FloatVectorDot, FloatVectorNorm, HammingDistance, HllSketchAgg, MisraGriesAgg}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available as SQL functions in any session built with
@@ -31,5 +31,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hll"),
       info("graft_hll", "graft_hll(h) - HyperLogLog (m=64) distinct estimate over 60-bit hashes"),
       (es: Seq[Expression]) => HllSketchAgg(es.head)))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_heavy_hitters"),
+      info("graft_heavy_hitters",
+           "graft_heavy_hitters(item, k) - Misra-Gries summary: items with freq > n/(k+1) guaranteed present"),
+      (es: Seq[Expression]) => {
+        val k = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_heavy_hitters k must be a literal, got $other")
+        }
+        MisraGriesAgg(es.head, k)
+      }))
   }
 }
