@@ -386,7 +386,42 @@ object AnalyticsQueries {
        |HAVING count(*) > (SELECT count(*) FROM events) / $HeavyDivisor
        |ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Full outer join — the one join type not yet in the registry
+  // (inner/broadcast/semi/anti/left/as-of/range are covered elsewhere):
+  // per-nation customer counts ⟗ per-nation supplier counts. At the
+  // harness SFs some nations have no suppliers, so both null sides are
+  // actually exercised; COALESCE(…, 0) canonicalizes them identically
+  // on both engines.
+  // ------------------------------------------------------------------
+  val qOuterJoin: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").cast("bigint").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sup = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey").cast("bigint").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sup, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+              coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+              coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val qOuterJoinSql: String =
+    """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+      |       CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+      |       CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
+      |FROM (SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_cust
+      |      FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN
+      |     (SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS n_supp
+      |      FROM supplier GROUP BY 1) s
+      |  ON c.nationkey = s.nationkey
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_outer_join"     -> qOuterJoin,
     "q_heavy_hitters"  -> qHeavyHitters,
     "q_histogram"      -> qHistogram,
     "q_json_typed"     -> qJsonTyped,
@@ -402,6 +437,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_outer_join"     -> qOuterJoinSql,
     "q_heavy_hitters"  -> qHeavyHittersSql,
     "q_histogram"      -> qHistogramSql,
     "q_json_typed"     -> qJsonTypedSql,
