@@ -420,7 +420,79 @@ object AnalyticsQueries {
       |  ON c.nationkey = s.nationkey
       |ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Binned quantile sketch: estimate p50/p90 from a fixed-bound bin
+  // histogram (width 2000 over [0, 500k]) with linear interpolation
+  // inside the target bin. Unlike exact percentile_cont — which must
+  // sort every group — this is one aggregation whose state (bin counts)
+  // is trivially mergeable, the approximate-quantiles play at 100 TB.
+  // The estimator is a deterministic function of the exact histogram,
+  // so unlike KLL/t-digest it still hash-matches an oracle; the spec
+  // bounds |estimate − exact| ≤ bin width.
+  // ------------------------------------------------------------------
+  val QBinWidth = 2000.0
+  val QNumBins = 250
+
+  val qQuantileSketch: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val bins = Tables.orders(s, d)
+      .select(col("o_orderstatus").as("status"),
+              least(floor(col("o_totalprice") / QBinWidth), lit(QNumBins - 1.0))
+                .cast("bigint").as("bin"))
+      .groupBy(col("status"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("status")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("status"))
+    val cum = bins
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    def est(q: Double): Column = {
+      val qn = lit(q) * col("n").cast("double")
+      // exactly one bin satisfies cum_prev < qn <= cum (the bin holding
+      // the target rank), so max() just picks that bin's interpolation
+      max(when(col("cum").cast("double") >= qn && col("cum_prev").cast("double") < qn,
+               col("bin").cast("double") * QBinWidth +
+                 lit(QBinWidth) * (qn - col("cum_prev").cast("double")) /
+                   col("cnt").cast("double")))
+    }
+    cum.groupBy(col("status"))
+      .agg(round(est(0.5), 6).as("p50_est"),
+           round(est(0.9), 6).as("p90_est"),
+           max(col("n")).as("n_rows"))
+      .orderBy(col("status"))
+  }
+
+  val qQuantileSketchSql: String = {
+    def est(q: String) =
+      s"""max(CASE WHEN CAST(cum AS DOUBLE) >= $q * CAST(n AS DOUBLE)
+         |          AND CAST(cum_prev AS DOUBLE) < $q * CAST(n AS DOUBLE)
+         |         THEN CAST(bin AS DOUBLE) * 2000.0 +
+         |              2000.0 * ($q * CAST(n AS DOUBLE) - CAST(cum_prev AS DOUBLE))
+         |                / CAST(cnt AS DOUBLE) END)""".stripMargin.replace("\n", " ")
+    s"""WITH bins AS (
+       |  SELECT o_orderstatus AS status,
+       |         CAST(least(floor(o_totalprice / 2000.0), 249.0) AS BIGINT) AS bin,
+       |         count(*) AS cnt
+       |  FROM orders GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT status, bin, cnt,
+       |         SUM(cnt) OVER (PARTITION BY status ORDER BY bin
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |         SUM(cnt) OVER (PARTITION BY status ORDER BY bin
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cum_prev,
+       |         SUM(cnt) OVER (PARTITION BY status) AS n
+       |  FROM bins)
+       |SELECT status,
+       |       round(${est("0.5")}, 6) AS p50_est,
+       |       round(${est("0.9")}, 6) AS p90_est,
+       |       CAST(MAX(n) AS BIGINT) AS n_rows
+       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_quantile_sketch" -> qQuantileSketch,
     "q_outer_join"     -> qOuterJoin,
     "q_heavy_hitters"  -> qHeavyHitters,
     "q_histogram"      -> qHistogram,
@@ -437,6 +509,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quantile_sketch" -> qQuantileSketchSql,
     "q_outer_join"     -> qOuterJoinSql,
     "q_heavy_hitters"  -> qHeavyHittersSql,
     "q_histogram"      -> qHistogramSql,

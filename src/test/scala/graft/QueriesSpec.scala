@@ -205,6 +205,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(sets.filter(s => s._2 != "ALL").map(_._3).sum == total)
   }
 
+  test("quantile sketch: within one bin width of exact percentile_cont") {
+    import graft.jobs.AnalyticsQueries
+    val est = AnalyticsQueries.qQuantileSketch(spark, sf)
+      .select($"status", $"p50_est", $"p90_est")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = graft.Tables.orders(spark, sf)
+      .groupBy($"o_orderstatus".as("status"))
+      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+           expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    est.foreach { case (k, (e50, e90)) =>
+      assert(math.abs(e50 - exact(k)._1) <= AnalyticsQueries.QBinWidth,
+             s"$k p50 $e50 vs ${exact(k)._1}")
+      assert(math.abs(e90 - exact(k)._2) <= AnalyticsQueries.QBinWidth,
+             s"$k p90 $e90 vs ${exact(k)._2}")
+    }
+  }
+
   test("latest-by-key keeps exactly one max-ts row per key; range join bounded") {
     import graft.jobs.AnalyticsQueries
     val latest = AnalyticsQueries.qLatestByKey(spark, sf)
