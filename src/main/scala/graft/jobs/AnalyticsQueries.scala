@@ -71,6 +71,28 @@ object AnalyticsQueries {
               col("sum_qty"), col("n_rows"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  // CUBE completes the grouping family (rollup in CoreQueries, explicit
+  // grouping sets above): all four (flag × status) subtotal combinations
+  // in one pass.
+  val qCube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(Ops.exactSum(col("l_quantity")).as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_qty"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val qCubeSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY 1, 2""".stripMargin
+
   val qGroupingSetsSql: String =
     """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
       |       COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -492,6 +514,7 @@ object AnalyticsQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_cube"           -> qCube,
     "q_quantile_sketch" -> qQuantileSketch,
     "q_outer_join"     -> qOuterJoin,
     "q_heavy_hitters"  -> qHeavyHitters,
@@ -509,6 +532,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cube"           -> qCubeSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_outer_join"     -> qOuterJoinSql,
     "q_heavy_hitters"  -> qHeavyHittersSql,
