@@ -34,14 +34,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_heavy_hitters"),
       info("graft_heavy_hitters",
            "graft_heavy_hitters(item, k) - Misra-Gries summary: items with freq > n/(k+1) guaranteed present"),
-      (es: Seq[Expression]) => {
-        val k = es(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"graft_heavy_hitters k must be a literal, got $other")
-        }
-        MisraGriesAgg(es.head, k)
-      }))
+      (es: Seq[Expression]) => MisraGriesAgg.fromFunctionArgs(es)))
   }
 }

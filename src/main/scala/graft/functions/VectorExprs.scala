@@ -21,11 +21,13 @@ object VectorFunctions {
     * object instead of numRows literal subtrees.
     */
   def matrixDotRank(a: Column, mat: Array[Float], dim: Int): Column =
-    Shim.column(FloatMatrixDotRank(Shim.expression(a), mat, dim))
+    Shim.column(FloatMatrixDotRank(Shim.expression(a),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(mat.clone()), dim))
 
   /** Sign-LSH bucket of `a` against row-major numPlanes×dim hyperplanes. */
   def signBucket(a: Column, planes: Array[Float], dim: Int): Column =
-    Shim.column(FloatMatrixSignBucket(Shim.expression(a), planes, dim))
+    Shim.column(FloatMatrixSignBucket(Shim.expression(a),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(planes.clone()), dim))
 
   /** Register the native functions for SQL use in an existing session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -38,5 +40,8 @@ object VectorFunctions {
       es => HammingDistance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hll",
       es => org.apache.spark.sql.graftshim.HllSketchAgg(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_heavy_hitters",
+      es => org.apache.spark.sql.graftshim.MisraGriesAgg.fromFunctionArgs(es),
+      "scala_udf")
   }
 }

@@ -57,6 +57,41 @@ final class MgState(val k: Int) {
   }
 }
 
+object MisraGriesAgg {
+  /** Build from SQL-call args (`graft_heavy_hitters(item, k)`): k must
+    * fold to a positive integral constant. Accepts any foldable integral
+    * expression (literal, cast, arithmetic over literals) and fails with
+    * a typed message otherwise — never a raw NumberFormatException.
+    */
+  def fromFunctionArgs(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): MisraGriesAgg = {
+    if (es.size != 2) throw new IllegalArgumentException(
+      s"graft_heavy_hitters expects 2 arguments (item, k), got ${es.size}")
+    val kExpr = es(1)
+    val k: Int = kExpr match {
+      case e if e.foldable && e.dataType.isInstanceOf[IntegralType] =>
+        e.eval() match {
+          case null => throw new IllegalArgumentException(
+            "graft_heavy_hitters k must not be NULL")
+          case b: Byte => b.toInt
+          case s: Short => s.toInt
+          case i: Int => i
+          case l: Long =>
+            if (l < 1 || l > Int.MaxValue) throw new IllegalArgumentException(
+              s"graft_heavy_hitters k out of range: $l")
+            l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_heavy_hitters k folded to unexpected value $other")
+        }
+      case other => throw new IllegalArgumentException(
+        "graft_heavy_hitters k must be a constant integer " +
+          s"(got ${other.dataType.simpleString} expression: ${other.sql})")
+    }
+    if (k < 1) throw new IllegalArgumentException(
+      s"graft_heavy_hitters k must be >= 1, got $k")
+    MisraGriesAgg(es.head, k)
+  }
+}
+
 case class MisraGriesAgg(
     itemExpr: Expression,
     k: Int,
@@ -78,7 +113,12 @@ case class MisraGriesAgg(
 
   override def update(buf: MgState, input: InternalRow): MgState = {
     val v = itemExpr.eval(input)
+    // NULL rows count toward n_total (so n_total == count(*), the
+    // denominator an oracle computes) but never enter the counters.
+    // The superset guarantee is preserved: decrements only happen on
+    // non-null arrivals, so error <= n_nonnull/(k+1) <= n_total/(k+1).
     if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+    else buf.n += 1
     buf
   }
 
@@ -98,7 +138,12 @@ case class MisraGriesAgg(
     val out = new DataOutputStream(bos)
     out.writeLong(buf.n)
     out.writeInt(buf.counters.size)
-    buf.counters.foreach { case (i, c) => out.writeUTF(i); out.writeLong(c) }
+    // explicit length + raw UTF-8 bytes: writeUTF caps items at 65535
+    // encoded bytes and would throw at shuffle time on longer strings
+    buf.counters.foreach { case (i, c) =>
+      val b = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -109,7 +154,14 @@ case class MisraGriesAgg(
     st.n = in.readLong()
     val m = in.readInt()
     var j = 0
-    while (j < m) { st.counters.update(in.readUTF(), in.readLong()); j += 1 }
+    while (j < m) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val item = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      st.counters.update(item, in.readLong())
+      j += 1
+    }
     st
   }
 

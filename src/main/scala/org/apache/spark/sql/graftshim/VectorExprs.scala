@@ -107,11 +107,17 @@ case class FloatVectorNorm(child: Expression)
   * smaller row id — identical to the previous
   * greatest/array_sort(struct(s, -id, id)) formulation.
   */
-case class FloatMatrixDotRank(child: Expression, mat: Array[Float], dim: Int)
+case class FloatMatrixDotRank(
+    child: Expression, matSeq: scala.collection.immutable.ArraySeq[Float], dim: Int)
     extends UnaryExpression with ExpectsInputTypes {
-  require(dim > 0 && mat.length % dim == 0, "matrix must be numRows x dim")
+  require(dim > 0 && matSeq.length % dim == 0, "matrix must be numRows x dim")
 
-  private val numRows: Int = mat.length / dim
+  // the case-class field is an immutable ArraySeq so equals/hashCode are
+  // content-based (canonicalization / semanticEquals / CSE can dedup two
+  // structurally identical instances); the hot loop runs on a raw array
+  @transient private lazy val mat: Array[Float] = matSeq.toArray
+
+  private val numRows: Int = matSeq.length / dim
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -168,12 +174,16 @@ case class FloatMatrixDotRank(child: Expression, mat: Array[Float], dim: Int)
   * >= 0. Same single-pass, plan-bound-matrix treatment as
   * FloatMatrixDotRank — replaces numPlanes× (dot >= 0 → 1<<j) OR-chains.
   */
-case class FloatMatrixSignBucket(child: Expression, planes: Array[Float], dim: Int)
+case class FloatMatrixSignBucket(
+    child: Expression, planesSeq: scala.collection.immutable.ArraySeq[Float], dim: Int)
     extends UnaryExpression with ExpectsInputTypes {
-  require(dim > 0 && planes.length % dim == 0, "planes must be numPlanes x dim")
-  require(planes.length / dim <= 63, "bucket bits must fit a long")
+  require(dim > 0 && planesSeq.length % dim == 0, "planes must be numPlanes x dim")
+  require(planesSeq.length / dim <= 63, "bucket bits must fit a long")
 
-  private val numPlanes: Int = planes.length / dim
+  // content-based equality field + raw-array hot loop (see FloatMatrixDotRank)
+  @transient private lazy val planes: Array[Float] = planesSeq.toArray
+
+  private val numPlanes: Int = planesSeq.length / dim
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType

@@ -216,4 +216,55 @@ class OpsSpec extends AnyFunSuite {
       assert(bucket == expBucket, s"bucket for $v")
     }
   }
+
+  test("matrix expressions: structurally identical instances are equal (CSE-able)") {
+    import org.apache.spark.sql.graftshim.{FloatMatrixDotRank, FloatMatrixSignBucket, Shim}
+    import scala.collection.immutable.ArraySeq
+    val child = Shim.expression(col("v"))
+    val m1 = ArraySeq.unsafeWrapArray(Array(1.0f, 2.0f, 3.0f, 4.0f))
+    val m2 = ArraySeq.unsafeWrapArray(Array(1.0f, 2.0f, 3.0f, 4.0f))
+    val a = FloatMatrixDotRank(child, m1, 2)
+    val b = FloatMatrixDotRank(child, m2, 2)
+    assert(a == b && a.hashCode == b.hashCode && a.semanticEquals(b))
+    val sa = FloatMatrixSignBucket(child, m1, 2)
+    val sb = FloatMatrixSignBucket(child, m2, 2)
+    assert(sa == sb && sa.semanticEquals(sb))
+  }
+
+  test("MisraGriesAgg: serde round-trips items longer than 65535 UTF-8 bytes") {
+    import org.apache.spark.sql.graftshim.{MgState, MisraGriesAgg}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = MisraGriesAgg(Literal("x"), 4)
+    val st = new MgState(4)
+    val big = "é" * 50000 // 100k UTF-8 bytes: writeUTF would throw
+    st.update(big); st.update(big); st.update("small")
+    val back = agg.deserialize(agg.serialize(st))
+    assert(back.n == st.n && back.counters == st.counters)
+  }
+
+  test("MisraGriesAgg: NULL items count toward n_total but never the counters") {
+    import graft.functions.VectorFunctions
+    VectorFunctions.registerAll(spark)
+    Seq(Some("a"), Some("a"), None, Some("b"), None)
+      .toDF("s").createOrReplaceTempView("mg_null_in")
+    val row = spark.sql(
+      "SELECT graft_heavy_hitters(s, 3) AS hh FROM mg_null_in")
+      .select($"hh.n_total", $"hh.candidates.item").collect()(0)
+    assert(row.getLong(0) == 5L) // == count(*), including NULLs
+    assert(row.getSeq[String](1).toSet == Set("a", "b"))
+  }
+
+  test("graft_heavy_hitters: typed error on bad k, foldable k accepted") {
+    import graft.functions.VectorFunctions
+    VectorFunctions.registerAll(spark)
+    Seq("a", "b").toDF("s").createOrReplaceTempView("mg_k_in")
+    // foldable integral expression (1+2) folds before our builder sees it
+    assert(spark.sql("SELECT graft_heavy_hitters(s, 1+2) FROM mg_k_in")
+      .collect().length == 1)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_heavy_hitters(s, 2.5) FROM mg_k_in").collect()
+    }
+    assert(err.getMessage.contains("constant integer"),
+      s"unexpected message: ${err.getMessage}")
+  }
 }
