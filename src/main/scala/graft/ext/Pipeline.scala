@@ -39,11 +39,16 @@ object Pipeline {
       .filter(col("quality") >= QualityFloor)
       .withColumn("fingerprint", md5(Ops.normalizeText(col("text"))))
 
-    // exact dedup: canonical survivor = min doc_id per fingerprint
-    val canonical = scored
-      .groupBy(col("fingerprint"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    val kept = scored.join(canonical, Seq("fingerprint", "doc_id"))
+    // exact dedup: canonical survivor = min doc_id per fingerprint.
+    // Window-min beats the groupBy+self-join formulation: the scored
+    // subtree (quality gate + md5, the expensive part) is computed once
+    // and shuffled once on fingerprint, instead of twice with a join
+    // behind it — same surviving rows either way.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
+    val kept = scored
+      .withColumn("min_doc_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("min_doc_id"))
+      .drop("min_doc_id")
 
     // language routing — the SAME scoring + argmax as q_lang_id, by
     // construction (shared helpers in TextOps)
