@@ -23,7 +23,8 @@ object SparkEntry {
     jobs.CoreQueries.queries ++ jobs.RecPipeline.queries ++
       jobs.AnalyticsQueries.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextOps.queries ++
-      ext.Sessions.queries ++ ext.Multimodal.queries ++ ext.Pipeline.queries
+      ext.Sessions.queries ++ ext.Multimodal.queries ++ ext.Pipeline.queries ++
+      ext.Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those get
@@ -33,5 +34,6 @@ object SparkEntry {
     jobs.CoreQueries.oracles ++ jobs.RecPipeline.oracles ++
       jobs.AnalyticsQueries.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++ ext.TextOps.oracles ++
-      ext.Sessions.oracles ++ ext.Multimodal.oracles ++ ext.Pipeline.oracles
+      ext.Sessions.oracles ++ ext.Multimodal.oracles ++ ext.Pipeline.oracles ++
+      ext.Corpus.oracles
 }

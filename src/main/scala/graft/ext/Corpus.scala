@@ -1,0 +1,382 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Ops
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for a large-scale training-data pipeline,
+  * round 3 of the SURVEY §7.5 extension surface: duplicate-cluster
+  * resolution (connected components), inverted-index construction, TF-IDF
+  * keyword extraction, repetition-based quality metrics (the Gopher-style
+  * rules), PII-style redaction accounting, and token-budget sequence
+  * packing.
+  *
+  * Scale posture: everything is signature-group-bys, bounded star-edge
+  * joins, or windowed cumulative sums — no all-pairs work, no driver
+  * collects. The connected-components loop is the one iterative operator;
+  * it converges in O(component diameter) rounds with each round a single
+  * equi-join + partial-aggregating min.
+  */
+object Corpus {
+  type Q = (SparkSession, String) => DataFrame
+
+  // -------------------------------------------------------------------
+  // q_dedup_cluster — duplicate CLUSTERS, not just pairs: union the
+  // cliques induced by two cheap blocking signatures (normalized 40-char
+  // prefix and suffix, within a lang × length bucket) and resolve their
+  // transitive closure, so a doc bridging two blocks pulls both into one
+  // cluster — exactly what multi-band LSH output needs before canonical
+  // selection.
+  //
+  // Graph shape: each blocking group contributes STAR edges (member →
+  // group-min), never the full clique — O(n) edges for an n-member
+  // group. Labels propagate by iterated neighbor-min until fixpoint
+  // (deterministic: the fixpoint is the component-min labeling no matter
+  // the iteration schedule). Per round: one shuffle join + one partial
+  // min. The round count is the star-graph diameter (≈ 2 × chained
+  // blocks), not corpus size — the standard large-scale CC recipe
+  // (cf. GraphFrames/Pregel min-propagation).
+  // -------------------------------------------------------------------
+  /** Min-label propagation to fixpoint over a symmetric edge list:
+    * returns (doc_id, label) where label is the component minimum.
+    * Deterministic regardless of iteration schedule (the fixpoint is
+    * unique); each round is one equi-join + partial-aggregating min; the
+    * returned frame is localCheckpoint'd so its lineage is one stable
+    * scan, with every per-round cache released.
+    */
+  def minLabelPropagate(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.persist()
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("label")).persist()
+    var changed = 1L
+    val spent = scala.collection.mutable.ArrayBuffer(labels)
+    while (changed > 0) {
+      val nbrMin = e
+        .join(labels, e("dst") === labels("doc_id"))
+        .groupBy(e("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.alias("l")
+        .join(nbrMin, col("l.doc_id") === nbrMin("src"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+                least(col("l.label"),
+                      coalesce(col("nbr_label"), col("l.label"))).as("label"))
+        .persist()
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      spent += next
+      labels = next
+    }
+    val finalLabels = labels.localCheckpoint(true)
+    spent.foreach(_.unpersist())
+    e.unpersist()
+    finalLabels
+  }
+
+  val qDedupCluster: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+              floor(col("n_chars") / 100.0).cast("bigint").as("len_bucket"),
+              Ops.normalizeText(col("text")).as("nt"))
+    val pre = docs.select(col("doc_id"),
+      concat_ws("|", col("lang"), col("len_bucket"),
+                substring(col("nt"), 1, 40)).as("key"))
+    val suf = docs.select(col("doc_id"),
+      concat_ws("|", col("lang"), col("len_bucket"),
+                expr("right(nt, 40)")).as("key"))
+    val keyed = pre.unionByName(suf)
+    val star = keyed.groupBy(col("key")).agg(min(col("doc_id")).as("rep"))
+    val e0 = keyed.join(star, Seq("key"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("src"), col("rep").as("dst"))
+      .distinct()
+    val edges = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+
+    val finalLabels = minLabelPropagate(docs.select(col("doc_id")), edges)
+
+    val sizes = finalLabels.groupBy(col("label"))
+      .agg(count(lit(1)).as("component_size"))
+    finalLabels.join(sizes, Seq("label"))
+      .filter(col("component_size") > 1)
+      .select(col("doc_id"), col("label").as("component_id"),
+              col("component_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB resolves the same star-edge graph with a recursive CTE: the
+    * reachable-label set of each vertex is its connected component (edges
+    * are symmetric), so min(label) over it equals the Spark fixpoint.
+    */
+  val qDedupClusterSql: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, lang, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_bucket,
+      |         lower(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+      |  FROM documents),
+      |keyed AS (
+      |  SELECT doc_id, lang || '|' || len_bucket || '|' || substring(nt, 1, 40) AS key
+      |  FROM docs
+      |  UNION ALL
+      |  SELECT doc_id, lang || '|' || len_bucket || '|' || right(nt, 40) AS key
+      |  FROM docs),
+      |star AS (SELECT key, min(doc_id) AS rep FROM keyed GROUP BY 1),
+      |e0 AS (
+      |  SELECT DISTINCT k.doc_id AS src, s.rep AS dst
+      |  FROM keyed k JOIN star s ON k.key = s.key
+      |  WHERE k.doc_id <> s.rep),
+      |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |reach(v, l) AS (
+      |  SELECT doc_id, doc_id FROM docs
+      |  UNION
+      |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+      |comp AS (SELECT v AS doc_id, min(l) AS component_id FROM reach GROUP BY 1),
+      |sizes AS (SELECT component_id, count(*) AS component_size
+      |          FROM comp GROUP BY 1)
+      |SELECT c.doc_id, c.component_id, s.component_size
+      |FROM comp c JOIN sizes s ON c.component_id = s.component_id
+      |WHERE s.component_size > 1
+      |ORDER BY c.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_inverted_index — the classic MapReduce inverted-index build
+  // (token → document postings), the missing canonical shape from the
+  // reference's MapReduce family: explode-to-postings is one shuffle on
+  // the term, and the postings head keeps output bounded no matter how
+  // hot a term is.
+  // -------------------------------------------------------------------
+  val MinDocFreq = 10
+
+  val qInvertedIndex: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("tok"))
+      .filter(col("tok").rlike("^[a-zA-Z]+$"))
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+    tok.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+           count(lit(1)).as("tf_total"),
+           array_join(
+             transform(slice(array_sort(collect_set(col("doc_id"))), 1, 5),
+                       _.cast("string")), ",").as("postings_head"))
+      .filter(col("df") >= MinDocFreq)
+      .orderBy(col("term"))
+  }
+
+  val qInvertedIndexSql: String =
+    s"""SELECT term,
+       |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       |       COUNT(*) AS tf_total,
+       |       array_to_string(list_sort(list(DISTINCT doc_id))[1:5], ',') AS postings_head
+       |FROM (SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term
+       |      FROM documents)
+       |WHERE regexp_matches(term, '^[a-z]+$$')
+       |GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= $MinDocFreq
+       |ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_tfidf_topterms — top-3 keywords per document by TF-IDF. The score
+  // uses the rational idf tf·N/df instead of a log so the ranking key is
+  // exact integer arithmetic followed by one IEEE division — identical
+  // across engines (a log's last-ulp could differ and flip a rank).
+  // Ranking carries the term as the deterministic tiebreaker.
+  // -------------------------------------------------------------------
+  val qTfidfTopterms: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tok = docs
+      .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("tok"))
+      .filter(col("tok").rlike("^[a-zA-Z]+$"))
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(nDocs)
+      .withColumn("score",
+        round((col("tf") * col("n_docs")).cast("double") /
+                col("df").cast("double"), 6))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val qTfidfToptermsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      |  WHERE regexp_matches(term, '^[a-z]+$')
+      |  GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         round(CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE), 6)
+      |           AS score
+      |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, score,
+      |         CAST(row_number() OVER (PARTITION BY doc_id
+      |                                 ORDER BY score DESC, term ASC) AS BIGINT) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, rnk, term, score FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_repetition_score — Gopher-style repetition quality metrics per
+  // document: duplicate-token fraction and most-frequent-bigram fraction
+  // (high values flag boilerplate/spam for filtering). Bigrams here are
+  // NON-distinct (frequency matters), unlike the dedup shingles.
+  // -------------------------------------------------------------------
+  val qRepetitionScore: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), Ops.tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("bigint"))
+      .filter(col("n_toks") >= 2)
+      .withColumn("dup_tok_frac",
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+                col("n_toks").cast("double"), 6))
+    val bigrams = toks.select(col("doc_id"), col("n_toks"), col("dup_tok_frac"),
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+                       element_at(col("toks"), i + 1)))).as("bigram"))
+    val counted = bigrams
+      .groupBy(col("doc_id"), col("n_toks"), col("dup_tok_frac"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+    counted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_toks"), col("dup_tok_frac"),
+              col("bigram").as("top_bigram"),
+              round(col("cnt").cast("double") /
+                      (col("n_toks") - 1).cast("double"), 6)
+                .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qRepetitionScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, toks, n_toks,
+      |         round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+      |                       / CAST(n_toks AS DOUBLE), 6) AS dup_tok_frac
+      |  FROM t WHERE n_toks >= 2),
+      |bg AS (
+      |  SELECT doc_id, n_toks, dup_tok_frac,
+      |         unnest(list_transform(range(1, CAST(n_toks AS INT)),
+      |                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      |  FROM base),
+      |counted AS (
+      |  SELECT doc_id, n_toks, dup_tok_frac, bigram, COUNT(*) AS cnt
+      |  FROM bg GROUP BY 1, 2, 3, 4),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY cnt DESC, bigram ASC) AS rn
+      |  FROM counted)
+      |SELECT doc_id, n_toks, dup_tok_frac, bigram AS top_bigram,
+      |       round(CAST(cnt AS DOUBLE) / CAST(n_toks - 1 AS DOUBLE), 6)
+      |         AS top_bigram_frac
+      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_pii_scrub — redaction accounting: count email-shaped and long-digit
+  // spans per document and measure the post-redaction length. Patterns
+  // stay within the regex subset whose semantics are identical in Java
+  // regex and DuckDB's RE2 (ASCII classes + bounded quantifiers).
+  // -------------------------------------------------------------------
+  private val EmailPat = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+  private val LongNumPat = "[0-9]{3,}"
+
+  val qPiiScrub: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr(s"size(regexp_extract_all(text, '$EmailPat', 0))")
+          .cast("bigint").as("n_emails"),
+        expr(s"size(regexp_extract_all(text, '$LongNumPat', 0))")
+          .cast("bigint").as("n_longnums"),
+        length(col("text")).cast("bigint").as("len_before"),
+        length(regexp_replace(regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+                              LongNumPat, "<NUM>"))
+          .cast("bigint").as("len_after"))
+      .orderBy(col("doc_id"))
+
+  val qPiiScrubSql: String =
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$LongNumPat')) AS BIGINT) AS n_longnums,
+       |       CAST(length(text) AS BIGINT) AS len_before,
+       |       CAST(length(regexp_replace(regexp_replace(text, '$EmailPat', '<EMAIL>', 'g'),
+       |                                  '$LongNumPat', '<NUM>', 'g')) AS BIGINT) AS len_after
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_pack_sequences — token-budget sequence packing: shard documents by
+  // a deterministic content-free hash (coordination-free, like the
+  // stratified sampler), then fill fixed 2048-token training sequences by
+  // cumulative token count in doc_id order within each shard. The bin
+  // assignment is a windowed cumsum — one sort per shard partition, no
+  // driver coordination — which is how packing parallelizes at 100 TB
+  // (each shard packs independently).
+  // -------------------------------------------------------------------
+  val SeqLen = 2048
+  val NumShards = 4
+
+  val qPackSequences: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              (Ops.md5Bits60(col("doc_id").cast("string")) % NumShards).as("shard"),
+              size(Ops.tokens(col("text"))).cast("bigint").as("n_toks"))
+      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before DIV $SeqLen"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
+  val qPackSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |           % $NumShards AS shard,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, n_toks,
+       |         COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+       |                                    ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                    AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t)
+       |SELECT shard, CAST(cum_before // $SeqLen AS BIGINT) AS seq_id,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_cluster"    -> qDedupCluster,
+    "q_inverted_index"   -> qInvertedIndex,
+    "q_tfidf_topterms"   -> qTfidfTopterms,
+    "q_repetition_score" -> qRepetitionScore,
+    "q_pii_scrub"        -> qPiiScrub,
+    "q_pack_sequences"   -> qPackSequences,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_cluster"    -> qDedupClusterSql,
+    "q_inverted_index"   -> qInvertedIndexSql,
+    "q_tfidf_topterms"   -> qTfidfToptermsSql,
+    "q_repetition_score" -> qRepetitionScoreSql,
+    "q_pii_scrub"        -> qPiiScrubSql,
+    "q_pack_sequences"   -> qPackSequencesSql,
+  )
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.ext.Corpus
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-3 corpus-preparation operators —
+  * the properties the DuckDB hash-compare can't express (fixpoint
+  * correctness on crafted graphs, packing bounds, ranking bounds).
+  */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.Sf
+
+  test("minLabelPropagate: chain + isolated vertex resolve to component minima") {
+    val vertices = Seq(1L, 2L, 3L, 4L, 7L).toDF("doc_id")
+    // chain 1-2-3 (needs transitive propagation), pair 4-7, symmetric
+    val e0 = Seq((1L, 2L), (2L, 3L), (4L, 7L)).toDF("src", "dst")
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    val got = Corpus.minLabelPropagate(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 7L -> 4L))
+  }
+
+  test("minLabelPropagate: star-of-stars converges (diameter > 1)") {
+    // two stars (10,[11,12]) and (20,[21,22]) bridged by edge 12-21:
+    // the minimum 10 must reach 22 across 3 hops.
+    val vertices = Seq(10L, 11L, 12L, 20L, 21L, 22L).toDF("doc_id")
+    val e0 = Seq((10L, 11L), (10L, 12L), (20L, 21L), (20L, 22L), (12L, 21L))
+      .toDF("src", "dst")
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    val got = Corpus.minLabelPropagate(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(10L))
+  }
+
+  test("q_dedup_cluster: components have size > 1 and contain their id") {
+    val rows = Corpus.qDedupCluster(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      assert(members.length == members.head._3,
+             s"component $comp size column disagrees with member count")
+      assert(members.map(_._1).min == comp,
+             s"component id $comp is not the member minimum")
+      assert(members.length > 1)
+    }
+  }
+
+  test("q_pack_sequences: bins respect the token budget boundary rule") {
+    val rows = Corpus.qPackSequences(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, bins) =>
+      val sorted = bins.sortBy(_._2)
+      // bin ids are the floor of the pre-doc cumsum: non-decreasing and
+      // each bin (except possibly the last doc spill) starts below the
+      // budget boundary of the next
+      var cum = 0L
+      for ((_, seqId, _, nToks) <- sorted) {
+        assert(seqId == cum / Corpus.SeqLen,
+               s"bin id $seqId != expected ${cum / Corpus.SeqLen}")
+        cum += nToks
+      }
+    }
+  }
+
+  test("q_tfidf_topterms: at most 3 ranked terms per doc, scores descend") {
+    val rows = Corpus.qTfidfTopterms(spark, sf)
+      .as[(Long, Long, String, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, ts) =>
+      assert(ts.length <= 3, s"doc $doc has ${ts.length} terms")
+      val byRank = ts.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to ts.length.toLong).toSeq)
+      assert(byRank.map(_._4).zip(byRank.map(_._4).tail).forall {
+        case (a, b) => a >= b
+      }, s"doc $doc scores not descending")
+    }
+  }
+
+  test("q_repetition_score: fractions in [0,1], top bigram really occurs") {
+    val rows = Corpus.qRepetitionScore(spark, sf)
+      .limit(20).as[(Long, Long, Double, String, Double)].collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    rows.foreach { case (doc, nToks, dupFrac, bigram, topFrac) =>
+      assert(dupFrac >= 0.0 && dupFrac <= 1.0)
+      assert(topFrac > 0.0 && topFrac <= 1.0)
+      assert(nToks >= 2)
+      assert(texts(doc).contains(bigram), s"doc $doc top bigram not in text")
+    }
+  }
+
+  test("q_pii_scrub: redacted length consistent when nothing matched") {
+    val rows = Corpus.qPiiScrub(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, nEmails, nNums, before, after) =>
+      if (nEmails == 0 && nNums == 0)
+        assert(before == after, s"doc $doc length changed with 0 redactions")
+    }
+  }
+
+  test("q_inverted_index: postings head is sorted, df <= total tf") {
+    val rows = Corpus.qInvertedIndex(spark, sf)
+      .as[(String, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (term, df, tf, head) =>
+      assert(df <= tf, s"$term df > tf")
+      val ids = head.split(",").map(_.toLong)
+      assert(ids.length <= 5 && ids.sameElements(ids.sorted))
+    }
+  }
+}
