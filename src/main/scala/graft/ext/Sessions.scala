@@ -68,6 +68,49 @@ object Sessions {
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // Native session windows: the same 30-minute-gap sessionization
+  // expressed with Spark's session_window() aggregation — the
+  // Structured-Streaming-compatible operator (merging session state,
+  // usable under watermarks) rather than the batch gaps-and-islands
+  // window above. The oracle IS gaps-and-islands SQL, which pins the
+  // two formulations equal. Boundary semantics: Spark merges an event
+  // into a session iff it starts strictly before session_end = last_ts
+  // + gap, so a gap of exactly 30 min starts a new session → the oracle
+  // flags new sessions with >= (q_sessionize's lag formulation uses >,
+  // which only differs ON the exact boundary — unreachable with
+  // microsecond timestamps in this corpus, but kept correct anyway).
+  val qSessionWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"),
+               session_window(col("ts"), s"$SessionGapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"),
+           max(unix_micros(col("ts"))).as("session_end_us"))
+      .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("session_start_us"),
+              col("session_end_us"), col("n_events"), col("value_sum"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  val qSessionWindowSql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |              THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM x)
+      |SELECT user_id,
+      |       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+      |       CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end_us,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   // As-of (temporal) join: for every purchase, the user's most recent
   // click at-or-before it — an operator Spark has no native node for,
   // composed per the preference order (SURVEY §7.3 / prompt rule (a)):
@@ -214,6 +257,7 @@ object Sessions {
        |ORDER BY 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q_session_window"  -> qSessionWindow,
     "q_sessionize"      -> qSessionize,
     "q_event_window"    -> qEventWindow,
     "q_asof_join"       -> qAsofJoin,
@@ -221,6 +265,7 @@ object Sessions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_session_window"  -> qSessionWindowSql,
     "q_sessionize"      -> qSessionizeSql,
     "q_event_window"    -> qEventWindowSql,
     "q_asof_join"       -> qAsofJoinSql,

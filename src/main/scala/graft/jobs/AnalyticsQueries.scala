@@ -513,7 +513,54 @@ object AnalyticsQueries {
        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Ranking-function breadth (SURVEY §2.5 marks rank/ntile/analytic
+  // functions absent-but-free): dense_rank, quartile ntile, percent_rank
+  // and cume_dist over the per-segment price ordering, aggregated so the
+  // output stays small. percent_rank/cume_dist are rational divisions of
+  // window counters — bit-identical across engines without rounding; the
+  // unique o_orderkey tiebreaker keeps every rank deterministic.
+  // ------------------------------------------------------------------
+  val qWindowRanks: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+              ntile(4).over(w).cast("bigint").as("quartile"),
+              dense_rank().over(w).cast("bigint").as("drnk"),
+              percent_rank().over(w).as("pr"),
+              cume_dist().over(w).as("cd"),
+              col("o_totalprice"))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n_rows"),
+           max(col("drnk")).as("max_dense_rank"),
+           max(col("pr")).as("max_percent_rank"),
+           max(col("cd")).as("max_cume_dist"),
+           Ops.exactSum(col("o_totalprice")).as("price_sum"))
+      .orderBy(col("o_orderpriority"), col("quartile"))
+  }
+
+  val qWindowRanksSql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority,
+      |         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |         CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |         percent_rank() OVER w AS pr,
+      |         cume_dist() OVER w AS cd,
+      |         o_totalprice
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice, o_orderkey))
+      |SELECT o_orderpriority, quartile, count(*) AS n_rows,
+      |       max(drnk) AS max_dense_rank,
+      |       max(pr) AS max_percent_rank,
+      |       max(cd) AS max_cume_dist,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_window_ranks"   -> qWindowRanks,
     "q_cube"           -> qCube,
     "q_quantile_sketch" -> qQuantileSketch,
     "q_outer_join"     -> qOuterJoin,
@@ -532,6 +579,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_ranks"   -> qWindowRanksSql,
     "q_cube"           -> qCubeSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_outer_join"     -> qOuterJoinSql,
