@@ -48,9 +48,16 @@ object Corpus {
   def minLabelPropagate(vertices: DataFrame, edges: DataFrame): DataFrame = {
     val e = edges.persist()
     var labels = vertices.select(col("doc_id"), col("doc_id").as("label")).persist()
-    var changed = 1L
+    // Convergence check without a compare-join: labels are per-vertex
+    // non-increasing, so Σlabel (exact decimal — ids can be huge at
+    // scale) strictly decreases on every round that changed anything.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
     val spent = scala.collection.mutable.ArrayBuffer(labels)
-    while (changed > 0) {
+    var converged = false
+    while (!converged) {
       val nbrMin = e
         .join(labels, e("dst") === labels("doc_id"))
         .groupBy(e("src")).agg(min(col("label")).as("nbr_label"))
@@ -60,13 +67,14 @@ object Corpus {
                 least(col("l.label"),
                       coalesce(col("nbr_label"), col("l.label"))).as("label"))
         .persist()
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       spent += next
       labels = next
     }
+    // Truncate the iterative lineage so the returned plan is one stable
+    // scan of the converged labels, then release the per-round caches.
     val finalLabels = labels.localCheckpoint(true)
     spent.foreach(_.unpersist())
     e.unpersist()
