@@ -1,0 +1,56 @@
+package graft
+
+import graft.ext.Corpus
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** ScalaCheck pin: the distributed min-label propagation equals a
+  * driver-side union-find on random graphs — the adversarial check the
+  * fixed verify corpus can't provide (odd diameters, isolated vertices,
+  * multi-edges, self-loops).
+  */
+object CorpusProps extends Properties("graft.Corpus") {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Each case runs a full iterative Spark job cascade — cap the count.
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  val graphGen: Gen[(List[Long], List[(Long, Long)])] = for {
+    n <- Gen.chooseNum(1, 14)
+    vs = (1L to n.toLong).toList
+    m <- Gen.chooseNum(0, 16)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(1L, n.toLong)
+      b <- Gen.chooseNum(1L, n.toLong)
+    } yield (a, b))
+  } yield (vs, es)
+
+  private def unionFind(vs: List[Long], es: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(vs.map(v => v -> v): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    vs.map { v =>
+      // component id = min member: chase to root, which union-by-min keeps minimal
+      v -> find(v)
+    }.toMap
+  }
+
+  property("minLabelPropagate == union-find component minima") =
+    Prop.forAllNoShrink(graphGen) { case (vs, es) =>
+      val vertices = vs.toDF("doc_id")
+      val e0 = es.toDF("src", "dst")
+      val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+      val got = Corpus.minLabelPropagate(vertices, edges)
+        .as[(Long, Long)].collect().toMap
+      val want = unionFind(vs, es)
+      got == want
+    }
+}
