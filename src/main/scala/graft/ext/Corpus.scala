@@ -370,7 +370,127 @@ object Corpus {
        |       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q_contamination — benchmark decontamination: for every corpus doc,
+  // its word-5-gram overlap with a deterministic "benchmark" subset
+  // (doc_id % 50 == 0, so the set scales with the corpus). The classic
+  // eval-leakage check before training. Shape: explode both sides'
+  // distinct grams, gram-keyed equi-join (never doc×benchmark pairs),
+  // count per (doc, benchmark), keep each doc's worst contaminator.
+  // At 100 TB the benchmark side is small and broadcast; the corpus side
+  // streams through one shuffle on the gram.
+  // -------------------------------------------------------------------
+  val ContamN = 5
+
+  val qContamination: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+              Ops.shingles(Ops.tokens(col("text")), ContamN).as("grams"))
+    val bench = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), explode(col("grams")).as("gram"))
+    val corpus = grams.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_common").desc, col("bench_id").asc)
+    corpus.join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bench_id"), col("n_common"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qContaminationSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           range(greatest(len(string_split(text, ' ')) - ${ContamN - 1}, 1)),
+       |           i -> array_to_string(string_split(text, ' ')[i+1:i+$ContamN], ' ')))
+       |           AS grams
+       |  FROM documents),
+       |bench AS (
+       |  SELECT doc_id AS bench_id, unnest(grams) AS gram FROM g
+       |  WHERE doc_id % 50 = 0),
+       |corpus AS (
+       |  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0),
+       |counted AS (
+       |  SELECT c.doc_id, b.bench_id, COUNT(*) AS n_common
+       |  FROM corpus c JOIN bench b ON c.gram = b.gram
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY n_common DESC, bench_id ASC) AS rn
+       |  FROM counted)
+       |SELECT doc_id, bench_id, n_common FROM ranked WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_mixture_sample — source-mixture rebalancing: downsample every
+  // language to the smallest language's token budget. The rate is
+  // derived FROM the data (min_lang_tokens / lang_tokens — scale-free,
+  // no magic constants), and the keep decision is a deterministic
+  // md5-threshold compare (same coordination-free sampler as
+  // q_stratified_sample: any executor can evaluate it without a shared
+  // RNG). floor(), never round(): DuckDB's double→BIGINT cast rounds
+  // to nearest while Spark's truncates, so the threshold must be
+  // floored explicitly on both sides.
+  // -------------------------------------------------------------------
+  val qMixtureSample: Q = (s, d) => {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+              size(Ops.tokens(col("text"))).cast("bigint").as("n_toks"))
+    val tot = t.groupBy(col("lang")).agg(sum(col("n_toks")).as("lang_toks"))
+    val m = tot.agg(min(col("lang_toks")).as("min_toks"))
+    val rates = tot.crossJoin(m)
+      .withColumn("rate",
+        col("min_toks").cast("double") / col("lang_toks").cast("double"))
+      .withColumn("thr",
+        floor(col("rate") * lit(1152921504606846976.0))) // 2^60
+    t.join(rates, Seq("lang"))
+      .withColumn("keep",
+        when(Ops.md5Bits60(concat(col("doc_id").cast("string"), lit(":mix")))
+               < col("thr"), 1L).otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(max(col("lang_toks")).as("lang_toks"),
+           round(max(col("rate")), 6).as("rate"),
+           count(lit(1)).as("n_docs"),
+           sum(col("keep")).as("n_sampled"),
+           sum(col("keep") * col("n_toks")).as("sampled_toks"))
+      .orderBy(col("lang"))
+  }
+
+  val qMixtureSampleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |tot AS (SELECT lang, CAST(SUM(n_toks) AS BIGINT) AS lang_toks
+      |        FROM t GROUP BY 1),
+      |m AS (SELECT MIN(lang_toks) AS min_toks FROM tot),
+      |r AS (
+      |  SELECT lang, lang_toks,
+      |         CAST(min_toks AS DOUBLE) / CAST(lang_toks AS DOUBLE) AS rate,
+      |         CAST(FLOOR(CAST(min_toks AS DOUBLE) / CAST(lang_toks AS DOUBLE)
+      |                    * 1152921504606846976.0) AS BIGINT) AS thr
+      |  FROM tot CROSS JOIN m),
+      |s AS (
+      |  SELECT t.lang, t.n_toks, r.lang_toks, r.rate,
+      |         CASE WHEN ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':mix'),
+      |                                   1, 15))::BIGINT < r.thr
+      |              THEN 1 ELSE 0 END AS keep
+      |  FROM t JOIN r USING (lang))
+      |SELECT lang, CAST(MAX(lang_toks) AS BIGINT) AS lang_toks,
+      |       round(MAX(rate), 6) AS rate,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(keep) AS BIGINT) AS n_sampled,
+      |       CAST(SUM(keep * n_toks) AS BIGINT) AS sampled_toks
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_contamination"    -> qContamination,
+    "q_mixture_sample"   -> qMixtureSample,
     "q_dedup_cluster"    -> qDedupCluster,
     "q_inverted_index"   -> qInvertedIndex,
     "q_tfidf_topterms"   -> qTfidfTopterms,
@@ -380,6 +500,8 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_contamination"    -> qContaminationSql,
+    "q_mixture_sample"   -> qMixtureSampleSql,
     "q_dedup_cluster"    -> qDedupClusterSql,
     "q_inverted_index"   -> qInvertedIndexSql,
     "q_tfidf_topterms"   -> qTfidfToptermsSql,

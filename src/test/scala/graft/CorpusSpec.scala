@@ -105,6 +105,31 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mixture_sample: min lang fully kept, others downsampled") {
+    val rows = Corpus.qMixtureSample(spark, sf)
+      .as[(String, Long, Double, Long, Long, Long)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (lang, langToks, rate, nDocs, nSampled, sampledToks) =>
+      assert(rate > 0.0 && rate <= 1.0, s"$lang rate $rate")
+      assert(nSampled <= nDocs)
+      assert(sampledToks <= langToks)
+    }
+    val minLang = rows.minBy(_._2)
+    assert(minLang._3 == 1.0, "smallest language must have rate 1.0")
+    assert(minLang._5 == minLang._4, "smallest language must keep every doc")
+  }
+
+  test("q_contamination: overlaps are positive, benchmark ids excluded") {
+    val rows = Corpus.qContamination(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, bench, n) =>
+      assert(doc % 50 != 0, s"benchmark doc $doc in corpus output")
+      assert(bench % 50 == 0, s"non-benchmark contaminator $bench")
+      assert(n >= 1)
+    }
+  }
+
   test("q_inverted_index: postings head is sorted, df <= total tf") {
     val rows = Corpus.qInvertedIndex(spark, sf)
       .as[(String, Long, Long, String)].collect()
