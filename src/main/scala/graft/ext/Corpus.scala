@@ -155,17 +155,31 @@ object Corpus {
   val MinDocFreq = 10
 
   val qInvertedIndex: Q = (s, d) => {
+    import org.apache.spark.sql.graftshim.{BoundedTopK, Shim}
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("tok"))
       .filter(col("tok").rlike("^[a-zA-Z]+$"))
       .select(col("doc_id"), lower(col("tok")).as("term"))
-    tok.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"),
-           count(lit(1)).as("tf_total"),
-           array_join(
-             transform(slice(array_sort(collect_set(col("doc_id"))), 1, 5),
-                       _.cast("string")), ",").as("postings_head"))
+    // Two-level aggregation: (term, doc) term frequencies first, then
+    // per-term stats. The postings head rides the native BoundedTopK
+    // aggregate (5 smallest doc ids, O(5) partial state per partition)
+    // instead of collect_set — a stopword's full postings list would be
+    // corpus-sized, and an unbounded per-group collect is exactly what
+    // dies first at 100 TB. (doc_id as its own score is exact in double
+    // up to 2^53.)
+    val perDoc = tok.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_d"))
+    val head5 = Shim.column(
+      BoundedTopK(Shim.expression(col("doc_id").cast("double")),
+                  Shim.expression(col("doc_id")), 5).toAggregateExpression())
+    perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+           sum(col("tf_d")).as("tf_total"),
+           head5.as("__head"))
       .filter(col("df") >= MinDocFreq)
+      .select(col("term"), col("df"), col("tf_total"),
+              array_join(transform(col("__head"),
+                x => x.getField("id").cast("string")), ",").as("postings_head"))
       .orderBy(col("term"))
   }
 
@@ -393,7 +407,10 @@ object Corpus {
       .select(col("doc_id"), explode(col("grams")).as("gram"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("n_common").desc, col("bench_id").asc)
-    corpus.join(broadcast(bench), Seq("gram"))
+    // No broadcast hint: a real decontamination benchmark is a small
+    // fixed set (AQE will broadcast it), but THIS demo's benchmark is a
+    // corpus fraction, so the plan must stay a shuffle join at scale.
+    corpus.join(bench, Seq("gram"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_common"))
       .withColumn("rn", row_number().over(w))
