@@ -112,6 +112,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming MG sketch == batch MG sketch (k >= cardinality pin)") {
+    // The Misra-Gries candidate SET is arrival-order-dependent in
+    // general; it is exactly the distinct-item set (deterministic)
+    // whenever k >= per-window cardinality, which holds here: K=8 vs
+    // a handful of event types. That makes stream == batch a valid pin.
+    import graft.streaming.SketchStream
+    val nTypes = Tables.events(spark, sf)
+      .select($"event_type").distinct().count()
+    assert(nTypes <= SketchStream.K, "pin precondition: k >= cardinality")
+    val batch = SketchStream.batchTwin(spark, sf)
+      .select($"bucket", $"n_total", $"candidates")
+      .as[(String, Long, String)].collect().toSet
+    val stream = SketchStream.runOnce(spark, sf)
+      .select($"bucket", $"n_total", $"candidates")
+      .as[(String, Long, String)].collect().toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming hourly agg == batch hourly agg (semantic parity)") {
     val batch = Sessions.qEventWindow(spark, sf)
       .select($"bucket", $"event_type", $"n_events", $"value_sum")
