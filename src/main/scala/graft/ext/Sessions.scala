@@ -256,7 +256,79 @@ object Sessions {
        |FROM base b JOIN est e USING (event_type)
        |ORDER BY 1""".stripMargin
 
+  // Incremental sketch maintenance: per-DAY HLL register states merged
+  // across days — the materialized-sketch pattern (keep yesterday's
+  // O(m) state, merge today's partial, never rescan history). Register
+  // max is associative, so day-level maxes re-merged equal the global
+  // registers exactly; the spec additionally pins this query's estimate
+  // == q_approx_distinct's. Shape: two-level groupBy, each with map-side
+  // partial aggregation; the cross-day merge moves m=64 rows per
+  // (event_type, day).
+  val qIncrementalDistinct: Q = (s, d) => {
+    val m = HllRegisters
+    val twoP55 = 1L << 55
+    val hashed = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+              graft.ops.Ops.md5Bits60(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"), col("day"),
+              (col("h") % m).as("r"), shiftright(col("h"), 6).as("w"))
+      .withColumn("rank",
+        when(col("w") === 0L, lit(55)).otherwise(lit(55) - length(bin(col("w")))))
+    val daily = hashed.groupBy(col("event_type"), col("day"), col("r"))
+      .agg(max(col("rank")).as("mr"))
+    val merged = daily.groupBy(col("event_type"), col("r"))
+      .agg(max(col("mr")).as("mr"))
+    val z = merged.groupBy(col("event_type"))
+      .agg((sum(pow(lit(2.0), lit(55) - col("mr")).cast("bigint")) +
+              (lit(m.toLong) - count(lit(1))) * twoP55).as("zs"),
+           (lit(m.toLong) - count(lit(1))).as("v"))
+    val estRaw = lit(HllAlpha * (m.toDouble * m.toDouble) * twoP55.toDouble) /
+      col("zs").cast("double")
+    val days = daily.select(col("event_type"), col("day")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    z.select(col("event_type"),
+        when(estRaw <= lit(2.5 * m) && col("v") > 0,
+             lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(estRaw).as("e"))
+      .join(days, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), round(col("e"), 4).as("approx_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val qIncrementalDistinctSql: String =
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |daily AS (
+      |  SELECT event_type, day, h % 64 AS r,
+      |         MAX(CASE WHEN (h >> 6) = 0 THEN 55
+      |                  ELSE 55 - length(bin(h >> 6)) END) AS mr
+      |  FROM h GROUP BY 1, 2, 3),
+      |merged AS (
+      |  SELECT event_type, r, MAX(mr) AS mr FROM daily GROUP BY 1, 2),
+      |z AS (
+      |  SELECT event_type,
+      |         CAST(SUM(CAST(2 ** (55 - mr) AS BIGINT)) AS BIGINT)
+      |           + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 55) AS zs,
+      |         CAST(64 - COUNT(*) AS BIGINT) AS v
+      |  FROM merged GROUP BY 1),
+      |est AS (
+      |  SELECT event_type,
+      |         CASE WHEN (1.0462993238608057e+20 / CAST(zs AS DOUBLE)) <= 160.0
+      |                   AND v > 0
+      |              THEN 64.0 * ln(CAST(64 AS DOUBLE) / CAST(v AS DOUBLE))
+      |              ELSE 1.0462993238608057e+20 / CAST(zs AS DOUBLE) END AS e
+      |  FROM z),
+      |days AS (
+      |  SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      |  FROM h GROUP BY 1)
+      |SELECT e.event_type, d.n_days, round(e.e, 4) AS approx_users
+      |FROM est e JOIN days d USING (event_type)
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_incremental_distinct" -> qIncrementalDistinct,
     "q_session_window"  -> qSessionWindow,
     "q_sessionize"      -> qSessionize,
     "q_event_window"    -> qEventWindow,
@@ -265,6 +337,7 @@ object Sessions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_incremental_distinct" -> qIncrementalDistinctSql,
     "q_session_window"  -> qSessionWindowSql,
     "q_sessionize"      -> qSessionizeSql,
     "q_event_window"    -> qEventWindowSql,

@@ -112,6 +112,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("incremental HLL (daily states merged) == one-shot HLL estimate") {
+    val oneShot = Sessions.qApproxDistinct(spark, sf)
+      .select($"event_type", $"approx_users").as[(String, Double)].collect().toMap
+    val incremental = Sessions.qIncrementalDistinct(spark, sf)
+      .select($"event_type", $"approx_users").as[(String, Double)].collect().toMap
+    assert(incremental == oneShot,
+           "merging per-day register states must reproduce the global sketch")
+  }
+
   test("streaming MG sketch == batch MG sketch (k >= cardinality pin)") {
     // The Misra-Gries candidate SET is arrival-order-dependent in
     // general; it is exactly the distinct-item set (deterministic)
