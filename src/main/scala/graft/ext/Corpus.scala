@@ -51,9 +51,13 @@ object Corpus {
     // Convergence check without a compare-join: labels are per-vertex
     // non-increasing, so Σlabel (exact decimal — ids can be huge at
     // scale) strictly decreases on every round that changed anything.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+    // SUM over zero rows is NULL — map to 0 so an empty vertex set
+    // converges on the first round instead of NPE-ing on compareTo.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
         .head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     val spent = scala.collection.mutable.ArrayBuffer(labels)
     var converged = false
@@ -71,6 +75,11 @@ object Corpus {
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       spent += next
+      // labelSum just materialized `next`, so the round-before-last
+      // cache is dead — release it now rather than holding O(rounds)
+      // copies of the label table in executor storage on high-diameter
+      // graphs.
+      if (spent.length > 2) spent.remove(0).unpersist()
       labels = next
     }
     // Truncate the iterative lineage so the returned plan is one stable
@@ -156,10 +165,13 @@ object Corpus {
 
   val qInvertedIndex: Q = (s, d) => {
     import org.apache.spark.sql.graftshim.{BoundedTopK, Shim}
+    // Lowercase BEFORE the alpha filter, exactly as the oracle does —
+    // filtering the raw token first would diverge on Unicode letters
+    // whose lowercase lands in [a-z] (e.g. the Kelvin sign → 'k').
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("tok"))
-      .filter(col("tok").rlike("^[a-zA-Z]+$"))
       .select(col("doc_id"), lower(col("tok")).as("term"))
+      .filter(col("term").rlike("^[a-z]+$"))
     // Two-level aggregation: (term, doc) term frequencies first, then
     // per-term stats. The postings head rides the native BoundedTopK
     // aggregate (5 smallest doc ids, O(5) partial state per partition)
@@ -204,10 +216,11 @@ object Corpus {
   val qTfidfTopterms: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
+    // lowercase-then-filter, mirroring the oracle (see qInvertedIndex)
     val tok = docs
       .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("tok"))
-      .filter(col("tok").rlike("^[a-zA-Z]+$"))
       .select(col("doc_id"), lower(col("tok")).as("term"))
+      .filter(col("term").rlike("^[a-z]+$"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

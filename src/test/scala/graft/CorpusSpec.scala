@@ -35,6 +35,12 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(10L))
   }
 
+  test("minLabelPropagate: empty vertex set returns empty labeling") {
+    val vertices = Seq.empty[Long].toDF("doc_id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Corpus.minLabelPropagate(vertices, edges).count() == 0)
+  }
+
   test("q_dedup_cluster: components have size > 1 and contain their id") {
     val rows = Corpus.qDedupCluster(spark, sf)
       .as[(Long, Long, Long)].collect()
