@@ -559,7 +559,93 @@ object AnalyticsQueries {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Bloom-filter semi-join reduction — the engine technique behind
+  // runtime row-group skipping: compress the build side's key set
+  // (parts with p_size = 1) into a 4096-bit bloom bitmap (64 words ×
+  // 64 bits, 3 hash functions), probe the fact side's distinct keys
+  // against it, and verify against the exact semi-join. At scale the
+  // bitmap is O(1) to broadcast no matter how large the build side
+  // grows, and the probe is a 64-row broadcast join — the fact table
+  // never shuffles. Built on the portable md5 hash family so DuckDB
+  // re-derives the identical bitmap and false-positive count.
+  // ------------------------------------------------------------------
+  val BloomWords = 64 // 64 words x 63 usable bits = 4032 bits
+  // bit index stays in 0..62: DuckDB range-checks BIGINT << 63
+  val BloomHashes = 3
+
+  val qBloomJoin: Q = (s, d) => {
+    def pos(key: Column, i: Int): Column =
+      Ops.md5Bits60(concat(key.cast("string"), lit(s":b$i"))) % (BloomWords * 63)
+    val sel = Tables.part(s, d).filter(col("p_size") === 1)
+      .select(col("p_partkey").as("key"))
+    val bloom = sel
+      .select(explode(array((0 until BloomHashes).map(i => pos(col("key"), i)): _*))
+                .as("pos"))
+      .select((col("pos") / 63).cast("int").as("word"),
+              pmod(col("pos"), lit(63)).as("bit"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(CAST(1 AS BIGINT) << CAST(bit AS INT))").as("bits"))
+    val probeKeys = Tables.lineitem(s, d).select(col("l_partkey").as("key")).distinct()
+    val probed = (0 until BloomHashes).foldLeft(
+      probeKeys.withColumn("hits", lit(0))) { (df, i) =>
+        df.withColumn(s"p$i", pos(col("key"), i))
+          .join(broadcast(bloom.withColumnRenamed("word", s"w$i")
+                  .withColumnRenamed("bits", s"b$i")),
+                (col(s"p$i") / 63).cast("int") === col(s"w$i"), "left")
+          .withColumn("hits",
+            col("hits") +
+              when(col(s"b$i").isNotNull &&
+                   (col(s"b$i").bitwiseAND(
+                      expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pmod(p$i, 63) AS INT))"))
+                      =!= 0L), 1).otherwise(0))
+          .drop(s"w$i", s"b$i", s"p$i")
+      }
+    val truth = probeKeys.join(sel, Seq("key"), "left_semi")
+      .withColumn("is_true", lit(1L))
+    probed.join(truth, Seq("key"), "left")
+      .agg(count(lit(1)).as("n_keys_total"),
+           sum(when(col("hits") === BloomHashes, 1L).otherwise(0L))
+             .as("n_bloom_pass"),
+           sum(coalesce(col("is_true"), lit(0L))).as("n_true_match"),
+           sum(when(col("hits") === BloomHashes && col("is_true").isNull, 1L)
+                 .otherwise(0L)).as("n_false_pos"))
+  }
+
+  val qBloomJoinSql: String = {
+    def posSql(key: String, i: Int) =
+      s"('0x' || substr(md5(CAST($key AS VARCHAR) || ':b$i'), 1, 15))::BIGINT % ${BloomWords * 63}"
+    val hashUnion = (0 until BloomHashes)
+      .map(i => s"SELECT ${posSql("key", i)} AS pos FROM sel")
+      .mkString(" UNION ALL ")
+    val hitSum = (0 until BloomHashes).map { i =>
+      s"""(SELECT CASE WHEN b.bits & (CAST(1 AS BIGINT) << CAST(${posSql("p.key", i)} % 63 AS INT)) <> 0
+         |      THEN 1 ELSE 0 END
+         | FROM bloom b WHERE b.word = CAST(${posSql("p.key", i)} // 63 AS INT))""".stripMargin.replace("\n", " ")
+    }.map(s => s"COALESCE($s, 0)").mkString(" + ")
+    s"""WITH sel AS (SELECT p_partkey AS key FROM part WHERE p_size = 1),
+       |hashes AS ($hashUnion),
+       |bloom AS (
+       |  SELECT CAST(pos // 63 AS INT) AS word,
+       |         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+       |  FROM hashes GROUP BY 1),
+       |probe AS (SELECT DISTINCT l_partkey AS key FROM lineitem),
+       |scored AS (
+       |  SELECT p.key, ($hitSum) AS hits,
+       |         CASE WHEN EXISTS (SELECT 1 FROM sel WHERE sel.key = p.key)
+       |              THEN 1 ELSE 0 END AS is_true
+       |  FROM probe p)
+       |SELECT COUNT(*) AS n_keys_total,
+       |       CAST(SUM(CASE WHEN hits = $BloomHashes THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_bloom_pass,
+       |       CAST(SUM(is_true) AS BIGINT) AS n_true_match,
+       |       CAST(SUM(CASE WHEN hits = $BloomHashes AND is_true = 0
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+       |FROM scored""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bloom_join"     -> qBloomJoin,
     "q_window_ranks"   -> qWindowRanks,
     "q_cube"           -> qCube,
     "q_quantile_sketch" -> qQuantileSketch,
@@ -579,6 +665,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bloom_join"     -> qBloomJoinSql,
     "q_window_ranks"   -> qWindowRanksSql,
     "q_cube"           -> qCubeSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
