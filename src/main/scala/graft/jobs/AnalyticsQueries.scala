@@ -644,7 +644,61 @@ object AnalyticsQueries {
        |FROM scored""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // 2-D skyline (Pareto frontier): per market segment, orders not
+  // weakly dominated on (recency, price) — i.e. no other order is at
+  // least as recent AND at least as expensive with one strict. NOT the
+  // textbook O(n²) anti-join: for two dimensions the skyline falls out
+  // of ONE window pass — sort by date desc, keep rows whose price (a)
+  // beats the running max over strictly-later orders and (b) is the max
+  // among same-date orders. O(n log n), one shuffle, scales like any
+  // window aggregate.
+  // ------------------------------------------------------------------
+  val qSkyline: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val base = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"),
+              datediff(col("o_orderdate"), lit("1970-01-01")).cast("bigint")
+                .as("d_days"),
+              col("o_totalprice"))
+    val wLater = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("d_days").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy(col("c_mktsegment"), col("d_days"))
+    base
+      .withColumn("mx_later", max(col("o_totalprice")).over(wLater))
+      .withColumn("mx_same", max(col("o_totalprice")).over(wSame))
+      .filter((col("mx_later").isNull || col("mx_later") < col("o_totalprice")) &&
+              col("o_totalprice") === col("mx_same"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("d_days"),
+              col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("d_days").desc, col("o_orderkey"))
+  }
+
+  val qSkylineSql: String =
+    """WITH base AS (
+      |  SELECT c_mktsegment, o_orderkey,
+      |         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |              AS BIGINT) AS d_days,
+      |         o_totalprice
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |scored AS (
+      |  SELECT *,
+      |         MAX(o_totalprice) OVER (PARTITION BY c_mktsegment ORDER BY d_days DESC
+      |                                 RANGE BETWEEN UNBOUNDED PRECEDING
+      |                                 AND 1 PRECEDING) AS mx_later,
+      |         MAX(o_totalprice) OVER (PARTITION BY c_mktsegment, d_days) AS mx_same
+      |  FROM base)
+      |SELECT c_mktsegment, o_orderkey, d_days, o_totalprice
+      |FROM scored
+      |WHERE (mx_later IS NULL OR mx_later < o_totalprice)
+      |  AND o_totalprice = mx_same
+      |ORDER BY c_mktsegment, d_days DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_skyline"        -> qSkyline,
     "q_bloom_join"     -> qBloomJoin,
     "q_window_ranks"   -> qWindowRanks,
     "q_cube"           -> qCube,
@@ -665,6 +719,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skyline"        -> qSkylineSql,
     "q_bloom_join"     -> qBloomJoinSql,
     "q_window_ranks"   -> qWindowRanksSql,
     "q_cube"           -> qCubeSql,

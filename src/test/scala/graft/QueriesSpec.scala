@@ -34,6 +34,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("q_skyline window formulation == brute-force dominance check") {
+    import graft.jobs.AnalyticsQueries
+    val got = AnalyticsQueries.qSkyline(spark, sf)
+      .select($"c_mktsegment", $"o_orderkey", $"d_days", $"o_totalprice")
+      .as[(String, Long, Long, Double)].collect()
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val all = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select($"c_mktsegment", $"o_orderkey",
+              datediff($"o_orderdate", lit("1970-01-01")).cast("long"),
+              $"o_totalprice")
+      .as[(String, Long, Long, Double)].collect()
+    val bySeg = all.groupBy(_._1)
+    val want = all.filter { case (seg, key, d0, p0) =>
+      !bySeg(seg).exists { case (_, k2, d2, p2) =>
+        k2 != key && d2 >= d0 && p2 >= p0 && (d2 > d0 || p2 > p0)
+      }
+    }.map(r => (r._1, r._2, r._3, r._4)).toSet
+    assert(got.toSet == want)
+    assert(got.nonEmpty)
+  }
+
   test("reduce-join golden (employee⋈dept fixture shape): inner, not left") {
     // Reference javadoc fixture (ReduceJoinJob.java:36-45): dept 3 has no
     // employees -> must NOT appear (actual semantics are inner despite
