@@ -132,12 +132,49 @@ object Pipeline {
        |  ON a.lang = t.lang
        |ORDER BY a.lang""".stripMargin
 
+  // Fixed-SIZE per-group sampling (the distributed stand-in for
+  // per-group reservoir sampling): rank docs within each language by a
+  // content-free md5 and keep the k smallest — a uniform k-subset per
+  // group, deterministic across runs/partitionings/engines, one window
+  // pass. Complements q_stratified_sample's rate-based thinning: eval
+  // and calibration sets want exactly-k per stratum, not a rate.
+  val GroupSampleK = 20
+
+  val qGroupSample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+              Ops.md5Bits60(concat(col("doc_id").cast("string"), lit(":gs")))
+                .as("h"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= GroupSampleK)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val qGroupSampleSql: String =
+    s"""WITH h AS (
+       |  SELECT lang, doc_id,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':gs'), 1, 15))::BIGINT AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, doc_id,
+       |         CAST(row_number() OVER (PARTITION BY lang
+       |                                 ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rn
+       |  FROM h)
+       |SELECT lang, rn, doc_id FROM r WHERE rn <= $GroupSampleK
+       |ORDER BY lang, rn""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_training_pipeline" -> qTrainingPipeline,
     "q_stratified_sample" -> qStratifiedSample,
+    "q_group_sample"      -> qGroupSample,
   )
   val oracles: Map[String, String] = Map(
     "q_training_pipeline" -> qTrainingPipelineSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
+    "q_group_sample"      -> qGroupSampleSql,
   )
 }

@@ -388,7 +388,37 @@ object CoreQueries {
       |    EXCEPT SELECT c_nationkey FROM customer))
       |ORDER BY set_op, nationkey""".stripMargin
 
+  // Skew-resistant SALTED equi-join (the join-side companion of
+  // Ops.topKPerGroupSalted): the probe side carries a deterministic
+  // salt in 0..R-1, the build side is replicated R× with every salt
+  // value, and the join key becomes (key, salt) — a hot customer's
+  // rows now land on R reducers instead of one. The salt provably
+  // cannot change the result (each probe row still matches exactly its
+  // key's build rows, once), which is what the plain-join oracle
+  // hash-gates. At scale R is tuned to the observed hot-key factor;
+  // AQE's skew-join split is the automatic variant of this pattern.
+  val SaltBuckets = 8
+
+  val qSaltedJoin: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .withColumn("salt", pmod(hash(col("o_orderkey")), lit(SaltBuckets)))
+    val c = Tables.customer(s, d)
+      .withColumn("salt", explode(sequence(lit(0), lit(SaltBuckets - 1))))
+    o.join(c, o("o_custkey") === c("c_custkey") && o("salt") === c("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+           Ops.exactSum(col("o_totalprice")).as("price_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qSaltedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_salted_join"      -> qSaltedJoin,
     "q_rollup"           -> qRollup,
     "q_window_analytics" -> qWindowAnalytics,
     "q_semi_anti_join"   -> qSemiAnti,
@@ -408,6 +438,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_salted_join"      -> qSaltedJoinSql,
     "q_rollup"           -> qRollupSql,
     "q_window_analytics" -> qWindowAnalyticsSql,
     "q_semi_anti_join"   -> qSemiAntiSql,
