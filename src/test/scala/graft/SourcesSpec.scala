@@ -97,6 +97,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(files.exists(_.endsWith(".gz")), files.mkString(","))
   }
 
+  test("ORC source/sink: round-trip with predicate pushdown into the scan") {
+    val dir = tmp()
+    val df = Tables.customer(spark, TestSpark.Sf)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    df.write.orc(s"$dir/orc")
+    val back = spark.read.orc(s"$dir/orc")
+    assert(back.count() == df.count())
+    assert(back.orderBy($"c_custkey").as[(Long, String, Double)].collect().toSeq ==
+           df.orderBy($"c_custkey").as[(Long, String, Double)].collect().toSeq)
+    val plan = back.filter($"c_custkey" === 7L).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,7)]") ||
+           plan.contains("EqualTo(c_custkey,7)"), plan.take(400))
+  }
+
   test("native vector expressions == HOF formulation, bit-exact") {
     val e = Tables.embeddings(spark, TestSpark.Sf).limit(50)
       .select($"vec_id", $"embedding")
