@@ -697,7 +697,46 @@ object AnalyticsQueries {
       |  AND o_totalprice = mx_same
       |ORDER BY c_mktsegment, d_days DESC, o_orderkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Bucketed interval join — temporal join with NO equi key (count ALL
+  // events in the 10 minutes before each error, any user): the naive
+  // plan is a cross join. Bucketing by the lookback width L turns it
+  // into an equi-join: a [t−L, t) window spans at most two L-wide
+  // buckets, so the error side explodes into its bucket and the
+  // previous one, joins on bucket equality, and filters the exact
+  // range. Join fan-out is exactly 2×, independent of data size — the
+  // standard distributed interval-join strategy when neither side is
+  // broadcastable (q_range_join covers the small-side-broadcast case).
+  // ------------------------------------------------------------------
+  val GlobalLookbackUs = 600000000L // 10 minutes
+
+  val qIntervalBucketJoin: Q = (s, d) => {
+    val L = GlobalLookbackUs
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("bucket", expr(s"us DIV $L"))
+    val err = Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), unix_micros(col("ts")).as("err_us"))
+      .withColumn("bucket",
+        explode(array(expr(s"err_us DIV $L"), expr(s"err_us DIV $L - 1"))))
+    err.join(ev, Seq("bucket"))
+      .filter(col("us") >= col("err_us") - L && col("us") < col("err_us"))
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_any_preceding"))
+      .orderBy(col("err_id"))
+  }
+
+  val qIntervalBucketJoinSql: String =
+    s"""SELECT e.event_id AS err_id, count(*) AS n_any_preceding
+       |FROM events e JOIN events p
+       |  ON epoch_us(p.ts) >= epoch_us(e.ts) - $GlobalLookbackUs
+       | AND epoch_us(p.ts) < epoch_us(e.ts)
+       |WHERE e.event_type = 'error'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_interval_bucket_join" -> qIntervalBucketJoin,
     "q_skyline"        -> qSkyline,
     "q_bloom_join"     -> qBloomJoin,
     "q_window_ranks"   -> qWindowRanks,
@@ -719,6 +758,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_interval_bucket_join" -> qIntervalBucketJoinSql,
     "q_skyline"        -> qSkylineSql,
     "q_bloom_join"     -> qBloomJoinSql,
     "q_window_ranks"   -> qWindowRanksSql,
