@@ -165,13 +165,16 @@ object Corpus {
 
   val qInvertedIndex: Q = (s, d) => {
     import org.apache.spark.sql.graftshim.{BoundedTopK, Shim}
-    // Lowercase BEFORE the alpha filter, exactly as the oracle does —
-    // filtering the raw token first would diverge on Unicode letters
-    // whose lowercase lands in [a-z] (e.g. the Kelvin sign → 'k').
+    // Locale-proof term extraction, same order on BOTH engines: filter
+    // the RAW token to ASCII alpha first, then lowercase. Lowercasing a
+    // pure-ASCII token is byte arithmetic in Spark (UTF8String fast
+    // path) and DuckDB alike — no full-Unicode or default-locale case
+    // mapping (İ, Turkish-I) can ever enter the comparison. Non-ASCII
+    // terms are out of scope for this index by construction.
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("tok"))
+      .filter(col("tok").rlike("^[a-zA-Z]+$"))
       .select(col("doc_id"), lower(col("tok")).as("term"))
-      .filter(col("term").rlike("^[a-z]+$"))
     // Two-level aggregation: (term, doc) term frequencies first, then
     // per-term stats. The postings head rides the native BoundedTopK
     // aggregate (5 smallest doc ids, O(5) partial state per partition)
@@ -196,13 +199,13 @@ object Corpus {
   }
 
   val qInvertedIndexSql: String =
-    s"""SELECT term,
+    s"""SELECT lower(tok) AS term,
        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
        |       COUNT(*) AS tf_total,
        |       array_to_string(list_sort(list(DISTINCT doc_id))[1:5], ',') AS postings_head
-       |FROM (SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
        |      FROM documents)
-       |WHERE regexp_matches(term, '^[a-z]+$$')
+       |WHERE regexp_matches(tok, '^[a-zA-Z]+$$')
        |GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= $MinDocFreq
        |ORDER BY 1""".stripMargin
 
@@ -216,11 +219,12 @@ object Corpus {
   val qTfidfTopterms: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    // lowercase-then-filter, mirroring the oracle (see qInvertedIndex)
+    // raw-ASCII filter then lowercase, mirroring the oracle exactly
+    // (locale-proof — see qInvertedIndex)
     val tok = docs
       .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("tok"))
+      .filter(col("tok").rlike("^[a-zA-Z]+$"))
       .select(col("doc_id"), lower(col("tok")).as("term"))
-      .filter(col("term").rlike("^[a-z]+$"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -240,11 +244,11 @@ object Corpus {
 
   val qTfidfToptermsSql: String =
     """WITH tok AS (
-      |  SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |  FROM documents),
       |tf AS (
-      |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
-      |  WHERE regexp_matches(term, '^[a-z]+$')
+      |  SELECT doc_id, lower(tok) AS term, COUNT(*) AS tf FROM tok
+      |  WHERE regexp_matches(tok, '^[a-zA-Z]+$')
       |  GROUP BY 1, 2),
       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
       |n AS (SELECT COUNT(*) AS n_docs FROM documents),

@@ -562,8 +562,8 @@ object AnalyticsQueries {
   // ------------------------------------------------------------------
   // Bloom-filter semi-join reduction — the engine technique behind
   // runtime row-group skipping: compress the build side's key set
-  // (parts with p_size = 1) into a 4096-bit bloom bitmap (64 words ×
-  // 64 bits, 3 hash functions), probe the fact side's distinct keys
+  // (parts with p_size = 1) into a 4032-bit bloom bitmap (64 words ×
+  // 63 usable bits, 3 hash functions), probe the fact side's distinct keys
   // against it, and verify against the exact semi-join. At scale the
   // bitmap is O(1) to broadcast no matter how large the build side
   // grows, and the probe is a 64-row broadcast join — the fact table

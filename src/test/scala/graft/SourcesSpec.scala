@@ -108,8 +108,7 @@ class SourcesSpec extends AnyFunSuite {
            df.orderBy($"c_custkey").as[(Long, String, Double)].collect().toSeq)
     val plan = back.filter($"c_custkey" === 7L).queryExecution
       .executedPlan.toString
-    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,7)]") ||
-           plan.contains("EqualTo(c_custkey,7)"), plan.take(400))
+    assert(plan.contains("EqualTo(c_custkey,7)"), plan.take(400))
   }
 
   test("native vector expressions == HOF formulation, bit-exact") {
