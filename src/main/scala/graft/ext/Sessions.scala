@@ -327,7 +327,87 @@ object Sessions {
       |FROM est e JOIN days d USING (event_type)
       |ORDER BY 1""".stripMargin
 
+  // Funnel analysis: how many users progressed view → click → purchase
+  // IN ORDER (each step's first occurrence after the previous step's).
+  // One groupBy(user) with conditional min-timestamp aggregates — the
+  // two-phase step timestamps are derived per user, not via k-way
+  // self-joins, so the plan is a single shuffle however many steps.
+  // Steps are counted on the strictly-ordered first-occurrence chain:
+  // step2 = first click AFTER first view, step3 = first purchase AFTER
+  // that click.
+  val qFunnel: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("us"))).as("t_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(perUser, Seq("user_id"))
+      .filter(col("us") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("us") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+    perUser
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .agg(count(col("t_view")).as("n_step1_view"),
+           count(col("t_click")).as("n_step2_click"),
+           count(col("t_purchase")).as("n_step3_purchase"))
+  }
+
+  val qFunnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+      |v AS (
+      |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN us END) AS t_view
+      |  FROM ev GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.us) AS t_click
+      |  FROM ev e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.us > v.t_view
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.us) AS t_purchase
+      |  FROM ev e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us > c.t_click
+      |  GROUP BY 1)
+      |SELECT COUNT(v.t_view) AS n_step1_view,
+      |       COUNT(c.t_click) AS n_step2_click,
+      |       COUNT(p.t_purchase) AS n_step3_purchase
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
+  // Cohort retention: users grouped by first-activity week; for each
+  // (cohort, weeks-since) cell, how many distinct cohort members were
+  // active that week. The canonical engagement matrix — one firstseen
+  // aggregate + one join + one distinct count, all key-partitioned.
+  val qRetentionCohorts: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+              floor(unix_micros(col("ts")) / (7L * 86400L * 1000000L))
+                .cast("bigint").as("week"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("weeks_since"))
+  }
+
+  val qRetentionCohortsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |         CAST(FLOOR(epoch_us(ts) / 604800000000.0) AS BIGINT) AS week
+      |  FROM events),
+      |cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1)
+      |SELECT c.cohort_week, e.week - c.cohort_week AS weeks_since,
+      |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+      |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_funnel"          -> qFunnel,
+    "q_retention_cohorts" -> qRetentionCohorts,
     "q_incremental_distinct" -> qIncrementalDistinct,
     "q_session_window"  -> qSessionWindow,
     "q_sessionize"      -> qSessionize,
@@ -337,6 +417,8 @@ object Sessions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_funnel"          -> qFunnelSql,
+    "q_retention_cohorts" -> qRetentionCohortsSql,
     "q_incremental_distinct" -> qIncrementalDistinctSql,
     "q_session_window"  -> qSessionWindowSql,
     "q_sessionize"      -> qSessionizeSql,
