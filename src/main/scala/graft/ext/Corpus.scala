@@ -45,9 +45,17 @@ object Corpus {
     * returned frame is localCheckpoint'd so its lineage is one stable
     * scan, with every per-round cache released.
     */
-  def minLabelPropagate(vertices: DataFrame, edges: DataFrame): DataFrame = {
+  /** @param initLabels optional warm-start (doc_id, label) with
+    *   label(v) <= v and label(v) already a component member's id —
+    *   e.g. the star-rep minimum, which equals one full propagation
+    *   round from the identity labeling and so saves that round.
+    */
+  def minLabelPropagate(vertices: DataFrame, edges: DataFrame,
+                        initLabels: Option[DataFrame] = None): DataFrame = {
     val e = edges.persist()
-    var labels = vertices.select(col("doc_id"), col("doc_id").as("label")).persist()
+    var labels = initLabels
+      .getOrElse(vertices.select(col("doc_id"), col("doc_id").as("label")))
+      .persist()
     // Convergence check without a compare-join: labels are per-vertex
     // non-increasing, so Σlabel (exact decimal — ids can be huge at
     // scale) strictly decreases on every round that changed anything.
@@ -110,7 +118,14 @@ object Corpus {
     val edges = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
 
-    val finalLabels = minLabelPropagate(docs.select(col("doc_id")), edges)
+    // Warm start = min rep over the doc's groups ≡ the first propagation
+    // round from identity labels (each doc's neighbors are exactly its
+    // groups' reps; a rep's own group contributes itself) — one fewer
+    // join round to the same fixpoint.
+    val init = keyed.join(star, Seq("key"))
+      .groupBy(col("doc_id")).agg(min(col("rep")).as("label"))
+    val finalLabels =
+      minLabelPropagate(docs.select(col("doc_id")), edges, Some(init))
 
     val sizes = finalLabels.groupBy(col("label"))
       .agg(count(lit(1)).as("component_size"))
