@@ -108,11 +108,56 @@ object Multimodal {
       |       16 + CAST(octet_length(encode(text)) AS BIGINT) % 480 AS fake_height
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // Frame-sampling accounting over a real BINARY column: encode the doc
+  // to bytes, slice 4 evenly-spaced frames with binary substring, and
+  // emit per-frame length + md5 — the whole path (encode → binary
+  // slice → binary hash) runs on BinaryType in Spark. The oracle slices
+  // the STRING instead: the corpus is pure ASCII (1 byte/char,
+  // spec-checked), so the byte and character slices are identical and
+  // md5 agrees. Sampled to every 10th doc to keep output bounded.
+  val NumFrames = 4
+
+  val qFrameSample: Q = (s, d) => {
+    val payload = encode(col("text"), "UTF-8")
+    val len = octet_length(payload)
+    val frames = (0 until NumFrames).map { k =>
+      val start = (len * k / NumFrames).cast("int") + 1
+      val flen = (len * (k + 1) / NumFrames).cast("int") -
+        (len * k / NumFrames).cast("int")
+      struct(lit(k.toLong).as("frame_id"),
+             flen.cast("bigint").as("frame_bytes"),
+             md5(substring(payload, start, flen)).as("frame_md5"))
+    }
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0 && length(col("text")) >= NumFrames)
+      .select(col("doc_id"), explode(array(frames: _*)).as("f"))
+      .select(col("doc_id"), col("f.frame_id"), col("f.frame_bytes"),
+              col("f.frame_md5"))
+      .orderBy(col("doc_id"), col("frame_id"))
+  }
+
+  val qFrameSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len FROM documents
+       |  WHERE doc_id % 10 = 0 AND length(text) >= $NumFrames),
+       |f AS (
+       |  SELECT doc_id, k.k AS frame_id,
+       |         (len * (k.k + 1) // $NumFrames) - (len * k.k // $NumFrames) AS flen,
+       |         len * k.k // $NumFrames + 1 AS start,
+       |         text
+       |  FROM d CROSS JOIN generate_series(0, ${NumFrames - 1}) k(k))
+       |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+       |       CAST(flen AS BIGINT) AS frame_bytes,
+       |       md5(substring(text, CAST(start AS INT), CAST(flen AS INT))) AS frame_md5
+       |FROM f ORDER BY doc_id, frame_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
+    "q_frame_sample"    -> qFrameSample,
   )
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaSql,
+    "q_frame_sample"    -> qFrameSampleSql,
   )
 }

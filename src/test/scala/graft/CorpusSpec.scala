@@ -136,6 +136,15 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus is pure ASCII (q_frame_sample's byte==char slice premise)") {
+    val nonAscii = Tables.documents(spark, sf)
+      .filter(octet_length(encode(col("text"), "UTF-8")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0,
+           "documents contain multi-byte chars: q_frame_sample's oracle " +
+           "slices STRINGS and is only byte-identical on ASCII")
+  }
+
   test("q_inverted_index: postings head is sorted, df <= total tf") {
     val rows = Corpus.qInvertedIndex(spark, sf)
       .as[(String, Long, Long, String)].collect()
