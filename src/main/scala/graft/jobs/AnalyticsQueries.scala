@@ -735,7 +735,92 @@ object AnalyticsQueries {
        |WHERE e.event_type = 'error'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Per-group OLS linear fit (price ~ quantity) from the same exact
+  // DECIMAL sufficient statistics as q_corr_stats: slope and intercept
+  // derive in double from order-free exact sums, so a 1000-executor fit
+  // hash-matches a single-threaded one. The engines' built-in
+  // regr_slope would stream in partition order and could not.
+  // ------------------------------------------------------------------
+  val qLinearFit: Q = (s, d) => {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val sums = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(x.cast("decimal(28,2)")).as("sx"),
+           sum(y.cast("decimal(28,2)")).as("sy"),
+           sum((x * y).cast("decimal(28,4)")).as("sxy"),
+           sum((x * x).cast("decimal(28,4)")).as("sxx"))
+    val n = col("n").cast("double")
+    def dbl(c: String) = col(c).cast("double")
+    val slope = (n * dbl("sxy") - dbl("sx") * dbl("sy")) /
+      (n * dbl("sxx") - dbl("sx") * dbl("sx"))
+    sums.select(col("l_returnflag"), col("n"),
+                round(slope, 6).as("slope"),
+                round((dbl("sy") - slope * dbl("sx")) / n, 6).as("intercept"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qLinearFitSql: String =
+    """WITH sums AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |         SUM(CAST(l_quantity AS DECIMAL(28,2))) AS sx,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS sy,
+      |         SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS sxy,
+      |         SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS sxx
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+      |       round((CAST(sy AS DOUBLE)
+      |               - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |                  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+      |FROM sums ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Deterministic MODE per group: most frequent ship mode... of
+  // o_orderpriority per market segment, ties broken by value — the
+  // engines' built-in mode()/any_value have unspecified tie behavior,
+  // so the deterministic form is count + row_number, which also scales
+  // as two partial-aggregating shuffles.
+  // ------------------------------------------------------------------
+  val qMode: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val counts = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
+              col("cnt").as("mode_count"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qModeSql: String =
+    """WITH counts AS (
+      |  SELECT c_mktsegment, o_orderpriority, count(*) AS cnt
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+      |                               ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+      |  FROM counts)
+      |SELECT c_mktsegment, o_orderpriority AS mode_priority, cnt AS mode_count
+      |FROM ranked WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_linear_fit"     -> qLinearFit,
+    "q_mode"           -> qMode,
     "q_interval_bucket_join" -> qIntervalBucketJoin,
     "q_skyline"        -> qSkyline,
     "q_bloom_join"     -> qBloomJoin,
@@ -758,6 +843,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_linear_fit"     -> qLinearFitSql,
+    "q_mode"           -> qModeSql,
     "q_interval_bucket_join" -> qIntervalBucketJoinSql,
     "q_skyline"        -> qSkylineSql,
     "q_bloom_join"     -> qBloomJoinSql,
