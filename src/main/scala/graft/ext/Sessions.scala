@@ -405,7 +405,112 @@ object Sessions {
       |FROM ev e JOIN cohort c ON e.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // Ingestion anomaly detection: per event_type, flag days whose event
+  // count deviates from that type's mean by more than Z standard
+  // deviations — the data-quality gate a pipeline runs before trusting
+  // a day's partition. Mean/std derive in double from exact integer
+  // sums (order-free at any parallelism); the z-score itself is per-row
+  // IEEE math rounded before the threshold compare.
+  val AnomalyZ = 1.5
+
+  val qAnomalyDays: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+           sum(col("cnt")).as("s1"),
+           sum(col("cnt") * col("cnt")).as("s2"))
+    val n = col("n_days").cast("double")
+    val mean = col("s1").cast("double") / n
+    val variance = (col("s2").cast("double") - n * mean * mean) / (n - 1.0)
+    daily.join(stats, Seq("event_type"))
+      .withColumn("z", round((col("cnt") - mean) / sqrt(variance), 6))
+      .filter(abs(col("z")) > AnomalyZ)
+      .select(col("event_type"),
+              date_format(col("day"), "yyyy-MM-dd").as("day"),
+              col("cnt"), col("z"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qAnomalyDaysSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT event_type, count(*) AS n_days,
+       |         CAST(SUM(cnt) AS BIGINT) AS s1,
+       |         CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+       |  FROM daily GROUP BY 1),
+       |scored AS (
+       |  SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.cnt,
+       |         round((d.cnt - CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE)) /
+       |               sqrt((CAST(s.s2 AS DOUBLE)
+       |                      - CAST(s.n_days AS DOUBLE)
+       |                        * (CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+       |                        * (CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE)))
+       |                    / (CAST(s.n_days AS DOUBLE) - 1.0)), 6) AS z
+       |  FROM daily d JOIN stats s ON d.event_type = s.event_type)
+       |SELECT event_type, day, cnt, z FROM scored WHERE abs(z) > $AnomalyZ
+       |ORDER BY 1, 2""".stripMargin
+
+  // Lag-1 autocorrelation of the daily event-count series per type —
+  // the temporal-stats shape (is yesterday predictive of today?): one
+  // window lag to pair consecutive days, then the exact-sufficient-sums
+  // Pearson over the pairs, same discipline as q_corr_stats.
+  val qAutocorr: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pairs = daily
+      .withColumn("prev", lag(col("cnt"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val sums = pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("cnt")).as("sx"), sum(col("prev")).as("sy"),
+           sum(col("cnt") * col("prev")).as("sxy"),
+           sum(col("cnt") * col("cnt")).as("sxx"),
+           sum(col("prev") * col("prev")).as("syy"))
+    val n = col("n").cast("double")
+    def dbl(c: String) = col(c).cast("double")
+    val num = n * dbl("sxy") - dbl("sx") * dbl("sy")
+    val den = sqrt(n * dbl("sxx") - dbl("sx") * dbl("sx")) *
+      sqrt(n * dbl("syy") - dbl("sy") * dbl("sy"))
+    sums.select(col("event_type"), col("n"),
+                round(num / den, 6).as("lag1_autocorr"))
+      .orderBy(col("event_type"))
+  }
+
+  val qAutocorrSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT event_type, cnt,
+      |         lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      |  FROM daily),
+      |sums AS (
+      |  SELECT event_type, count(*) AS n,
+      |         CAST(SUM(cnt) AS BIGINT) AS sx, CAST(SUM(prev) AS BIGINT) AS sy,
+      |         CAST(SUM(cnt * prev) AS BIGINT) AS sxy,
+      |         CAST(SUM(cnt * cnt) AS BIGINT) AS sxx,
+      |         CAST(SUM(prev * prev) AS BIGINT) AS syy
+      |  FROM pairs WHERE prev IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n,
+      |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |             (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |              sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |         AS lag1_autocorr
+      |FROM sums ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_anomaly_days"    -> qAnomalyDays,
+    "q_autocorr"        -> qAutocorr,
     "q_funnel"          -> qFunnel,
     "q_retention_cohorts" -> qRetentionCohorts,
     "q_incremental_distinct" -> qIncrementalDistinct,
@@ -417,6 +522,8 @@ object Sessions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_anomaly_days"    -> qAnomalyDaysSql,
+    "q_autocorr"        -> qAutocorrSql,
     "q_funnel"          -> qFunnelSql,
     "q_retention_cohorts" -> qRetentionCohortsSql,
     "q_incremental_distinct" -> qIncrementalDistinctSql,
