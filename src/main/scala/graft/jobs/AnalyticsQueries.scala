@@ -818,7 +818,70 @@ object AnalyticsQueries {
       |SELECT c_mktsegment, o_orderpriority AS mode_priority, cnt AS mode_count
       |FROM ranked WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Item co-occurrence — the recommender building block ("bought
+  // together"): self-join lineitems on the order, count part pairs,
+  // keep the top-20 pairs. The pair explosion is bounded by
+  // items-per-order (k items → k(k−1)/2 pairs), NOT corpus size, so
+  // the shuffle grows linearly with orders; brand-level pairing keeps
+  // the output domain stable across scale factors.
+  // ------------------------------------------------------------------
+  val qCooccurrence: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    val items = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val a = items.select(col("l_orderkey"), col("p_brand").as("brand_a"))
+    val b = items.select(col("l_orderkey"), col("p_brand").as("brand_b"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"))
+      .limit(20)
+  }
+
+  val qCooccurrenceSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, p_brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+      |       count(*) AS n_orders
+      |FROM items a JOIN items b
+      |  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      |GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2 LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Event transition matrix (clickstream Markov counts): for each user,
+  // pair every event with its successor via one window lead, then count
+  // (from, to) transitions globally — the session-flow shape behind
+  // "what do users do after X". One shuffle on user, one on the pair.
+  // ------------------------------------------------------------------
+  val qTransitionMatrix: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val qTransitionMatrixSql: String =
+    """WITH nxt AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS to_type
+      |  FROM events)
+      |SELECT from_type, to_type, count(*) AS n_transitions
+      |FROM nxt WHERE to_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_cooccurrence"   -> qCooccurrence,
+    "q_transition_matrix" -> qTransitionMatrix,
     "q_linear_fit"     -> qLinearFit,
     "q_mode"           -> qMode,
     "q_interval_bucket_join" -> qIntervalBucketJoin,
@@ -843,6 +906,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cooccurrence"   -> qCooccurrenceSql,
+    "q_transition_matrix" -> qTransitionMatrixSql,
     "q_linear_fit"     -> qLinearFitSql,
     "q_mode"           -> qModeSql,
     "q_interval_bucket_join" -> qIntervalBucketJoinSql,
