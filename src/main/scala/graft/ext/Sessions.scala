@@ -508,7 +508,81 @@ object Sessions {
       |         AS lag1_autocorr
       |FROM sums ORDER BY 1""".stripMargin
 
+  // Hopping (sliding) window aggregation: 1-hour windows every 30
+  // minutes — each event lands in exactly 2 overlapping windows.
+  // Spark's window(ts, len, slide) is the Structured-Streaming-
+  // compatible operator; the oracle reproduces the window set
+  // relationally (each event joins its ⌊len/slide⌋ covering grid
+  // starts). Exact decimal value sums as everywhere.
+  val qHoppingWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+              col("event_type"), col("n_events"), col("value_sum"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val qHoppingWindowSql: String =
+    """WITH g AS (
+      |  SELECT event_type, value,
+      |         to_timestamp(epoch(ts) - epoch(ts) % 1800) AS grid
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, value, grid AS w_start FROM g
+      |  UNION ALL
+      |  SELECT event_type, value, grid - INTERVAL 30 MINUTE FROM g)
+      |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+      |       count(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // Ratio-to-report + YoY growth: yearly revenue per market segment
+  // with each year's share of its segment total and growth vs the
+  // prior year — window functions OVER an aggregate (the reporting
+  // layer's standard shape). Ratios are double divisions of exact
+  // decimal sums, rounded before compare.
+  val qShareGrowth: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val yearly = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+               year(col("o_orderdate")).cast("bigint").as("yr"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val wSeg = Window.partitionBy(col("c_mktsegment"))
+    val wLag = Window.partitionBy(col("c_mktsegment")).orderBy(col("yr"))
+    yearly
+      .withColumn("seg_total", sum(col("rev")).over(wSeg))
+      .withColumn("prev_rev", lag(col("rev"), 1).over(wLag))
+      .select(col("c_mktsegment"), col("yr"),
+              col("rev").cast("double").as("revenue"),
+              round(col("rev").cast("double") / col("seg_total").cast("double"), 6)
+                .as("share_of_segment"),
+              round(col("rev").cast("double") / col("prev_rev").cast("double")
+                      - 1.0, 6).as("yoy_growth"))
+      .orderBy(col("c_mktsegment"), col("yr"))
+  }
+
+  val qShareGrowthSql: String =
+    """WITH yearly AS (
+      |  SELECT c_mktsegment, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT c_mktsegment, yr,
+      |       CAST(rev AS DOUBLE) AS revenue,
+      |       round(CAST(rev AS DOUBLE) /
+      |             CAST(SUM(rev) OVER (PARTITION BY c_mktsegment) AS DOUBLE), 6)
+      |         AS share_of_segment,
+      |       round(CAST(rev AS DOUBLE) /
+      |             CAST(lag(rev) OVER (PARTITION BY c_mktsegment ORDER BY yr)
+      |                  AS DOUBLE) - 1.0, 6) AS yoy_growth
+      |FROM yearly ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_hopping_window"  -> qHoppingWindow,
+    "q_share_growth"    -> qShareGrowth,
     "q_anomaly_days"    -> qAnomalyDays,
     "q_autocorr"        -> qAutocorr,
     "q_funnel"          -> qFunnel,
@@ -522,6 +596,8 @@ object Sessions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hopping_window"  -> qHoppingWindowSql,
+    "q_share_growth"    -> qShareGrowthSql,
     "q_anomaly_days"    -> qAnomalyDaysSql,
     "q_autocorr"        -> qAutocorrSql,
     "q_funnel"          -> qFunnelSql,
