@@ -44,16 +44,22 @@ object Corpus {
     * unique); each round is one equi-join + partial-aggregating min; the
     * returned frame is localCheckpoint'd so its lineage is one stable
     * scan, with every per-round cache released.
-    */
-  /** @param initLabels optional warm-start (doc_id, label) with
-    *   label(v) <= v and label(v) already a component member's id —
-    *   e.g. the star-rep minimum, which equals one full propagation
-    *   round from the identity labeling and so saves that round.
+    *
+    * @param initLabels optional warm-start (doc_id, label) with
+    *   label(v) <= v and label(v) a member of v's component — e.g. the
+    *   star-rep minimum, which equals one full propagation round from
+    *   the identity labeling and so saves that round. Vertices missing
+    *   from the warm start fall back to identity (left join below), so
+    *   a partial warm start can never silently drop vertices.
     */
   def minLabelPropagate(vertices: DataFrame, edges: DataFrame,
                         initLabels: Option[DataFrame] = None): DataFrame = {
     val e = edges.persist()
     var labels = initLabels
+      .map(init => vertices.alias("v")
+        .join(init.alias("i"), col("v.doc_id") === col("i.doc_id"), "left")
+        .select(col("v.doc_id").as("doc_id"),
+                coalesce(col("i.label"), col("v.doc_id")).as("label")))
       .getOrElse(vertices.select(col("doc_id"), col("doc_id").as("label")))
       .persist()
     // Convergence check without a compare-join: labels are per-vertex

@@ -336,10 +336,15 @@ object Sessions {
   // step2 = first click AFTER first view, step3 = first purchase AFTER
   // that click.
   val qFunnel: Q = (s, d) => {
+    // One filtered projection feeds all steps: only the funnel's three
+    // event types ever reach a shuffle, and step 1 groups view rows
+    // only — non-funnel volume (errors, pings) never ships.
     val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-    val perUser = ev.groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "view", col("us"))).as("t_view"))
+    val perUser = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t_view"))
     val clicks = ev.filter(col("event_type") === "click")
       .join(perUser, Seq("user_id"))
       .filter(col("us") > col("t_view"))
@@ -358,10 +363,11 @@ object Sessions {
 
   val qFunnelSql: String =
     """WITH ev AS (
-      |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+      |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
       |v AS (
-      |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN us END) AS t_view
-      |  FROM ev GROUP BY 1),
+      |  SELECT user_id, MIN(us) AS t_view
+      |  FROM ev WHERE event_type = 'view' GROUP BY 1),
       |c AS (
       |  SELECT e.user_id, MIN(e.us) AS t_click
       |  FROM ev e JOIN v ON e.user_id = v.user_id
@@ -424,9 +430,13 @@ object Sessions {
     val n = col("n_days").cast("double")
     val mean = col("s1").cast("double") / n
     val variance = (col("s2").cast("double") - n * mean * mean) / (n - 1.0)
+    // Degenerate series guard: a single-day or zero-variance type has
+    // no meaningful z (0/0 = NaN, and NaN > threshold is TRUE in both
+    // engines' NaN-high orderings — every day would be "anomalous").
     daily.join(stats, Seq("event_type"))
-      .withColumn("z", round((col("cnt") - mean) / sqrt(variance), 6))
-      .filter(abs(col("z")) > AnomalyZ)
+      .withColumn("var_", variance)
+      .withColumn("z", round((col("cnt") - mean) / sqrt(col("var_")), 6))
+      .filter(col("n_days") > 1 && col("var_") > 0 && abs(col("z")) > AnomalyZ)
       .select(col("event_type"),
               date_format(col("day"), "yyyy-MM-dd").as("day"),
               col("cnt"), col("z"))
@@ -444,6 +454,12 @@ object Sessions {
        |  FROM daily GROUP BY 1),
        |scored AS (
        |  SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.cnt,
+       |         s.n_days,
+       |         (CAST(s.s2 AS DOUBLE)
+       |            - CAST(s.n_days AS DOUBLE)
+       |              * (CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+       |              * (CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE)))
+       |           / (CAST(s.n_days AS DOUBLE) - 1.0) AS var_,
        |         round((d.cnt - CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE)) /
        |               sqrt((CAST(s.s2 AS DOUBLE)
        |                      - CAST(s.n_days AS DOUBLE)
@@ -451,7 +467,8 @@ object Sessions {
        |                        * (CAST(s.s1 AS DOUBLE) / CAST(s.n_days AS DOUBLE)))
        |                    / (CAST(s.n_days AS DOUBLE) - 1.0)), 6) AS z
        |  FROM daily d JOIN stats s ON d.event_type = s.event_type)
-       |SELECT event_type, day, cnt, z FROM scored WHERE abs(z) > $AnomalyZ
+       |SELECT event_type, day, cnt, z FROM scored
+       |WHERE n_days > 1 AND var_ > 0 AND abs(z) > $AnomalyZ
        |ORDER BY 1, 2""".stripMargin
 
   // Lag-1 autocorrelation of the daily event-count series per type —
@@ -478,8 +495,10 @@ object Sessions {
     val num = n * dbl("sxy") - dbl("sx") * dbl("sy")
     val den = sqrt(n * dbl("sxx") - dbl("sx") * dbl("sx")) *
       sqrt(n * dbl("syy") - dbl("sy") * dbl("sy"))
+    // NULL (not NaN) for constant series: den = 0 would give 0/0 = NaN,
+    // and NaN != NaN breaks any exact gate even when both engines agree.
     sums.select(col("event_type"), col("n"),
-                round(num / den, 6).as("lag1_autocorr"))
+                when(den =!= 0.0, round(num / den, 6)).as("lag1_autocorr"))
       .orderBy(col("event_type"))
   }
 
@@ -497,16 +516,19 @@ object Sessions {
       |         CAST(SUM(cnt * prev) AS BIGINT) AS sxy,
       |         CAST(SUM(cnt * cnt) AS BIGINT) AS sxx,
       |         CAST(SUM(prev * prev) AS BIGINT) AS syy
-      |  FROM pairs WHERE prev IS NOT NULL GROUP BY 1)
+      |  FROM pairs WHERE prev IS NOT NULL GROUP BY 1),
+      |derived AS (
+      |  SELECT event_type, n,
+      |         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+      |         sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den
+      |  FROM sums)
       |SELECT event_type, n,
-      |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-      |             (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-      |              sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-      |         AS lag1_autocorr
-      |FROM sums ORDER BY 1""".stripMargin
+      |       CASE WHEN den <> 0 THEN round(num / den, 6) END AS lag1_autocorr
+      |FROM derived ORDER BY 1""".stripMargin
 
   // Hopping (sliding) window aggregation: 1-hour windows every 30
   // minutes — each event lands in exactly 2 overlapping windows.
@@ -523,10 +545,14 @@ object Sessions {
               col("event_type"), col("n_events"), col("value_sum"))
       .orderBy(col("w_start"), col("event_type"))
 
+  // Oracle stays in the NAIVE timestamp domain: to_timestamp() would
+  // return TIMESTAMPTZ and strftime would then render it in the host's
+  // session TimeZone (environment-dependent gate); make_timestamp(µs)
+  // keeps the plain-TIMESTAMP rendering that matches Spark's UTC pin.
   val qHoppingWindowSql: String =
     """WITH g AS (
       |  SELECT event_type, value,
-      |         to_timestamp(epoch(ts) - epoch(ts) % 1800) AS grid
+      |         make_timestamp(epoch_us(ts) - epoch_us(ts) % 1800000000) AS grid
       |  FROM events),
       |w AS (
       |  SELECT event_type, value, grid AS w_start FROM g
