@@ -112,6 +112,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("funnel steps are monotone non-increasing") {
+    val Array((s1, s2, s3)) = Sessions.qFunnel(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(s1 >= s2 && s2 >= s3, s"funnel not monotone: $s1 >= $s2 >= $s3")
+    assert(s1 > 0)
+  }
+
+  test("transition counts conserve: sum == total events - distinct users") {
+    import graft.jobs.AnalyticsQueries
+    val total = AnalyticsQueries.qTransitionMatrix(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum($"n_transitions")).as[Long].head
+    val ev = Tables.events(spark, sf)
+    val want = ev.count() - ev.select($"user_id").distinct().count()
+    assert(total == want, s"transitions $total != events - users $want")
+  }
+
   test("incremental HLL (daily states merged) == one-shot HLL estimate") {
     val oneShot = Sessions.qApproxDistinct(spark, sf)
       .select($"event_type", $"approx_users").as[(String, Double)].collect().toMap
