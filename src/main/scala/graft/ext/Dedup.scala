@@ -321,7 +321,46 @@ object Dedup {
       |SELECT label, vec_a, vec_b, cos FROM scored WHERE cos >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // Incremental (cross-batch) dedup — the daily-ingest shape: a new
+  // batch keeps only docs whose content hash is NOT already in the
+  // historical corpus. History/new split by doc_id parity so the query
+  // is scale-free; the membership test is a LEFT ANTI join on the
+  // 256-bit hash (at 100 TB: new-batch side is small, history hash set
+  // is a bucketed table or bloom pre-filter — see q_bloom_join — and
+  // the anti join never materializes matches). Per-language accounting
+  // of kept vs dropped.
+  val qDedupIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), sha2(col("text"), 256).as("h"))
+    val history = docs.filter(col("doc_id") % 2 === 0).select(col("h")).distinct()
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    val kept = fresh.join(history, Seq("h"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    fresh.groupBy(col("lang")).agg(count(lit(1)).as("n_new"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_new"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              (col("n_new") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy(col("lang"))
+  }
+
+  val qDedupIncrementalSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, sha256(text) AS h FROM documents),
+      |history AS (SELECT DISTINCT h FROM docs WHERE doc_id % 2 = 0),
+      |fresh AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+      |kept AS (
+      |  SELECT lang, count(*) AS n_kept FROM fresh f
+      |  WHERE NOT EXISTS (SELECT 1 FROM history x WHERE x.h = f.h)
+      |  GROUP BY 1)
+      |SELECT f.lang, count(*) AS n_new,
+      |       CAST(COALESCE(MAX(k.n_kept), 0) AS BIGINT) AS n_kept,
+      |       CAST(count(*) - COALESCE(MAX(k.n_kept), 0) AS BIGINT) AS n_dropped
+      |FROM fresh f LEFT JOIN kept k ON f.lang = k.lang
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_exact"   -> qDedupExact,
     "q_dedup_block"   -> qDedupBlock,
@@ -331,6 +370,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_dedup_exact"   -> qDedupExactSql,
     "q_dedup_block"   -> qDedupBlockSql,
