@@ -606,7 +606,65 @@ object Sessions {
       |                  AS DOUBLE) - 1.0, 6) AS yoy_growth
       |FROM yearly ORDER BY 1, 2""".stripMargin
 
+  // Count-Min sketch — the classic point-frequency summary completing
+  // the sketch family (HLL distinct, Misra-Gries heavy hitters, TopK,
+  // binned quantiles): a depth×width counter matrix built with one
+  // groupBy (mergeable: matrices add), probed by min over the depth
+  // rows — estimates never undercount (spec-pinned). Same portable
+  // md5 + affine hash family as MinHash, so DuckDB rebuilds the
+  // identical matrix and the estimates hash-match exactly.
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  val qCountMin: Q = (s, d) => {
+    def cmHash(x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      ((i * 2L + 1L) * x + (i * 1000003L + 12345L)) % graft.ops.Ops.HashModP % CmsWidth
+    val hashed = Tables.events(s, d)
+      .select(col("user_id"),
+              (graft.ops.Ops.md5Bits60(concat(col("user_id").cast("string"), lit(":cm")))
+                 % graft.ops.Ops.HashModP).as("x"))
+    val sketch = hashed
+      .select(col("x"), explode(sequence(lit(0L), lit(CmsDepth - 1L))).as("i"))
+      .groupBy(col("i"), cmHash(col("x"), col("i")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = hashed.filter(col("user_id") % 7 === 0)
+      .groupBy(col("user_id"), col("x")).agg(count(lit(1)).as("exact_n"))
+    probes
+      .select(col("user_id"), col("exact_n"),
+              explode(sequence(lit(0L), lit(CmsDepth - 1L))).as("pi"), col("x"))
+      .join(sketch, sketch("i") === col("pi") &&
+                    sketch("bucket") === cmHash(col("x"), col("pi")))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .orderBy(col("user_id"))
+  }
+
+  val qCountMinSql: String =
+    s"""WITH hashed AS (
+       |  SELECT user_id,
+       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':cm'), 1, 15))::BIGINT
+       |           % 1000000007 AS x
+       |  FROM events),
+       |sketch AS (
+       |  SELECT i.i AS i,
+       |         ((i.i * 2 + 1) * x + (i.i * 1000003 + 12345)) % 1000000007
+       |           % $CmsWidth AS bucket,
+       |         count(*) AS cnt
+       |  FROM hashed CROSS JOIN generate_series(0, ${CmsDepth - 1}) i(i)
+       |  GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT user_id, x, count(*) AS exact_n FROM hashed
+       |  WHERE user_id % 7 = 0 GROUP BY 1, 2)
+       |SELECT p.user_id, p.exact_n, CAST(MIN(s.cnt) AS BIGINT) AS cms_est
+       |FROM probes p CROSS JOIN generate_series(0, ${CmsDepth - 1}) i(i)
+       |JOIN sketch s
+       |  ON s.i = i.i
+       | AND s.bucket = ((i.i * 2 + 1) * p.x + (i.i * 1000003 + 12345)) % 1000000007
+       |                 % $CmsWidth
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_count_min"       -> qCountMin,
     "q_hopping_window"  -> qHoppingWindow,
     "q_share_growth"    -> qShareGrowth,
     "q_anomaly_days"    -> qAnomalyDays,
@@ -622,6 +680,7 @@ object Sessions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_count_min"       -> qCountMinSql,
     "q_hopping_window"  -> qHoppingWindowSql,
     "q_share_growth"    -> qShareGrowthSql,
     "q_anomaly_days"    -> qAnomalyDaysSql,

@@ -112,6 +112,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("count-min estimates never undercount the exact frequency") {
+    val rows = Sessions.qCountMin(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (user, exact, est) =>
+      assert(est >= exact, s"user $user: CMS $est < exact $exact")
+    }
+  }
+
   test("funnel steps are monotone non-increasing") {
     val Array((s1, s2, s3)) = Sessions.qFunnel(spark, sf)
       .as[(Long, Long, Long)].collect()
