@@ -149,7 +149,7 @@ object Corpus {
   val qDedupClusterSql: String =
     """WITH RECURSIVE docs AS (
       |  SELECT doc_id, lang, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_bucket,
-      |         lower(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+      |         lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS nt
       |  FROM documents),
       |keyed AS (
       |  SELECT doc_id, lang || '|' || len_bucket || '|' || substring(nt, 1, 40) AS key
@@ -293,7 +293,6 @@ object Corpus {
   // NON-distinct (frequency matters), unlike the dedup shingles.
   // -------------------------------------------------------------------
   val qRepetitionScore: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), Ops.tokens(col("text")).as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("bigint"))
@@ -308,13 +307,15 @@ object Corpus {
     val counted = bigrams
       .groupBy(col("doc_id"), col("n_toks"), col("dup_tok_frac"), col("bigram"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("cnt").desc, col("bigram").asc)
-    counted.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // min_by over a unique (−cnt, bigram) struct key ≡ the
+    // (cnt DESC, bigram ASC) row_number()=1 window, folded into a second
+    // partial-aggregating shuffle instead of a whole-group sort.
+    counted.groupBy(col("doc_id"), col("n_toks"), col("dup_tok_frac"))
+      .agg(min_by(struct(col("bigram"), col("cnt")),
+                  struct((-col("cnt")).as("neg_cnt"), col("bigram"))).as("m"))
       .select(col("doc_id"), col("n_toks"), col("dup_tok_frac"),
-              col("bigram").as("top_bigram"),
-              round(col("cnt").cast("double") /
+              col("m.bigram").as("top_bigram"),
+              round(col("m.cnt").cast("double") /
                       (col("n_toks") - 1).cast("double"), 6)
                 .as("top_bigram_frac"))
       .orderBy(col("doc_id"))

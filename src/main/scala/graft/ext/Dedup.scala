@@ -47,7 +47,7 @@ object Dedup {
 
   val qDedupBlockSql: String =
     """SELECT lang, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_bucket,
-      |       substring(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 40) AS prefix,
+      |       substring(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')), 1, 40) AS prefix,
       |       count(*) AS n_docs, min(doc_id) AS canonical_id
       |FROM documents GROUP BY 1, 2, 3 HAVING count(*) > 1
       |ORDER BY canonical_id""".stripMargin
@@ -55,6 +55,16 @@ object Dedup {
   // Word-3-gram Jaccard near-dup within deterministic blocks
   // (lang, n_chars/20): all-pairs only *inside* a block, so the pair count
   // stays linear-ish in corpus size as long as blocks stay bounded.
+  //
+  // Hot-gram cap: a gram shared by k docs in one block contributes k(k−1)/2
+  // candidate pairs, so one boilerplate gram makes the self-join quadratic
+  // in per-block duplicate density. Grams with per-block doc-frequency
+  // above MaxGramDf are dropped BEFORE the self-join — a gram that common
+  // carries no discriminative signal — and the Jaccard is computed over
+  // each doc's RARE gram set. Total candidate pairs are then bounded by
+  // MaxGramDf × total postings: linear in corpus size by construction.
+  val MaxGramDf = 16L
+
   val qNgramJaccard: Q = (s, d) => {
     // Inverted-index formulation: explode each doc's (distinct) grams and
     // count shared grams per candidate pair via a gram-keyed equi-join —
@@ -67,17 +77,30 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
               floor(col("n_chars") / 20.0).cast("bigint").as("len_bucket"),
               Ops.shingles(Ops.tokens(col("text")), 3).as("grams"))
-      .withColumn("n_grams", size(col("grams")))
-    val inv = docs.select(col("lang"), col("len_bucket"), col("doc_id"),
-                          col("n_grams"), explode(col("grams")).as("gram"))
-    val a = inv.select(col("lang"), col("len_bucket"), col("gram"),
-                       col("doc_id").as("doc_a"), col("n_grams").as("n_a"))
-    val b = inv.select(col("lang"), col("len_bucket"), col("gram"),
-                       col("doc_id").as("doc_b"), col("n_grams").as("n_b"))
-    a.join(b, Seq("lang", "len_bucket", "gram"))
+    val inv0 = docs.select(col("lang"), col("len_bucket"), col("doc_id"),
+                           explode(col("grams")).as("gram"))
+    // Per-block gram document-frequency; partial-aggregating shuffle, then
+    // an equi-join back (k postings × 1 df row — no blowup even for the
+    // hot grams this exists to drop).
+    val dfreq = inv0.groupBy(col("lang"), col("len_bucket"), col("gram"))
+      .agg(count(lit(1)).as("gram_df"))
+      .filter(col("gram_df") <= MaxGramDf)
+      .drop("gram_df")
+    val rare = inv0.join(dfreq, Seq("lang", "len_bucket", "gram"))
+    val nRare = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val a = rare.select(col("lang"), col("len_bucket"), col("gram"),
+                        col("doc_id").as("doc_a"))
+    val b = rare.select(col("lang"), col("len_bucket"), col("gram"),
+                        col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("lang", "len_bucket", "gram"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(nRare.select(col("doc_id").as("doc_a"), col("n_grams").as("n_a")),
+            Seq("doc_a"))
+      .join(nRare.select(col("doc_id").as("doc_b"), col("n_grams").as("n_b")),
+            Seq("doc_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= 0.5)
@@ -86,20 +109,33 @@ object Dedup {
   }
 
   val qNgramJaccardSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id, lang, CAST(FLOOR(n_chars / 20.0) AS BIGINT) AS len_bucket,
-      |         list_distinct(list_transform(
-      |           range(greatest(len(string_split(text, ' ')) - 2, 1)),
-      |           i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS grams
-      |  FROM documents)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-      |         len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
-      |FROM sh a JOIN sh b
-      |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-      |        len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
-      |ORDER BY 1, 2""".stripMargin
+    s"""WITH sh AS (
+       |  SELECT doc_id, lang, CAST(FLOOR(n_chars / 20.0) AS BIGINT) AS len_bucket,
+       |         list_distinct(list_transform(
+       |           range(greatest(len(string_split(text, ' ')) - 2, 1)),
+       |           i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS grams
+       |  FROM documents),
+       |inv AS (
+       |  SELECT doc_id, lang, len_bucket, unnest(grams) AS gram FROM sh),
+       |rare AS (
+       |  SELECT doc_id, lang, len_bucket, gram FROM inv
+       |  QUALIFY count(*) OVER (PARTITION BY lang, len_bucket, gram) <= ${MaxGramDf}),
+       |n AS (SELECT doc_id, count(*) AS n_grams FROM rare GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM rare a JOIN rare b
+       |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+       |   AND a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(p.n_common AS DOUBLE) / (na.n_grams + nb.n_grams - p.n_common)
+       |         AS jaccard
+       |FROM pairs p
+       |JOIN n na ON p.doc_a = na.doc_id
+       |JOIN n nb ON p.doc_b = nb.doc_id
+       |WHERE CAST(p.n_common AS DOUBLE) / (na.n_grams + nb.n_grams - p.n_common)
+       |        >= 0.5
+       |ORDER BY 1, 2""".stripMargin
 
   // MinHash + LSH near-dup (non-SQL-expressible → rows-only check):
   // shingle → 32-hash MinHash signature → 8 bands × 4 rows → bucket
@@ -269,7 +305,7 @@ object Dedup {
        |             list_transform(range(1, least(length(nt), 64) + 1),
        |                            i -> CAST(ascii(substr(nt, CAST(i AS INT), 1)) AS BIGINT)),
        |             (a, c) -> (a*31 + c) % 1000000007) END AS fingerprint
-       |  FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS nt FROM documents))
+       |  FROM (SELECT doc_id, lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS nt FROM documents))
        |SELECT s.doc_id, s.simhash, CAST(f.fingerprint AS BIGINT) AS fingerprint
        |FROM sh s JOIN fp f ON s.doc_id = f.doc_id
        |ORDER BY s.doc_id""".stripMargin

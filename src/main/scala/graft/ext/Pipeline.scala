@@ -78,7 +78,7 @@ object Pipeline {
        |          + CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
        |              / CAST(n_chars AS DOUBLE)
        |          + least((${scoreExpr(TextOps.EnStop)}) / 3.0, 1.0)) / 3.0 AS quality,
-       |         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+       |         md5(lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fingerprint
        |  FROM documents),
        |gated AS (SELECT * FROM scored WHERE quality >= ${QualityFloor}),
        |kept AS (

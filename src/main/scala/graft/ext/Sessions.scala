@@ -414,9 +414,11 @@ object Sessions {
   // Ingestion anomaly detection: per event_type, flag days whose event
   // count deviates from that type's mean by more than Z standard
   // deviations — the data-quality gate a pipeline runs before trusting
-  // a day's partition. Mean/std derive in double from exact integer
-  // sums (order-free at any parallelism); the z-score itself is per-row
-  // IEEE math rounded before the threshold compare.
+  // a day's partition. Mean/std derive in double from exact sums
+  // (order-free at any parallelism); the squared term multiplies in
+  // DECIMAL so extreme per-day counts can't silently wrap in BIGINT
+  // (Spark non-ANSI wraps where DuckDB raises). The z-score itself is
+  // per-row IEEE math rounded before the threshold compare.
   val AnomalyZ = 1.5
 
   val qAnomalyDays: Q = (s, d) => {
@@ -426,7 +428,7 @@ object Sessions {
     val stats = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
            sum(col("cnt")).as("s1"),
-           sum(col("cnt") * col("cnt")).as("s2"))
+           sum(col("cnt").cast("decimal(19,0)") * col("cnt")).as("s2"))
     val n = col("n_days").cast("double")
     val mean = col("s1").cast("double") / n
     val variance = (col("s2").cast("double") - n * mean * mean) / (n - 1.0)
@@ -450,7 +452,7 @@ object Sessions {
        |stats AS (
        |  SELECT event_type, count(*) AS n_days,
        |         CAST(SUM(cnt) AS BIGINT) AS s1,
-       |         CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+       |         SUM(CAST(cnt AS HUGEINT) * cnt) AS s2
        |  FROM daily GROUP BY 1),
        |scored AS (
        |  SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.cnt,
@@ -487,9 +489,11 @@ object Sessions {
     val sums = pairs.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(col("cnt")).as("sx"), sum(col("prev")).as("sy"),
-           sum(col("cnt") * col("prev")).as("sxy"),
-           sum(col("cnt") * col("cnt")).as("sxx"),
-           sum(col("prev") * col("prev")).as("syy"))
+           // DECIMAL-widened products: BIGINT cnt*cnt would wrap
+           // silently in Spark (non-ANSI) at extreme daily counts.
+           sum(col("cnt").cast("decimal(19,0)") * col("prev")).as("sxy"),
+           sum(col("cnt").cast("decimal(19,0)") * col("cnt")).as("sxx"),
+           sum(col("prev").cast("decimal(19,0)") * col("prev")).as("syy"))
     val n = col("n").cast("double")
     def dbl(c: String) = col(c).cast("double")
     val num = n * dbl("sxy") - dbl("sx") * dbl("sy")
@@ -513,9 +517,9 @@ object Sessions {
       |sums AS (
       |  SELECT event_type, count(*) AS n,
       |         CAST(SUM(cnt) AS BIGINT) AS sx, CAST(SUM(prev) AS BIGINT) AS sy,
-      |         CAST(SUM(cnt * prev) AS BIGINT) AS sxy,
-      |         CAST(SUM(cnt * cnt) AS BIGINT) AS sxx,
-      |         CAST(SUM(prev * prev) AS BIGINT) AS syy
+      |         SUM(CAST(cnt AS HUGEINT) * prev) AS sxy,
+      |         SUM(CAST(cnt AS HUGEINT) * cnt) AS sxx,
+      |         SUM(CAST(prev AS HUGEINT) * prev) AS syy
       |  FROM pairs WHERE prev IS NOT NULL GROUP BY 1),
       |derived AS (
       |  SELECT event_type, n,

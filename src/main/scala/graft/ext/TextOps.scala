@@ -163,7 +163,7 @@ object TextOps {
       .orderBy(col("canonical_id"))
 
   val qFingerprintSql: String =
-    """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+    """SELECT md5(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fingerprint,
       |       min(doc_id) AS canonical_id, count(*) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin
 

@@ -784,25 +784,29 @@ object AnalyticsQueries {
       |FROM sums ORDER BY 1""".stripMargin
 
   // ------------------------------------------------------------------
-  // Deterministic MODE per group: most frequent ship mode... of
-  // o_orderpriority per market segment, ties broken by value — the
+  // Deterministic MODE per group: most frequent o_orderpriority per
+  // market segment, ties broken by value — the
   // engines' built-in mode()/any_value have unspecified tie behavior,
   // so the deterministic form is count + row_number, which also scales
   // as two partial-aggregating shuffles.
   // ------------------------------------------------------------------
   val qMode: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     val counts = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"), col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
-    counts.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
-              col("cnt").as("mode_count"))
+    // min_by over a unique (−cnt, priority) struct key ≡ the row that a
+    // (cnt DESC, priority ASC) row_number()=1 window would keep, but it
+    // folds into the existing aggregate: no second shuffle, no per-group
+    // sort. Priority is unique within a group, so the key can't tie.
+    counts.groupBy(col("c_mktsegment"))
+      .agg(min_by(struct(col("o_orderpriority"), col("cnt")),
+                  struct((-col("cnt")).as("neg_cnt"),
+                         col("o_orderpriority"))).as("m"))
+      .select(col("c_mktsegment"),
+              col("m.o_orderpriority").as("mode_priority"),
+              col("m.cnt").as("mode_count"))
       .orderBy(col("c_mktsegment"))
   }
 

@@ -417,7 +417,39 @@ object CoreQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // S4 end-to-end — the reference's production cadence (a daily batch
+  // writes `parent/dt=<date>/`, the next job reads exactly one day back,
+  // ref UserNewcar.java:241-247): lay events out Hive-partitioned by day,
+  // then read ONE day through the partition-column filter and aggregate.
+  // The read plans a single-directory scan (partition pruning at planning
+  // time — see docs/PLANS.md), which is what makes the daily read O(day),
+  // not O(history), at 100 TB. The day choice is data-derived (earliest
+  // day) via a bounded 1-row aggregate collect.
+  val qDailyPartition: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+    val dir = "/tmp/graft_dtpart_" + d.replaceAll("[^A-Za-z0-9.]+", "_")
+    graft.sources.TextTables.writeDatePartitioned(ev, dir, "ts")
+    val day = ev.agg(date_format(min(col("ts")), "yyyy-MM-dd")).head.getString(0)
+    graft.sources.TextTables.readDatePartitionParquet(s, dir, day)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           count_distinct(col("user_id")).as("n_users"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val qDailyPartitionSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM events
+      |WHERE date_trunc('day', ts) = (SELECT min(date_trunc('day', ts)) FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_daily_partition"  -> qDailyPartition,
     "q_salted_join"      -> qSaltedJoin,
     "q_rollup"           -> qRollup,
     "q_window_analytics" -> qWindowAnalytics,
@@ -438,6 +470,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_daily_partition"  -> qDailyPartitionSql,
     "q_salted_join"      -> qSaltedJoinSql,
     "q_rollup"           -> qRollupSql,
     "q_window_analytics" -> qWindowAnalyticsSql,

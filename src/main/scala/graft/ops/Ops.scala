@@ -173,7 +173,10 @@ object Ops {
     * fingerprinting / near-dup blocking.
     */
   def normalizeText(c: Column): Column =
-    lower(regexp_replace(c, "\\s+", " "))
+    // Explicit class, not \s: Java \s includes vertical tab (\x0B) while
+    // DuckDB/RE2's does not, so the oracle transliteration of this
+    // function must spell the same five-char+space set on both sides.
+    lower(regexp_replace(c, "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** Word n-gram shingles of a token array (distinct), for MinHash /
     * Jaccard near-dup — backed by the native WordShingles expression

@@ -81,6 +81,19 @@ object TextTables {
       .text(parent)
       .filter(col("dt") === date)
 
+  /** S4, columnar form — same Hive-style `parent/dt=<date>/` pruned read
+    * over parquet partitions (the layout `writeDatePartitioned` lays
+    * down). The `dt` filter is a partition-column predicate, so Catalyst
+    * plans a scan of exactly one directory; `basePath` keeps `dt`
+    * visible as a column.
+    */
+  def readDatePartitionParquet(spark: SparkSession, parent: String,
+                               date: String): DataFrame =
+    spark.read
+      .option("basePath", parent)
+      .parquet(parent)
+      .filter(col("dt") === date)
+
   /** "Yesterday" in yyyy-MM-dd, the reference's partition choice
     * (DateHelper.offsetDateTime, DateHelper.java:39-47).
     */
