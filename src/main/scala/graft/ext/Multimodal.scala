@@ -7,14 +7,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata.
   *
-  * The Spark-side architecture is real and tested — schema, partition-
-  * preserving mapPartitions batch transform, deterministic output shape —
-  * while the actual media decode is STUBBED (this container ships no
-  * image/audio codecs): `decodeStub` derives deterministic fake
-  * dimensions/duration from the payload bytes. Swapping in a real decoder
-  * changes only the body of `decodeStub`; the distributed plumbing
-  * (per-partition batching, no driver collect, binary-safe shuffle) is
-  * the part that has to survive 100 TB and is what the tests pin down.
+  * The Spark-side architecture — schema, partition-preserving
+  * mapPartitions batch transform, deterministic output shape — carries a
+  * REAL decoder: [[MediaCodec]] parses genuine BMP (24 bpp DIB, stride
+  * padding, top-down/bottom-up) and WAV (RIFF chunk walk, LE int16 PCM)
+  * bytes with pure JVM byte math; unknown payloads degrade to "bin"
+  * rather than failing the scan. The distributed plumbing (per-partition
+  * batching, no driver collect, binary-safe shuffle) is the part that
+  * has to survive 100 TB and is what the tests pin down.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
@@ -28,30 +28,20 @@ object Multimodal {
       height: Int,
       durationMs: Long)
 
-  /** STUB decoder ??? replace with a real codec binding. Deterministic:
-    * derives pseudo-metadata purely from payload size and a byte
-    * checksum, so tests and reruns are stable.
-    */
-  def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
-    var cksum = 0L
-    var i = 0
-    while (i < payload.length) { cksum = cksum * 31 + (payload(i) & 0xff); i += 1 }
-    val fmt = if (payload.length % 3 == 0) "png"
-              else if (payload.length % 3 == 1) "jpeg" else "wav"
-    MediaMeta(docId, payload.length.toLong, fmt,
-      width = 16 + math.floorMod(cksum, 1904L).toInt,
-      height = 16 + math.floorMod(cksum >> 11, 1064L).toInt,
-      durationMs = math.floorMod(cksum >> 7, 600000L))
-  }
-
   /** Batch feature extraction over a binary column: partition-preserving
     * mapPartitions (the Scala analogue of a batched pandas-UDF pipeline) —
-    * each task decodes its partition's payloads locally, nothing returns
-    * to the driver.
+    * each task decodes its partition's payloads locally with the real
+    * [[MediaCodec]] parser, nothing returns to the driver.
     */
   def extractMeta(bin: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
     import bin.sparkSession.implicits._
-    bin.mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+    bin.mapPartitions(_.map { case (id, bytes) =>
+      val m = MediaCodec.decode(bytes)
+      MediaMeta(id, bytes.length.toLong, m.format,
+        width = m.width.getOrElse(0L).toInt,
+        height = m.height.getOrElse(0L).toInt,
+        durationMs = m.durationMs.getOrElse(0L))
+    })
   }
 
   /** Deterministic resize: shrink a payload to a byte budget derived
@@ -151,13 +141,105 @@ object Multimodal {
        |       md5(substring(text, CAST(start AS INT), CAST(flen AS INT))) AS frame_md5
        |FROM f ORDER BY doc_id, frame_id""".stripMargin
 
+  // Real decode, end-to-end oracled: synthesize genuine BMP/WAV payloads
+  // from each sampled doc (even k → 24 bpp top-down BMP whose pixels are
+  // the doc's bytes cycled; odd k → PCM16 WAV whose samples are the
+  // doc's byte pairs), then decode them back with MediaCodec's strict
+  // parser and emit the recovered facts. The oracle computes the SAME
+  // facts arithmetically from the doc columns, so an exact hash match
+  // proves the decoder truly inverts valid format bytes — dimensions out
+  // of the LE header, pixels de-padded from 4-byte strides, duration
+  // from the fmt-chunk byte rate, and a signed-int16 sample sum that a
+  // byte-copier could not fake. ASCII corpus premise (1 byte/char, the
+  // q_frame_sample pin) makes byte and character arithmetic agree.
+  // Sampled to doc_id % 5 = 0 to keep DuckDB's per-char list math cheap.
+  val qMediaDecode: Q = (s, d) => {
+    import s.implicits._
+    val src = Tables.documents(s, d)
+      .filter(col("doc_id") % 5 === 0 && length(col("text")) >= 2)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    val payloads = src.mapPartitions(_.map { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val k = id / 5
+      val payload =
+        if (k % 2 == 0) {
+          val w = (4 + k % 17).toInt
+          val h = (3 + k % 11).toInt
+          MediaCodec.encodeBmp(w, h, MediaCodec.cycle(bytes, 3 * w * h))
+        } else {
+          val rate = (8000 + ((k / 2) % 4) * 4000).toInt
+          val ns = math.min(bytes.length / 2, 300)
+          MediaCodec.encodeWav(rate, 1, 16,
+            java.util.Arrays.copyOfRange(bytes, 0, 2 * ns))
+        }
+      (id, payload)
+    }).toDF("doc_id", "payload")
+    val decoded = payloads.as[(Long, Array[Byte])].mapPartitions(_.map {
+      case (id, p) =>
+        val m = MediaCodec.decode(p)
+        (id, m.format, m.width, m.height, m.sampleRate, m.durationMs,
+          m.content.length.toLong, m.contentSum, m.content)
+    }).toDF("doc_id", "format", "width", "height", "sample_rate",
+            "duration_ms", "content_bytes", "content_sum", "content")
+    decoded
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+              col("sample_rate"), col("duration_ms"), col("content_bytes"),
+              col("content_sum"), md5(col("content")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qMediaDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |         CAST(doc_id // 5 AS BIGINT) AS k
+      |  FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 2),
+      |bmp AS (
+      |  SELECT doc_id, 4 + (k % 17) AS w, 3 + (k % 11) AS h, text, len
+      |  FROM d WHERE k % 2 = 0),
+      |bmp2 AS (
+      |  SELECT doc_id, w, h, 3*w*h AS npix,
+      |         substring(repeat(text, CAST((3*w*h + len - 1) // len AS INT)),
+      |                   1, CAST(3*w*h AS INT)) AS pix
+      |  FROM bmp),
+      |bmp3 AS (
+      |  SELECT doc_id, 'bmp' AS format,
+      |         CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |         CAST(NULL AS BIGINT) AS sample_rate,
+      |         CAST(NULL AS BIGINT) AS duration_ms,
+      |         CAST(npix AS BIGINT) AS content_bytes,
+      |         CAST(list_sum(list_transform(range(1, CAST(npix AS BIGINT) + 1),
+      |              i -> ascii(substr(pix, CAST(i AS INT), 1)))) AS BIGINT)
+      |           AS content_sum,
+      |         md5(pix) AS content_md5
+      |  FROM bmp2),
+      |wav AS (
+      |  SELECT doc_id, 8000 + ((k // 2) % 4) * 4000 AS rate,
+      |         least(len // 2, 300) AS ns, text
+      |  FROM d WHERE k % 2 = 1),
+      |wav2 AS (
+      |  SELECT doc_id, 'wav' AS format,
+      |         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+      |         CAST(rate AS BIGINT) AS sample_rate,
+      |         CAST(ns * 1000 // rate AS BIGINT) AS duration_ms,
+      |         CAST(2 * ns AS BIGINT) AS content_bytes,
+      |         CAST(list_sum(list_transform(range(CAST(ns AS BIGINT)),
+      |              j -> ascii(substr(text, CAST(2*j + 1 AS INT), 1))
+      |                   + 256 * ascii(substr(text, CAST(2*j + 2 AS INT), 1))))
+      |           AS BIGINT) AS content_sum,
+      |         md5(substring(text, 1, CAST(2 * ns AS INT))) AS content_md5
+      |  FROM wav)
+      |SELECT * FROM bmp3 UNION ALL SELECT * FROM wav2 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_frame_sample"    -> qFrameSample,
+    "q_media_decode"    -> qMediaDecode,
   )
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_frame_sample"    -> qFrameSampleSql,
+    "q_media_decode"    -> qMediaDecodeSql,
   )
 }

@@ -10,14 +10,36 @@ class PipelineSpec extends AnyFunSuite {
   import spark.implicits._
   val sf = TestSpark.Sf
 
-  test("multimodal: stub decode is deterministic and distributed") {
-    val payloads = (1L to 100L).map(i =>
-      (i, Array.tabulate((i % 50 + 3).toInt)(b => (b * i % 251).toByte)))
+  test("multimodal: real decode is correct, deterministic and distributed") {
+    import graft.ext.MediaCodec
+    // Mixed fleet: real BMPs, real WAVs, and junk that must degrade to
+    // "bin" — extractMeta must recover the true header facts of each.
+    val payloads = (1L to 90L).map { i =>
+      val payload =
+        if (i % 3 == 0) {
+          val w = (2 + i % 9).toInt; val h = (1 + i % 5).toInt
+          MediaCodec.encodeBmp(w, h,
+            Array.tabulate(3 * w * h)(b => (b * i % 251).toByte))
+        } else if (i % 3 == 1) {
+          MediaCodec.encodeWav((8000 + (i % 3) * 4000).toInt, 1, 16,
+            Array.tabulate((2 * (i % 40 + 1)).toInt)(b => (b * i % 251).toByte))
+        } else Array.tabulate((i % 50 + 3).toInt)(b => (b * i % 251).toByte)
+      (i, payload)
+    }
     val ds = spark.createDataset(payloads).repartition(4)
     val meta = Multimodal.extractMeta(ds).collect().sortBy(_.docId)
-    assert(meta.length == 100)
-    assert(meta.forall(m => m.width >= 16 && m.height >= 16 && m.nBytes > 0))
-    assert(meta.map(_.format).toSet.subsetOf(Set("png", "jpeg", "wav")))
+    assert(meta.length == 90)
+    meta.foreach { m =>
+      if (m.docId % 3 == 0) {
+        assert(m.format == "bmp")
+        assert(m.width == (2 + m.docId % 9) && m.height == (1 + m.docId % 5))
+      } else if (m.docId % 3 == 1) {
+        assert(m.format == "wav")
+        val rate = 8000 + (m.docId % 3) * 4000
+        val dataBytes = 2 * (m.docId % 40 + 1)
+        assert(m.durationMs == dataBytes * 1000 / (rate * 2))
+      } else assert(m.format == "bin")
+    }
     // determinism across reruns / partitionings
     val again = Multimodal.extractMeta(ds.repartition(7)).collect().sortBy(_.docId)
     assert(meta.toSeq == again.toSeq)
