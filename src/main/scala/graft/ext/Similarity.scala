@@ -124,49 +124,86 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
-  // IVF ANN (non-SQL-expressible → rows-only check): coarse-quantize the
-  // corpus into NumCells inverted lists, probe the query's NProbe
-  // nearest cells only, exact cosine re-rank inside them. Centroids here
-  // are the first NumCells vectors by id — a deterministic stand-in for
-  // a k-means codebook (the index-build step is a bounded driver-side
-  // collect of NumCells rows; the corpus-side assignment is a pure map).
+  // IVF ANN: coarse-quantize the corpus into NumCells inverted lists,
+  // probe the query's NProbe nearest cells only, exact cosine re-rank
+  // inside them. The codebook is TRAINED — KmIters seeded Lloyd
+  // iterations over a deterministic md5 hash sample — not positional:
+  // a degenerate codebook means unbalanced cells ≈ no pruning at scale.
+  //
+  // Every training step is cross-engine exact, so the full funnel
+  // (sample → seed → iterate → assign → probe → re-rank) still
+  // hash-matches its DuckDB oracle:
+  //  - sample membership is an md5-threshold decision, not an RNG;
+  //  - seeds are the NumCells smallest sampled vec_ids (bounded collect);
+  //  - each Lloyd update sums components in exact integer MICRO-UNITS
+  //    (round(x·1e6) as BIGINT — order-free across partitions, far from
+  //    overflow: |sum| < 2^53 up to ~2^32 sample rows), then takes the
+  //    mean with a single IEEE double division and casts to float —
+  //    bit-identical in both engines, no decimal→double rounding risk;
+  //  - assignment ranks cells by (dot desc, cell asc) with index-order
+  //    double folds (FloatMatrixDotRank ≡ the SQL window).
+  //
+  // At 100 TB each iteration is one partial-aggregated shuffle of
+  // O(NumCells·Dim) state plus a bounded NumCells·Dim driver collect;
+  // the corpus-side assignment stays a pure map.
   // ------------------------------------------------------------------
   val NumCells = 16
   val NProbe = 2
+  val KmIters = 2
+  val KmSampleMod = 4L // md5(vec_id:km) % 4 == 0 → ~25% training sample
+
+  /** Train the codebook: seeds + KmIters Lloyd steps. Returns a
+    * row-major NumCells×Dim float matrix; cells that lose all members
+    * keep their previous centroid.
+    */
+  private[graft] def trainCodebook(e0: DataFrame): Array[Float] = {
+    val sample = e0
+      .filter(Ops.md5Bits60(concat(col("vec_id").cast("string"), lit(":km")))
+                % KmSampleMod === 0L)
+      .select(col("vec_id"), col("embedding"))
+    val seeds: Array[Array[Float]] = sample.orderBy(col("vec_id"))
+      .limit(NumCells).collect().map(_.getSeq[Float](1).toArray)
+    require(seeds.length == NumCells,
+      s"corpus sample smaller than $NumCells vectors")
+    var mat: Array[Float] = seeds.flatten
+    for (_ <- 1 to KmIters) {
+      val sums = sample
+        .select(element_at(
+                  VectorFunctions.matrixDotRank(col("embedding"), mat, Dim), 1)
+                  .as("cell"),
+                posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(round(col("x").cast("double") * 1e6).cast("long")).as("s"),
+             count(lit(1)).as("n"))
+        .collect() // bounded: ≤ NumCells·Dim rows
+      val next = mat.clone()
+      sums.foreach { r =>
+        val c = r.getInt(0); val i = r.getInt(1)
+        next(c * Dim + i) =
+          (r.getLong(2).toDouble / (r.getLong(3).toDouble * 1e6)).toFloat
+      }
+      mat = next
+    }
+    mat
+  }
 
   val qAnnIvf: Q = (s, d) => {
     val e0 = Tables.embeddings(s, d)
-    // Index build: a bounded driver-side collect of NumCells centroid
-    // rows, flattened row-major into one plan-bound matrix. Cell ranking
-    // (dot desc, id asc — smaller id breaks ties) happens in a single
-    // native expression per row instead of NumCells dot-product subtrees.
-    // The REAL vec_ids ride along as a literal lookup: matrixDotRank
-    // returns 0-based matrix ROW indices, which only coincide with
-    // vec_ids when 0..NumCells-1 are all present — a filtered corpus
-    // with a gap would otherwise silently shift every cell label.
-    val cents: Array[(Int, Array[Float])] = e0
-      .filter(col("vec_id") < NumCells)
-      .orderBy(col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
-    val cellIds: Seq[Int] = cents.map(_._1).toIndexedSeq
-    val mat = cents.flatMap(_._2)
+    val mat = trainCodebook(e0)
 
     def rankedCells(emb: Column): Column =
       VectorFunctions.matrixDotRank(emb, mat, Dim)
-    def toCellId(rowIdx: Column): Column =
-      element_at(typedlit(cellIds), rowIdx + 1)
 
     val e = e0.select(col("vec_id"), col("embedding"),
-                      toCellId(element_at(rankedCells(col("embedding")), 1))
+                      element_at(rankedCells(col("embedding")), 1)
                         .cast("bigint").as("cell"),
                       VectorFunctions.vecNorm(col("embedding")).as("nrm"))
     val q = e0.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
               VectorFunctions.vecNorm(col("embedding")).as("qnrm"),
-              explode(transform(slice(rankedCells(col("embedding")), 1, NProbe),
-                                i => toCellId(i))).as("probe_cell"))
+              explode(slice(rankedCells(col("embedding")), 1, NProbe)).as("pc"))
+      .select(col("qid"), col("qe"), col("qnrm"),
+              col("pc").cast("bigint").as("probe_cell"))
     val cand = e.join(broadcast(q),
                       col("cell") === col("probe_cell") && col("vec_id") =!= col("qid"))
       .withColumn("score",
@@ -221,28 +258,59 @@ object Similarity {
        |ORDER BY qid, rn""".stripMargin
   }
 
-  /** DuckDB oracle for the IVF ANN: centroids are the same first
-    * NumCells corpus vectors, cell assignment/probing the same
-    * (dot desc, id asc) ranking — all re-derived relationally.
+  /** DuckDB oracle for the IVF ANN: the SAME training funnel re-derived
+    * relationally — md5 hash sample, seed by smallest sampled vec_ids,
+    * KmIters unrolled Lloyd steps with exact integer micro-unit sums and
+    * a single IEEE mean division cast to REAL, then assignment / probing
+    * by the (dot desc, cell asc) ranking. Centroid lists are rebuilt in
+    * dim order with list(… ORDER BY) so the in-index dot folds agree.
     */
-  val qAnnIvfSql: String =
-    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $NumCells),
+  val qAnnIvfSql: String = {
+    // One Lloyd step: assign `sample` to `prev`(cell, ce), then per-cell
+    // per-dim micro-unit means; empty cells keep the previous centroid.
+    def lloyd(prev: String, next: String): String =
+      s"""asg_$next AS (
+         |  SELECT s.vec_id, c.cell,
+         |         row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |           (SELECT SUM(CAST(s.embedding[i.i] AS DOUBLE) * CAST(c.ce[i.i] AS DOUBLE))
+         |            FROM generate_series(1, $Dim) i(i)) DESC, c.cell) AS rn
+         |  FROM sample s CROSS JOIN $prev c),
+         |upd_$next AS (
+         |  SELECT a.cell, i.i AS dim,
+         |         CAST(CAST(SUM(CAST(round(CAST(s.embedding[i.i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+         |              / (CAST(count(*) AS DOUBLE) * 1000000.0) AS REAL) AS v
+         |  FROM sample s
+         |  JOIN asg_$next a ON a.vec_id = s.vec_id AND a.rn = 1
+         |  CROSS JOIN generate_series(1, $Dim) i(i)
+         |  GROUP BY 1, 2),
+         |new_$next AS (
+         |  SELECT cell, list(v ORDER BY dim) AS ce FROM upd_$next GROUP BY 1),
+         |$next AS (
+         |  SELECT p.cell, COALESCE(n.ce, p.ce) AS ce
+         |  FROM $prev p LEFT JOIN new_$next n ON n.cell = p.cell)""".stripMargin
+    s"""WITH sample AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':km'), 1, 15))::BIGINT
+       |          % $KmSampleMod = 0),
+       |cents0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cell,
+       |         embedding AS ce
+       |  FROM sample ORDER BY vec_id LIMIT $NumCells),
+       |${lloyd("cents0", "cents1")},
+       |${lloyd("cents1", "cents2")},
        |dots AS (
-       |  SELECT e.vec_id, c.cid,
-       |         (SELECT SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.ce[i.i] AS DOUBLE))
-       |          FROM generate_series(1, $Dim) i(i)) AS dot
-       |  FROM embeddings e CROSS JOIN cents c),
-       |ranked_cells AS (
-       |  SELECT vec_id, cid,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS cell_rn
-       |  FROM dots),
-       |assigned AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE cell_rn = 1),
+       |  SELECT e.vec_id, c.cell,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           (SELECT SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.ce[i.i] AS DOUBLE))
+       |            FROM generate_series(1, $Dim) i(i)) DESC, c.cell) AS cell_rn
+       |  FROM embeddings e CROSS JOIN cents2 c),
+       |assigned AS (SELECT vec_id, cell FROM dots WHERE cell_rn = 1),
        |nrm AS (
        |  SELECT vec_id, sqrt((SELECT SUM(CAST(embedding[i.i] AS DOUBLE) ** 2)
        |                       FROM generate_series(1, $Dim) i(i))) AS nrm
        |  FROM embeddings),
        |probes AS (
-       |  SELECT vec_id AS qid, cid AS probe_cell FROM ranked_cells
+       |  SELECT vec_id AS qid, cell AS probe_cell FROM dots
        |  WHERE vec_id < $NumQueries AND cell_rn <= $NProbe),
        |cand AS (
        |  SELECT p.qid, a.cell, e.vec_id,
@@ -261,6 +329,7 @@ object Similarity {
        |  FROM cand)
        |SELECT qid, cell, vec_id, score, rn FROM ranked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // Int8 range quantization audit: per-vector (min, max) affine code

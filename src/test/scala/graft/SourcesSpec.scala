@@ -209,12 +209,35 @@ class SourcesSpec extends AnyFunSuite {
       assert(scores.sameElements(scores.sortBy(-(_: Double))))
       assert(g.length <= Similarity.TopK)
     }
-    // recall sanity: some overlap with the exact top-K is expected even
-    // from a 2-probe search over 16 cells
+    // quantified recall vs brute force: a trained 2-probe/16-cell search
+    // scans ~12.5% of the corpus; measured recall is ~0.48 at this SF —
+    // assert a conservative floor well above the ~0.125 of random cells
     val exact = Similarity.qSimilarityTopk(spark, TestSpark.Sf)
       .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
     val approx = ivf.map(r => (r._1, r._3)).toSet
-    assert(approx.intersect(exact).nonEmpty)
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"trained-IVF recall $recall below floor")
+  }
+
+  test("IVF codebook training is deterministic and yields balanced cells") {
+    import graft.ext.Similarity
+    import graft.functions.VectorFunctions
+    val e0 = Tables.embeddings(spark, TestSpark.Sf)
+    val m1 = Similarity.trainCodebook(e0)
+    val m2 = Similarity.trainCodebook(e0)
+    assert(m1.sameElements(m2), "k-means must be run-deterministic")
+    assert(m1.length == Similarity.NumCells * Similarity.Dim)
+    // full-corpus assignment against the trained codebook: pruning only
+    // works if vectors spread across cells instead of piling into one
+    val cells = e0.select(
+        element_at(VectorFunctions.matrixDotRank(
+          $"embedding", m1, Similarity.Dim), 1).as("cell"))
+      .groupBy($"cell").count().as[(Int, Long)].collect()
+    val total = cells.map(_._2).sum
+    assert(cells.length >= Similarity.NumCells / 2,
+      s"only ${cells.length} populated cells")
+    assert(cells.map(_._2).max.toDouble / total <= 0.5,
+      "one cell holds over half the corpus - degenerate codebook")
   }
 
   test("dt= partitioned WRITE: layout, pruned read-back, dynamic overwrite") {
