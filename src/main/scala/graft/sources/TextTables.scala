@@ -68,6 +68,42 @@ object TextTables {
       .option("compression", "none")
       .text(path)
 
+  /** S8 — LZO codec support (ref pom.xml:101-105 ships hadoop-lzo).
+    * The GPL hadoop-lzo native binding doesn't exist here; aircompressor
+    * (already on Spark's classpath for ORC/Parquet) provides pure-Java
+    * Hadoop `CompressionCodec`s for the same on-disk formats: LzopCodec
+    * writes/reads the framed `.lzo` lzop container hadoop-lzo produces,
+    * LzoCodec the raw `.lzo_deflate` block format. Registering them on
+    * the Hadoop conf wires BOTH directions: the text sink accepts the
+    * codec by class name, and the read path resolves `.lzo` files by
+    * extension through the codec factory — so a directory of
+    * hadoop-lzo-written files is directly scannable.
+    */
+  val LzopCodecClass = "io.airlift.compress.lzo.LzopCodec"
+  val LzoCodecClass = "io.airlift.compress.lzo.LzoCodec"
+
+  def enableLzo(spark: SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "io.compression.codecs"
+    val existing = Option(conf.get(key)).filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Seq(
+        "org.apache.hadoop.io.compress.DefaultCodec",
+        "org.apache.hadoop.io.compress.GzipCodec",
+        "org.apache.hadoop.io.compress.BZip2Codec"))
+    val want = Seq(LzopCodecClass, LzoCodecClass)
+    conf.set(key, (existing ++ want.filterNot(existing.contains)).mkString(","))
+  }
+
+  /** S8 write side — LZO-compressed text sink (the reference's
+    * `setCompressOutput` + LzopCodec shape). Output files end in `.lzo`.
+    */
+  def writeTextLzo(df: DataFrame, path: String): Unit = {
+    enableLzo(df.sparkSession)
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", LzopCodecClass)
+      .text(path)
+  }
+
   /** S4 — Hive-style date-partitioned directory source: reads
     * `parent/dt=<date>/` via a partition-column filter so Catalyst
     * prunes every other partition at planning time (the reference builds

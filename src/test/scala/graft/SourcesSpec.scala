@@ -52,6 +52,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.toSeq == Seq("new1", "new2"))
   }
 
+  test("LZO text round-trip through the Hadoop codec path (S8)") {
+    val dir = tmp()
+    val rows = (1 to 500).map(i => s"lzo-row-$i:${"x" * (i % 37)}")
+    TextTables.writeTextLzo(rows.toDF("value"), s"$dir/lzo")
+    // the sink must produce framed lzop container files, not plain text
+    val files = new java.io.File(s"$dir/lzo").listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(files.nonEmpty && files.forall(_.endsWith(".lzo")),
+      s"expected .lzo parts, got ${files.toSeq}")
+    // magic check: lzop files open with the 9-byte lzop signature
+    val partPath = new java.io.File(s"$dir/lzo").listFiles()
+      .find(_.getName.endsWith(".lzo")).get
+    val head = java.nio.file.Files.readAllBytes(partPath.toPath).take(9)
+    assert(head.sameElements(Array(0x89, 'L', 'Z', 'O', 0, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)), "lzop magic bytes missing")
+    // read side resolves .lzo by extension through the codec factory
+    TextTables.enableLzo(spark)
+    val back = spark.read.text(s"$dir/lzo").as[String].collect().sorted
+    assert(back.toSeq == rows.sorted)
+  }
+
   test("dt= partitioned source prunes to one partition (S4)") {
     val dir = tmp()
     for (dt <- Seq("2026-08-10", "2026-08-11", "2026-08-12"))
