@@ -231,15 +231,92 @@ object Multimodal {
       |  FROM wav)
       |SELECT * FROM bmp3 UNION ALL SELECT * FROM wav2 ORDER BY doc_id""".stripMargin
 
+  // Audio FEATURE EXTRACTION over genuinely decoded bytes — the stage
+  // after decode in a training-data pipeline (filter clips by loudness/
+  // silence before transcription): synthesize a PCM16 WAV per sampled
+  // doc, decode it back through MediaCodec's strict RIFF parser, then
+  // window the samples (64-sample non-overlapping frames) and emit
+  // per-window RMS and peak. All sample math is integer (sum of squares
+  // ≤ 2^36 — exact in BIGINT and in double), the mean divides by a
+  // power of two (exact in IEEE), so rms hash-matches the oracle, which
+  // re-derives the samples arithmetically from the doc's byte pairs.
+  // Window math runs inside flatMap per payload — embarrassingly
+  // parallel, no driver state, no shuffle before the final sort.
+  val WinSamples = 64
+  val AudioMaxSamples = 256
+
+  val qAudioFrames: Q = (s, d) => {
+    import s.implicits._
+    val src = Tables.documents(s, d)
+      .filter(col("doc_id") % 7 === 0 &&
+              length(col("text")) >= 2 * WinSamples)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    src.mapPartitions(_.flatMap { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val ns = math.min(bytes.length / 2, AudioMaxSamples)
+      val wav = MediaCodec.encodeWav(8000, 1, 16,
+        java.util.Arrays.copyOfRange(bytes, 0, 2 * ns))
+      val m = MediaCodec.decode(wav)
+      val data = m.content
+      val nWin = data.length / 2 / WinSamples
+      (0 until nWin).iterator.map { w =>
+        var sumSq = 0L; var peak = 0L
+        var j = 0
+        while (j < WinSamples) {
+          val off = 2 * (w * WinSamples + j)
+          val sample = ((data(off) & 0xff) | (data(off + 1) << 8)).toShort.toLong
+          sumSq += sample * sample
+          val a = math.abs(sample)
+          if (a > peak) peak = a
+          j += 1
+        }
+        (id, w.toLong, math.sqrt(sumSq.toDouble / WinSamples), peak)
+      }
+    }).toDF("doc_id", "win_id", "rms", "peak")
+      .select(col("doc_id"), col("win_id"), round(col("rms"), 6).as("rms"),
+              col("peak"))
+      .orderBy(col("doc_id"), col("win_id"))
+  }
+
+  // ASCII premise: sample k of the data chunk is byte pair
+  // (text[2k+1], text[2k+2]) as LE int16 = a + 256·b, always positive
+  // (both bytes < 128), so |s| = s and the window sums are pure
+  // arithmetic over character codes.
+  val qAudioFramesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |         least(length(text) // 2, $AudioMaxSamples) AS ns
+       |  FROM documents
+       |  WHERE doc_id % 7 = 0 AND length(text) >= ${2 * WinSamples}),
+       |w AS (
+       |  SELECT doc_id, text, k.k AS win_id
+       |  FROM d CROSS JOIN generate_series(0, ${AudioMaxSamples / WinSamples - 1}) k(k)
+       |  WHERE k.k < ns // $WinSamples),
+       |f AS (
+       |  SELECT doc_id, win_id,
+       |         list_transform(range($WinSamples),
+       |           j -> ascii(substr(text, CAST(2*(win_id*$WinSamples + j) + 1 AS INT), 1))
+       |                + 256 * ascii(substr(text, CAST(2*(win_id*$WinSamples + j) + 2 AS INT), 1)))
+       |           AS samples
+       |  FROM w)
+       |SELECT doc_id, CAST(win_id AS BIGINT) AS win_id,
+       |       round(sqrt(CAST(list_sum(list_transform(samples, s -> s*s)) AS DOUBLE)
+       |                  / $WinSamples.0), 6) AS rms,
+       |       CAST(list_max(samples) AS BIGINT) AS peak
+       |FROM f ORDER BY doc_id, win_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_frame_sample"    -> qFrameSample,
     "q_media_decode"    -> qMediaDecode,
+    "q_audio_frames"    -> qAudioFrames,
   )
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_frame_sample"    -> qFrameSampleSql,
     "q_media_decode"    -> qMediaDecodeSql,
+    "q_audio_frames"    -> qAudioFramesSql,
   )
 }

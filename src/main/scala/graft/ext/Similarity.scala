@@ -258,14 +258,16 @@ object Similarity {
        |ORDER BY qid, rn""".stripMargin
   }
 
-  /** DuckDB oracle for the IVF ANN: the SAME training funnel re-derived
+  /** Shared oracle CTE chain: the SAME training funnel re-derived
     * relationally — md5 hash sample, seed by smallest sampled vec_ids,
     * KmIters unrolled Lloyd steps with exact integer micro-unit sums and
-    * a single IEEE mean division cast to REAL, then assignment / probing
-    * by the (dot desc, cell asc) ranking. Centroid lists are rebuilt in
-    * dim order with list(… ORDER BY) so the in-index dot folds agree.
+    * a single IEEE mean division cast to REAL, then full-corpus
+    * assignment by the (dot desc, cell asc) ranking plus norms.
+    * Centroid lists are rebuilt in dim order with list(… ORDER BY) so
+    * the in-index dot folds agree. Used by both the IVF probe oracle
+    * and the clustering-summary oracle.
     */
-  val qAnnIvfSql: String = {
+  private def kmeansFunnelCtes: String = {
     // One Lloyd step: assign `sample` to `prev`(cell, ce), then per-cell
     // per-dim micro-unit means; empty cells keep the previous centroid.
     def lloyd(prev: String, next: String): String =
@@ -288,7 +290,7 @@ object Similarity {
          |$next AS (
          |  SELECT p.cell, COALESCE(n.ce, p.ce) AS ce
          |  FROM $prev p LEFT JOIN new_$next n ON n.cell = p.cell)""".stripMargin
-    s"""WITH sample AS (
+    s"""sample AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':km'), 1, 15))::BIGINT
        |          % $KmSampleMod = 0),
@@ -308,7 +310,11 @@ object Similarity {
        |nrm AS (
        |  SELECT vec_id, sqrt((SELECT SUM(CAST(embedding[i.i] AS DOUBLE) ** 2)
        |                       FROM generate_series(1, $Dim) i(i))) AS nrm
-       |  FROM embeddings),
+       |  FROM embeddings)""".stripMargin
+  }
+
+  val qAnnIvfSql: String =
+    s"""WITH $kmeansFunnelCtes,
        |probes AS (
        |  SELECT vec_id AS qid, cell AS probe_cell FROM dots
        |  WHERE vec_id < $NumQueries AND cell_rn <= $NProbe),
@@ -329,7 +335,43 @@ object Similarity {
        |  FROM cand)
        |SELECT qid, cell, vec_id, score, rn FROM ranked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin
+
+  // ------------------------------------------------------------------
+  // K-means clustering summary — the codebook surfaced as a first-class
+  // clustering OPERATOR (corpus partitioning for curriculum mixing /
+  // diversity-balanced sampling), not just IVF plumbing: train, assign
+  // every vector, and report per-cluster size, label diversity, id
+  // range and total norm. Norm sums ride the round-6→DECIMAL exact-sum
+  // discipline so the double aggregate is order-free.
+  // ------------------------------------------------------------------
+  val qKmeansCells: Q = (s, d) => {
+    val e0 = Tables.embeddings(s, d)
+    val mat = trainCodebook(e0)
+    e0.select(col("vec_id"), col("label"),
+              element_at(
+                VectorFunctions.matrixDotRank(col("embedding"), mat, Dim), 1)
+                .cast("bigint").as("cell"),
+              VectorFunctions.vecNorm(col("embedding")).as("nrm"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+           count_distinct(col("label")).as("n_labels"),
+           min(col("vec_id")).as("min_vec_id"),
+           sum(round(col("nrm"), 6).cast("decimal(18,6)")).cast("double")
+             .as("sum_norm"))
+      .orderBy(col("cell"))
   }
+
+  val qKmeansCellsSql: String =
+    s"""WITH $kmeansFunnelCtes
+       |SELECT a.cell, count(*) AS n_vecs,
+       |       CAST(count(DISTINCT e.label) AS BIGINT) AS n_labels,
+       |       min(e.vec_id) AS min_vec_id,
+       |       CAST(SUM(CAST(round(n.nrm, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |         AS sum_norm
+       |FROM assigned a
+       |JOIN embeddings e ON e.vec_id = a.vec_id
+       |JOIN nrm n ON n.vec_id = a.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------------------------
   // Int8 range quantization audit: per-vector (min, max) affine code
@@ -386,6 +428,7 @@ object Similarity {
     "q_similarity_topk" -> qSimilarityTopk,
     "q_ann_lsh"         -> qAnnLsh,
     "q_ann_ivf"         -> qAnnIvf,
+    "q_kmeans_cells"    -> qKmeansCells,
     "q_embed_quantize"  -> qEmbedQuantize,
   )
 
@@ -393,6 +436,7 @@ object Similarity {
     "q_similarity_topk" -> qSimilarityTopkSql,
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,
+    "q_kmeans_cells"    -> qKmeansCellsSql,
     "q_embed_quantize"  -> qEmbedQuantizeSql,
   )
 }
