@@ -136,13 +136,14 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
-  test("corpus is pure ASCII (q_frame_sample's byte==char slice premise)") {
+  test("corpus is pure ASCII (byte==char premise of the binary-path oracles)") {
     val nonAscii = Tables.documents(spark, sf)
       .filter(octet_length(encode(col("text"), "UTF-8")) =!= length(col("text")))
       .count()
     assert(nonAscii == 0,
-           "documents contain multi-byte chars: q_frame_sample's oracle " +
-           "slices STRINGS and is only byte-identical on ASCII")
+           "documents contain multi-byte chars: the q_frame_sample / " +
+           "q_media_decode / q_audio_frames oracles slice STRINGS and are " +
+           "only byte-identical on ASCII")
   }
 
   test("q_inverted_index: postings head is sorted, df <= total tf") {
