@@ -4,11 +4,16 @@ parquet written by graft.Verify, run the oracle SQL from oracle_sql.json in
 DuckDB over the same sf dir and compare (columns sorted by name, rows
 sorted, exact value equality; floats compared bitwise then with 1e-9 rel
 tolerance fallback reported separately)."""
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+def table_path(sf_dir, t):
+    # driver testdata ships single-file tables; ScaleGen dirs hold parts
+    p = f"{sf_dir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
 
 def norm(rows):
     out = []
@@ -26,7 +31,7 @@ def approx_eq(a, b):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
