@@ -395,7 +395,72 @@ object Dedup {
       |FROM fresh f LEFT JOIN kept k ON f.lang = k.lang
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // Duplicate-span mass — the corpus-level diagnostic behind
+  // substring-level dedup (Lee et al., "Deduplicating Training Data
+  // Makes Language Models Better"): what fraction of 8-gram spans is
+  // text that also occurs in another document? Unlike the pairwise
+  // dedup operators above this never forms pairs at all: explode every
+  // (non-distinct) 8-gram occurrence, compute each gram's document
+  // frequency with a two-level partial aggregate, then flag occurrences
+  // whose gram appears in >= 2 docs and roll up per source. Linear in
+  // corpus token count at any scale — two shuffles (gram df, gram-keyed
+  // back-join), both on well-spread gram keys.
+  val SpanN = 8
+
+  /** All n-gram occurrences of a token array, multiplicity preserved
+    * (contrast Ops.shingles, which is distinct — set semantics for
+    * Jaccard/MinHash; mass accounting needs every occurrence).
+    */
+  private def allSpans(toks: org.apache.spark.sql.Column) =
+    transform(
+      sequence(lit(0), greatest(size(toks) - (SpanN - 1), lit(1)) - 1),
+      i => array_join(slice(toks, i + 1, lit(SpanN)), " "))
+
+  val qDupSpanMass: Q = (s, d) => dupSpanMass(Tables.documents(s, d))
+
+  /** The transform itself, over any (doc_id, source, text) frame — shared
+    * with the crafted-corpus spec so invariants pin the same code path.
+    */
+  def dupSpanMass(docs: DataFrame): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), col("source"),
+              explode(allSpans(Ops.tokens(col("text")))).as("gram"))
+    val gramDf = occ.groupBy(col("gram"), col("doc_id")).agg(count(lit(1)).as("m"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
+    occ.join(gramDf, Seq("gram"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("gram_df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"),
+           count_distinct(when(col("gram_df") >= 2, col("doc_id")))
+             .as("n_docs_hit"))
+      .withColumn("dup_ratio",
+                  col("n_dup_spans").cast("double") / col("n_spans"))
+      .select(col("source"), col("n_spans"), col("n_dup_spans"),
+              col("n_docs_hit"), col("dup_ratio"))
+      .orderBy(col("source"))
+  }
+
+  val qDupSpanMassSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       |occ AS (
+       |  SELECT doc_id, source,
+       |         unnest(list_transform(
+       |           range(greatest(len(t) - ${SpanN - 1}, 1)),
+       |           i -> array_to_string(t[i+1:i+$SpanN], ' '))) AS gram
+       |  FROM toks),
+       |df AS (SELECT gram, count(DISTINCT doc_id) AS gram_df FROM occ GROUP BY 1)
+       |SELECT source, count(*) AS n_spans,
+       |       CAST(SUM(CASE WHEN gram_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_dup_spans,
+       |       count(DISTINCT CASE WHEN gram_df >= 2 THEN doc_id END) AS n_docs_hit,
+       |       CAST(SUM(CASE WHEN gram_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / count(*) AS dup_ratio
+       |FROM occ JOIN df USING (gram)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dup_span_mass" -> qDupSpanMass,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_exact"   -> qDedupExact,
@@ -406,6 +471,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dup_span_mass" -> qDupSpanMassSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_dedup_exact"   -> qDedupExactSql,

@@ -153,6 +153,67 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // Gopher-style rule-funnel quality filter: every document is attributed
+  // to the FIRST rule it fails (token-count bounds, mean word length,
+  // stopword evidence) or to the surviving pass bucket, with doc and token
+  // totals per stage — the per-rule rejection report a pre-training
+  // pipeline publishes before committing a corpus. Stage labels carry a
+  // numeric prefix so the natural string order IS the funnel order.
+  // Pure per-row integer/single-division math → exact cross-engine; one
+  // scan, one partial-aggregated groupBy.
+  val MinFunnelToks = 25
+  val MaxFunnelToks = 90
+  val MinMeanWordLen = 4.0
+  val MaxMeanWordLen = 10.0
+
+  val qFilterFunnel: Q = (s, d) => filterFunnel(Tables.documents(s, d))
+
+  /** The transform itself, over any (text) frame — shared with the
+    * crafted-corpus spec so invariants pin the same code path.
+    */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val toks = size(Ops.tokens(col("text")))
+    // chars excluding separators / token count: one IEEE division, no
+    // re-association anywhere, so the rule boundary is bit-identical in
+    // both engines.
+    val meanWordLen =
+      length(regexp_replace(col("text"), " ", "")).cast("double") /
+        toks.cast("double")
+    val stage =
+      when(toks < MinFunnelToks, lit("1_too_short"))
+        .when(toks > MaxFunnelToks, lit("2_too_long"))
+        .when(meanWordLen < MinMeanWordLen || meanWordLen > MaxMeanWordLen,
+              lit("3_word_len"))
+        .when(hits(col("text"), EnStop) < MinEvidence, lit("4_low_stopword"))
+        .otherwise(lit("5_pass"))
+    docs
+      .select(stage.as("stage"), toks.cast("bigint").as("n_toks"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("stage"))
+  }
+
+  val qFilterFunnelSql: String = {
+    val stopHits = EnStop
+      .map(w => s"CASE WHEN ' ' || text || ' ' LIKE '% $w %' THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""WITH x AS (
+       |  SELECT len(string_split(text, ' ')) AS n_toks,
+       |         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |           / len(string_split(text, ' ')) AS mwl,
+       |         $stopHits AS stop_hits
+       |  FROM documents)
+       |SELECT CASE WHEN n_toks < $MinFunnelToks THEN '1_too_short'
+       |            WHEN n_toks > $MaxFunnelToks THEN '2_too_long'
+       |            WHEN mwl < CAST($MinMeanWordLen AS DOUBLE)
+       |              OR mwl > CAST($MaxMeanWordLen AS DOUBLE) THEN '3_word_len'
+       |            WHEN stop_hits < $MinEvidence THEN '4_low_stopword'
+       |            ELSE '5_pass' END AS stage,
+       |       count(*) AS n_docs,
+       |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // Content fingerprint: MD5 of whitespace-normalized lowercase text —
   // the oracle-able face of fingerprinting (the polynomial rolling hash
   // rides in q_dedup_simhash). Grouped to expose collision multiplicity.
@@ -173,6 +234,7 @@ object TextOps {
     "q_lang_id"       -> qLangId,
     "q_quality_score" -> qQualityScore,
     "q_fingerprint"   -> qFingerprint,
+    "q_filter_funnel" -> qFilterFunnel,
   )
 
   val oracles: Map[String, String] = Map(
@@ -181,5 +243,6 @@ object TextOps {
     "q_lang_id"       -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_fingerprint"   -> qFingerprintSql,
+    "q_filter_funnel" -> qFilterFunnelSql,
   )
 }

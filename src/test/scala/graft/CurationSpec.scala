@@ -1,0 +1,85 @@
+package graft
+
+import graft.ext.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the corpus-curation diagnostics (rule-funnel
+  * quality filter, duplicate-span mass) that the DuckDB hash-compare
+  * can't express: conservation laws on the real corpus and exact
+  * expected outputs on crafted corpora with known duplication.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.Sf
+
+  test("q_filter_funnel: doc and token totals are conserved across stages") {
+    val stages = TextOps.qFilterFunnel(spark, sf)
+      .as[(String, Long, Long)].collect()
+    val docs = Tables.documents(spark, sf)
+    val expectDocs = docs.count()
+    val expectToks = docs
+      .agg(sum(size(split(col("text"), " ")).cast("bigint"))).as[Long].head()
+    assert(stages.map(_._2).sum == expectDocs,
+           "every document must land in exactly one funnel stage")
+    assert(stages.map(_._3).sum == expectToks,
+           "token mass must be conserved across funnel stages")
+    val labels = stages.map(_._1).toSet
+    val allowed = Set("1_too_short", "2_too_long", "3_word_len",
+                      "4_low_stopword", "5_pass")
+    assert(labels.subsetOf(allowed) && labels.contains("5_pass"))
+  }
+
+  test("filterFunnel: crafted docs land in their first failing rule") {
+    val en = "the a of and to is"            // 6 stopword tokens
+    // 24 8-char tokens: mean word len (13 + 24*8)/30 = 6.83 clears 4.0
+    val pad = Seq.fill(24)("wordword").mkString(" ")
+    val docs = Seq(
+      // 6 tokens -> too_short claims it even though stopwords pass
+      (1L, en),
+      // 30 tokens, mean word len ok, stopwords present -> pass
+      (2L, s"$en $pad"),
+      // 100 tokens -> too_long
+      (3L, Seq.fill(100)("word").mkString(" ")),
+      // 30 tokens but every word 12 chars -> word_len (then stopwords
+      // would also fail; first-fail attribution must pick word_len)
+      (4L, Seq.fill(30)("abcdefghijkl").mkString(" ")),
+      // 30 short tokens, no stopwords -> low_stopword
+      (5L, Seq.fill(30)("word").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextOps.filterFunnel(docs)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got == Map("1_too_short" -> 1L, "2_too_long" -> 1L,
+                      "3_word_len" -> 1L, "4_low_stopword" -> 1L,
+                      "5_pass" -> 1L))
+  }
+
+  test("dupSpanMass: crafted corpus with known duplication is exact") {
+    val eight = (1 to 8).map(i => s"t$i").mkString(" ")   // one 8-gram
+    val nine = (1 to 9).map(i => s"u$i").mkString(" ")    // two 8-grams
+    val docs = Seq(
+      (1L, "a", eight),  // dup of doc 2 -> its 1 span is duplicated
+      (2L, "a", eight),
+      (3L, "b", nine)    // unique -> 2 spans, none duplicated
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.dupSpanMass(docs)
+      .as[(String, Long, Long, Long, Double)].collect().toList
+    assert(got == List(("a", 2L, 2L, 2L, 1.0), ("b", 2L, 0L, 0L, 0.0)))
+  }
+
+  test("q_dup_span_mass: span totals match the corpus token arithmetic") {
+    val rows = Dedup.qDupSpanMass(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val docs = Tables.documents(spark, sf)
+    // every doc contributes max(len - 7, 1) spans
+    val expectSpans = docs
+      .agg(sum(greatest(size(split(col("text"), " ")) - 7, lit(1))
+                 .cast("bigint"))).as[Long].head()
+    assert(rows.map(_._2).sum == expectSpans)
+    rows.foreach { case (src, n, dup, hit, ratio) =>
+      assert(dup <= n && hit >= 0, s"$src: dup spans exceed span count")
+      assert(math.abs(ratio - dup.toDouble / n) == 0.0)
+    }
+  }
+}

@@ -32,6 +32,18 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    # ScaleGen-produced dirs carry events.ts as raw BIGINT nanos (Spark
+    # cannot write TIMESTAMP(NANOS)); mirror Tables.events' ns->us floor
+    # conversion so the oracle sees the same TIMESTAMP the engine does.
+    ts_type = dict((r[0], r[1]) for r in
+                   con.sql("DESCRIBE events").fetchall()).get("ts")
+    if ts_type == "BIGINT":
+        con.execute("""CREATE OR REPLACE VIEW events AS
+            SELECT event_id,
+                   make_timestamp(CAST((ts - ((ts % 1000) + 1000) % 1000) // 1000
+                                  AS BIGINT)) AS ts,
+                   user_id, event_type, value, props
+            FROM '{}'""".format(table_path(sf_dir, "events")))
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
