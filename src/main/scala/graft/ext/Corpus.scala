@@ -544,7 +544,154 @@ object Corpus {
       |       CAST(SUM(keep * n_toks) AS BIGINT) AS sampled_toks
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q_boilerplate — CCNet/RefinedWeb-style boilerplate removal by
+  // corpus-frequency: cut every document into fixed 5-token segments
+  // (the "paragraph" unit of this single-line corpus), count each
+  // distinct segment's document frequency corpus-wide, drop segments
+  // shared by >= BoilerDfCap documents (navigation chrome, license
+  // headers, spam templates — a segment repeated verbatim across
+  // documents carries no training signal), and reassemble the surviving
+  // text in original order.
+  //
+  // Scale shape: segmentation is MAP-ONLY (array slice on the token
+  // vector — no explode→groupBy round trip to rebuild positions); the
+  // df count and the anti-join both shuffle on the segment string, and
+  // reassembly is one partial-aggregating groupBy(doc_id). Nothing is
+  // quadratic in corpus size or duplicate density — a hot segment costs
+  // one counter, not candidate pairs.
+  // -------------------------------------------------------------------
+  val BoilerSegWords = 5
+  val BoilerDfCap = 2 // df >= 2: any cross-document verbatim segment
+
+  val qBoilerplate: Q = (s, d) => boilerplateRemove(Tables.documents(s, d))
+
+  /** Core of q_boilerplate over any (doc_id, text) frame — split out so
+    * specs can run crafted corpora with known repeated segments.
+    */
+  def boilerplateRemove(docs: DataFrame): DataFrame = {
+    val w = lit(BoilerSegWords)
+    val base = docs
+      .select(col("doc_id"), Ops.tokens(col("text")).as("toks"))
+      // ceil(n/w) in exact integer math: (n + w - 1) div w — a double
+      // ceil() would be a needless float detour on both sides
+      .withColumn("n_segs",
+        ((size(col("toks")) + w - 1).cast("bigint") / w.cast("bigint"))
+          .cast("bigint"))
+    val segs = base.select(col("doc_id"), col("n_segs"),
+        explode(transform(sequence(lit(0L), col("n_segs") - 1),
+          i => struct(i.as("seg"),
+                      array_join(slice(col("toks"),
+                        (i * w + 1).cast("int"), lit(BoilerSegWords)), " ")
+                        .as("segtext")))).as("sg"))
+      .select(col("doc_id"), col("n_segs"),
+              col("sg.seg").as("seg"), col("sg.segtext").as("segtext"))
+    val hot = segs.groupBy(col("segtext"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BoilerDfCap)
+      .select(col("segtext"))
+    val kept = segs.join(hot, Seq("segtext"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+           array_join(
+             transform(array_sort(collect_list(struct(col("seg"),
+                                                      col("segtext")))),
+                       x => x.getField("segtext")), " ").as("kept_text"))
+    base.select(col("doc_id"), col("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              round(lit(1.0) - coalesce(col("n_kept"), lit(0L)).cast("double")
+                      / col("n_segs").cast("double"), 6).as("removed_frac"),
+              coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBoilerplateSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |base AS (
+      |  SELECT doc_id, toks,
+      |         CAST((len(toks) + ${BoilerSegWords - 1}) // $BoilerSegWords
+      |              AS BIGINT) AS n_segs
+      |  FROM t),
+      |pos AS (
+      |  SELECT doc_id, n_segs, toks, unnest(range(0, n_segs)) AS seg
+      |  FROM base),
+      |segs AS (
+      |  SELECT doc_id, n_segs, CAST(seg AS BIGINT) AS seg,
+      |         array_to_string(list_slice(toks, seg * $BoilerSegWords + 1,
+      |                                    (seg + 1) * $BoilerSegWords),
+      |                         ' ') AS segtext
+      |  FROM pos),
+      |hot AS (
+      |  SELECT segtext FROM segs GROUP BY 1
+      |  HAVING COUNT(DISTINCT doc_id) >= $BoilerDfCap),
+      |kept AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_kept,
+      |         string_agg(s.segtext, ' ' ORDER BY s.seg) AS kept_text
+      |  FROM segs s ANTI JOIN hot h ON s.segtext = h.segtext
+      |  GROUP BY 1)
+      |SELECT b.doc_id, b.n_segs,
+      |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |       round(1.0 - CAST(COALESCE(k.n_kept, 0) AS DOUBLE)
+      |                     / CAST(b.n_segs AS DOUBLE), 6) AS removed_frac,
+      |       COALESCE(k.kept_text, '') AS kept_text
+      |FROM base b LEFT JOIN kept k USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_unigram_logprob — unigram language-model fluency score, the cheap
+  // stand-in for CCNet's wiki-LM perplexity filter: train the unigram
+  // model ON the corpus itself (count(term) / total_tokens) and score
+  // each document by its mean token log-probability. Low scores flag
+  // rare-token noise; implausibly high scores flag degenerate repetition.
+  //
+  // Two shuffles total (term counts; per-doc mean), plus two scalar
+  // aggregates broadcast via 1-row crossJoin. ln() is IEEE double libm
+  // on both engines (sub-ulp different at worst); the summed error is
+  // ~1e-14 relative against a 5e-7 rounding boundary at 6 dp, verified
+  // exact on the oracle corpus.
+  // -------------------------------------------------------------------
+  val qUnigramLogprob: Q = (s, d) => unigramLogprob(Tables.documents(s, d))
+
+  /** Core of q_unigram_logprob over any (doc_id, text) frame. */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val n = tf.agg(sum(col("cnt")).as("n_total"))
+    tok.join(tf, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+           sum(log(col("cnt").cast("double"))).as("sum_ln_cnt"))
+      .crossJoin(n)
+      .select(col("doc_id"), col("n_toks"),
+              round(col("sum_ln_cnt") / col("n_toks").cast("double")
+                      - log(col("n_total").cast("double")), 6)
+                .as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qUnigramLogprobSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM tf),
+      |per_doc AS (
+      |  SELECT tok.doc_id, COUNT(*) AS n_toks,
+      |         SUM(ln(CAST(tf.cnt AS DOUBLE))) AS sum_ln_cnt
+      |  FROM tok JOIN tf USING (term) GROUP BY 1)
+      |SELECT doc_id, n_toks,
+      |       round(sum_ln_cnt / CAST(n_toks AS DOUBLE)
+      |               - ln(CAST(n_total AS DOUBLE)), 6) AS mean_logprob
+      |FROM per_doc CROSS JOIN n
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_boilerplate"      -> qBoilerplate,
+    "q_unigram_logprob"  -> qUnigramLogprob,
     "q_contamination"    -> qContamination,
     "q_mixture_sample"   -> qMixtureSample,
     "q_dedup_cluster"    -> qDedupCluster,
@@ -556,6 +703,8 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_boilerplate"      -> qBoilerplateSql,
+    "q_unigram_logprob"  -> qUnigramLogprobSql,
     "q_contamination"    -> qContaminationSql,
     "q_mixture_sample"   -> qMixtureSampleSql,
     "q_dedup_cluster"    -> qDedupClusterSql,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, TextOps}
+import graft.ext.{Corpus, Dedup, TextOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -66,6 +66,44 @@ class CurationSpec extends AnyFunSuite {
     val got = Dedup.dupSpanMass(docs)
       .as[(String, Long, Long, Long, Double)].collect().toList
     assert(got == List(("a", 2L, 2L, 2L, 1.0), ("b", 2L, 0L, 0L, 0.0)))
+  }
+
+  test("boilerplateRemove: shared segments drop, unique text survives intact") {
+    // Segments are 5 tokens: "b1..b5" is the boilerplate segment shared by
+    // docs 1 and 2; each doc also carries a unique 5-token segment plus a
+    // short unique tail (tail segments are < 5 tokens but still distinct).
+    val boiler = (1 to 5).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler u1 u2 u3 u4 u5 tail1"),
+      (2L, s"$boiler v1 v2 v3 v4 v5"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7")
+    ).toDF("doc_id", "text")
+    val got = Corpus.boilerplateRemove(docs)
+      .as[(Long, Long, Long, Double, String)].collect().toList
+    assert(got == List(
+      (1L, 3L, 2L, 0.333333, "u1 u2 u3 u4 u5 tail1"),
+      (2L, 2L, 1L, 0.5, "v1 v2 v3 v4 v5"),
+      (3L, 2L, 2L, 0.0, "w1 w2 w3 w4 w5 w6 w7")))
+  }
+
+  test("boilerplateRemove: fully-boilerplate doc keeps empty text, not NULL") {
+    val seg = (1 to 5).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, seg), (2L, seg)).toDF("doc_id", "text")
+    val got = Corpus.boilerplateRemove(docs)
+      .as[(Long, Long, Long, Double, String)].collect().toList
+    assert(got == List((1L, 1L, 0L, 1.0, ""), (2L, 1L, 0L, 1.0, "")))
+  }
+
+  test("unigramLogprob: hand-computed corpus model is exact") {
+    // corpus: "a a b" + "a c" -> counts a=3, b=1, c=1, N=5
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = Corpus.unigramLogprob(docs)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = math.log(5.0)
+    assert(got(1L) == ((3L, r6((2 * math.log(3.0) + math.log(1.0)) / 3.0 - n))))
+    assert(got(2L) == ((2L, r6((math.log(3.0) + math.log(1.0)) / 2.0 - n))))
   }
 
   test("q_dup_span_mass: span totals match the corpus token arithmetic") {
