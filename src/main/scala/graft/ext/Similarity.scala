@@ -337,6 +337,219 @@ object Similarity {
        |ORDER BY qid, rn""".stripMargin
 
   // ------------------------------------------------------------------
+  // Product-quantization ANN (q_ann_pq): split the 64-dim vector into
+  // PqM=8 subspaces of 8 dims; per subspace train a PqKSub=4-entry
+  // sub-codebook (md5-sampled seeds + one joint Lloyd step — the same
+  // exact-arithmetic funnel as IVF); encode every corpus vector as 8
+  // one-byte codes. Queries score candidates by ADC (asymmetric distance
+  // computation): per subspace, dot(query_sub, sub_centroid[code]) from
+  // a 32-entry lookup table, summed — reading 8 codes per vector instead
+  // of 64 floats, the 8× scan-bandwidth cut that makes exhaustive ANN
+  // affordable at 100 TB (and composes with IVF cells for the full
+  // IVF-PQ). The ADC shortlist is then re-ranked with exact cosine.
+  //
+  // Cross-engine exactness: per-subspace dots are index-order double
+  // folds on both sides; each is snapped to integer MICRO-UNITS before
+  // the per-pair sum, so the 8-term ADC total is an order-free BIGINT
+  // sum. Assignment ties rank (dot desc, cell asc) exactly as IVF.
+  // ------------------------------------------------------------------
+  val PqM = 8        // subspaces
+  val PqSubDim = 8   // dims per subspace (PqM × PqSubDim = Dim)
+  val PqKSub = 8     // sub-centroids per subspace
+  val PqShortlist = 40
+  val PqSampleMod = 4L // md5(vec_id:pq) % 4 == 0 → ~25% training sample
+
+  /** Train the PQ codebook: per-subspace seeds from the PqKSub smallest
+    * md5-sampled vec_ids, plus one joint Lloyd step (all subspaces in a
+    * single partial-aggregated pass; micro-unit exact sums; empty cells
+    * keep their seed). Returns cents(m)(cell) = PqSubDim floats.
+    */
+  private[graft] def trainPqCodebook(e0: DataFrame): Array[Array[Array[Float]]] = {
+    val sample = e0
+      .filter(Ops.md5Bits60(concat(col("vec_id").cast("string"), lit(":pq")))
+                % PqSampleMod === 0L)
+      .select(col("vec_id"), col("embedding"))
+    val seeds: Array[Array[Float]] = sample.orderBy(col("vec_id"))
+      .limit(PqKSub).collect().map(_.getSeq[Float](1).toArray)
+    require(seeds.length == PqKSub,
+      s"corpus sample smaller than $PqKSub vectors")
+    val cents0: Array[Array[Array[Float]]] =
+      Array.tabulate(PqM, PqKSub)((m, c) =>
+        seeds(c).slice(m * PqSubDim, (m + 1) * PqSubDim))
+    // One Lloyd step, all subspaces at once: assign each (vector,
+    // subspace) pair to its nearest sub-centroid via the native
+    // (dot desc, cell asc) rank, then per-(m, cell, dim) micro-unit
+    // means. The collect is bounded: ≤ PqM·PqKSub·PqSubDim = 256 rows.
+    val coded = sample.select(col("vec_id"), col("embedding"),
+      explode(pqCodeStructs(col("embedding"), cents0)).as("c"))
+      .select(col("embedding"), col("c.m").as("m"), col("c.code").as("code"))
+    val sums = coded
+      .select(col("m"), col("code"),
+              posexplode(slice(col("embedding"), col("m") * PqSubDim + 1,
+                               lit(PqSubDim))).as(Seq("dim", "x")))
+      .groupBy(col("m"), col("code"), col("dim"))
+      .agg(sum(round(col("x").cast("double") * 1e6).cast("long")).as("s"),
+           count(lit(1)).as("n"))
+      .collect()
+    val next = cents0.map(_.map(_.clone()))
+    sums.foreach { r =>
+      val m = r.getInt(0); val c = r.getInt(1); val i = r.getInt(2)
+      next(m)(c)(i) =
+        (r.getLong(3).toDouble / (r.getLong(4).toDouble * 1e6)).toFloat
+    }
+    next
+  }
+
+  /** Map-only PQ encoder: array of (m, code) structs, one per subspace,
+    * each code from a native matrixDotRank against that subspace's
+    * sub-codebook — no join, no shuffle on the corpus side.
+    */
+  private def pqCodeStructs(emb: Column,
+                            cents: Array[Array[Array[Float]]]): Column =
+    array((0 until PqM).map { m =>
+      struct(lit(m).as("m"),
+             element_at(VectorFunctions.matrixDotRank(
+                 slice(emb, m * PqSubDim + 1, PqSubDim),
+                 cents(m).flatten, PqSubDim), 1)
+               .cast("int").as("code"))
+    }: _*)
+
+  val qAnnPq: Q = (s, d) => {
+    val e0 = Tables.embeddings(s, d)
+    val cents = trainPqCodebook(e0)
+    val centsDf = s.createDataFrame(
+      for (m <- 0 until PqM; c <- 0 until PqKSub)
+        yield (m, c, cents(m)(c).toSeq)
+    ).toDF("m", "cell", "ce")
+    // corpus → (vec_id, m, code): pure map + explode
+    val codes = e0.select(col("vec_id"),
+        explode(pqCodeStructs(col("embedding"), cents)).as("c"))
+      .select(col("vec_id"), col("c.m").as("m"), col("c.code").as("code"))
+    // query-side ADC lookup table: micro-unit dot of each query subvector
+    // with each of the 32 sub-centroids (10 × 32 rows, broadcast)
+    val qdots = e0.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(centsDf)
+      .select(col("qid"), col("m"), col("cell"),
+              round(VectorFunctions.vecDot(
+                  slice(col("qe"), col("m") * PqSubDim + 1, lit(PqSubDim)),
+                  col("ce")) * 1e6).cast("long").as("dmicro"))
+    val adc = codes
+      .join(broadcast(qdots),
+            codes("m") === qdots("m") && codes("code") === qdots("cell") &&
+              col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dmicro")).as("adc_micro"))
+    val short = Ops.topKPerGroup(adc, Seq("qid"), -col("adc_micro"),
+                                 col("vec_id"), PqShortlist, rnCol = "srn")
+    // exact cosine re-rank of the ADC shortlist
+    val e = e0.select(col("vec_id"), col("embedding"),
+                      VectorFunctions.vecNorm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid2"), col("embedding").as("qe"),
+              col("nrm").as("qnrm"))
+    val rer = short
+      .join(e, Seq("vec_id"))
+      .join(broadcast(q), col("qid") === col("qid2"))
+      .select(col("qid"), col("vec_id"),
+              round(col("adc_micro").cast("double") / 1e6, 6).as("adc"),
+              round(VectorFunctions.vecDot(col("qe"), col("embedding")) /
+                      (col("qnrm") * col("nrm")), 6).as("score"))
+    Ops.topKPerGroup(rer, Seq("qid"), -col("score"), col("vec_id"), TopK)
+      .select(col("qid"), col("vec_id"), col("adc"), col("score"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** DuckDB oracle: the same PQ funnel relationally — md5 sample, seed
+    * sub-codebooks, one Lloyd step with micro-unit means, full-corpus
+    * encoding by (dot desc, cell asc), micro-unit ADC lookup sum,
+    * shortlist, exact cosine re-rank.
+    */
+  val qAnnPqSql: String = {
+    def subdot(vec: String, m: String, ce: String) =
+      s"""(SELECT SUM(CAST($vec[$m*$PqSubDim+i.i] AS DOUBLE) * CAST($ce[i.i] AS DOUBLE))
+         | FROM generate_series(1, $PqSubDim) i(i))""".stripMargin.replace("\n", "")
+    s"""WITH sample AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':pq'), 1, 15))::BIGINT
+       |          % $PqSampleMod = 0),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
+       |         embedding
+       |  FROM sample ORDER BY vec_id LIMIT $PqKSub),
+       |cents0 AS (
+       |  SELECT m.m, s.cell,
+       |         list_slice(s.embedding, m.m * $PqSubDim + 1,
+       |                    (m.m + 1) * $PqSubDim) AS ce
+       |  FROM seeds s CROSS JOIN generate_series(0, ${PqM - 1}) m(m)),
+       |asg AS (
+       |  SELECT s.vec_id, c.m, c.cell,
+       |         row_number() OVER (PARTITION BY s.vec_id, c.m ORDER BY
+       |           ${subdot("s.embedding", "c.m", "c.ce")} DESC, c.cell) AS rn
+       |  FROM sample s CROSS JOIN cents0 c),
+       |upd AS (
+       |  SELECT a.m, a.cell, i.i AS dim,
+       |         CAST(CAST(SUM(CAST(round(CAST(s.embedding[a.m*$PqSubDim+i.i] AS DOUBLE)
+       |                                  * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+       |              / (CAST(count(*) AS DOUBLE) * 1000000.0) AS REAL) AS v
+       |  FROM sample s
+       |  JOIN asg a ON a.vec_id = s.vec_id AND a.rn = 1
+       |  CROSS JOIN generate_series(1, $PqSubDim) i(i)
+       |  GROUP BY 1, 2, 3),
+       |newc AS (SELECT m, cell, list(v ORDER BY dim) AS ce FROM upd GROUP BY 1, 2),
+       |cents AS (
+       |  SELECT c0.m, c0.cell, COALESCE(n.ce, c0.ce) AS ce
+       |  FROM cents0 c0 LEFT JOIN newc n ON n.m = c0.m AND n.cell = c0.cell),
+       |coderank AS (
+       |  SELECT e.vec_id, c.m, c.cell,
+       |         row_number() OVER (PARTITION BY e.vec_id, c.m ORDER BY
+       |           ${subdot("e.embedding", "c.m", "c.ce")} DESC, c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN cents c),
+       |codes AS (SELECT vec_id, m, cell AS code FROM coderank WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding FROM embeddings
+       |      WHERE vec_id < $NumQueries),
+       |qdots AS (
+       |  SELECT q.qid, c.m, c.cell,
+       |         CAST(round(${subdot("q.embedding", "c.m", "c.ce")} * 1000000.0,
+       |                    0) AS BIGINT) AS dmicro
+       |  FROM q CROSS JOIN cents c),
+       |adc AS (
+       |  SELECT qd.qid, co.vec_id, SUM(qd.dmicro) AS adc_micro
+       |  FROM codes co
+       |  JOIN qdots qd ON qd.m = co.m AND qd.cell = co.code
+       |  WHERE co.vec_id <> qd.qid
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |           ORDER BY adc_micro DESC, vec_id) AS srn
+       |  FROM adc),
+       |nrm AS (
+       |  SELECT vec_id, sqrt((SELECT SUM(CAST(embedding[i.i] AS DOUBLE) ** 2)
+       |                       FROM generate_series(1, $Dim) i(i))) AS nrm
+       |  FROM embeddings),
+       |rer AS (
+       |  SELECT s.qid, s.vec_id,
+       |         round(CAST(s.adc_micro AS DOUBLE) / 1000000.0, 6) AS adc,
+       |         round((SELECT SUM(CAST(qe.embedding[i.i] AS DOUBLE)
+       |                           * CAST(e.embedding[i.i] AS DOUBLE))
+       |                FROM generate_series(1, $Dim) i(i))
+       |               / (nq.nrm * ne.nrm), 6) AS score
+       |  FROM short s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = s.qid
+       |  JOIN nrm nq ON nq.vec_id = s.qid
+       |  JOIN nrm ne ON ne.vec_id = s.vec_id
+       |  WHERE s.srn <= $PqShortlist),
+       |ranked AS (
+       |  SELECT qid, vec_id, adc, score,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+       |  FROM rer)
+       |SELECT qid, vec_id, adc, score, rn FROM ranked WHERE rn <= $TopK
+       |ORDER BY qid, rn""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // K-means clustering summary — the codebook surfaced as a first-class
   // clustering OPERATOR (corpus partitioning for curriculum mixing /
   // diversity-balanced sampling), not just IVF plumbing: train, assign
@@ -428,11 +641,13 @@ object Similarity {
     "q_similarity_topk" -> qSimilarityTopk,
     "q_ann_lsh"         -> qAnnLsh,
     "q_ann_ivf"         -> qAnnIvf,
+    "q_ann_pq"          -> qAnnPq,
     "q_kmeans_cells"    -> qKmeansCells,
     "q_embed_quantize"  -> qEmbedQuantize,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ann_pq"          -> qAnnPqSql,
     "q_similarity_topk" -> qSimilarityTopkSql,
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,
