@@ -460,63 +460,70 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** DuckDB oracle: the same PQ funnel relationally — md5 sample, seed
-    * sub-codebooks, one Lloyd step with micro-unit means, full-corpus
-    * encoding by (dot desc, cell asc), micro-unit ADC lookup sum,
-    * shortlist, exact cosine re-rank.
+  /** Shared oracle CTE chain for the PQ funnel, pq_-prefixed so it can
+    * coexist with `kmeansFunnelCtes` in one statement (q_ann_ivfpq):
+    * md5 sample, seed sub-codebooks, one Lloyd step with micro-unit
+    * means, full-corpus encoding by (dot desc, cell asc), and the
+    * query-side micro-unit ADC lookup table.
     */
-  val qAnnPqSql: String = {
+  private def pqFunnelCtes: String = {
     def subdot(vec: String, m: String, ce: String) =
       s"""(SELECT SUM(CAST($vec[$m*$PqSubDim+i.i] AS DOUBLE) * CAST($ce[i.i] AS DOUBLE))
          | FROM generate_series(1, $PqSubDim) i(i))""".stripMargin.replace("\n", "")
-    s"""WITH sample AS (
+    s"""pq_sample AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':pq'), 1, 15))::BIGINT
        |          % $PqSampleMod = 0),
-       |seeds AS (
+       |pq_seeds AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
        |         embedding
-       |  FROM sample ORDER BY vec_id LIMIT $PqKSub),
-       |cents0 AS (
+       |  FROM pq_sample ORDER BY vec_id LIMIT $PqKSub),
+       |pq_cents0 AS (
        |  SELECT m.m, s.cell,
        |         list_slice(s.embedding, m.m * $PqSubDim + 1,
        |                    (m.m + 1) * $PqSubDim) AS ce
-       |  FROM seeds s CROSS JOIN generate_series(0, ${PqM - 1}) m(m)),
-       |asg AS (
+       |  FROM pq_seeds s CROSS JOIN generate_series(0, ${PqM - 1}) m(m)),
+       |pq_asg AS (
        |  SELECT s.vec_id, c.m, c.cell,
        |         row_number() OVER (PARTITION BY s.vec_id, c.m ORDER BY
        |           ${subdot("s.embedding", "c.m", "c.ce")} DESC, c.cell) AS rn
-       |  FROM sample s CROSS JOIN cents0 c),
-       |upd AS (
+       |  FROM pq_sample s CROSS JOIN pq_cents0 c),
+       |pq_upd AS (
        |  SELECT a.m, a.cell, i.i AS dim,
        |         CAST(CAST(SUM(CAST(round(CAST(s.embedding[a.m*$PqSubDim+i.i] AS DOUBLE)
        |                                  * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
        |              / (CAST(count(*) AS DOUBLE) * 1000000.0) AS REAL) AS v
-       |  FROM sample s
-       |  JOIN asg a ON a.vec_id = s.vec_id AND a.rn = 1
+       |  FROM pq_sample s
+       |  JOIN pq_asg a ON a.vec_id = s.vec_id AND a.rn = 1
        |  CROSS JOIN generate_series(1, $PqSubDim) i(i)
        |  GROUP BY 1, 2, 3),
-       |newc AS (SELECT m, cell, list(v ORDER BY dim) AS ce FROM upd GROUP BY 1, 2),
-       |cents AS (
+       |pq_newc AS (SELECT m, cell, list(v ORDER BY dim) AS ce
+       |            FROM pq_upd GROUP BY 1, 2),
+       |pq_cents AS (
        |  SELECT c0.m, c0.cell, COALESCE(n.ce, c0.ce) AS ce
-       |  FROM cents0 c0 LEFT JOIN newc n ON n.m = c0.m AND n.cell = c0.cell),
-       |coderank AS (
+       |  FROM pq_cents0 c0
+       |  LEFT JOIN pq_newc n ON n.m = c0.m AND n.cell = c0.cell),
+       |pq_coderank AS (
        |  SELECT e.vec_id, c.m, c.cell,
        |         row_number() OVER (PARTITION BY e.vec_id, c.m ORDER BY
        |           ${subdot("e.embedding", "c.m", "c.ce")} DESC, c.cell) AS rn
-       |  FROM embeddings e CROSS JOIN cents c),
-       |codes AS (SELECT vec_id, m, cell AS code FROM coderank WHERE rn = 1),
-       |q AS (SELECT vec_id AS qid, embedding FROM embeddings
-       |      WHERE vec_id < $NumQueries),
-       |qdots AS (
+       |  FROM embeddings e CROSS JOIN pq_cents c),
+       |pq_codes AS (SELECT vec_id, m, cell AS code FROM pq_coderank WHERE rn = 1),
+       |pq_q AS (SELECT vec_id AS qid, embedding FROM embeddings
+       |         WHERE vec_id < $NumQueries),
+       |pq_qdots AS (
        |  SELECT q.qid, c.m, c.cell,
        |         CAST(round(${subdot("q.embedding", "c.m", "c.ce")} * 1000000.0,
        |                    0) AS BIGINT) AS dmicro
-       |  FROM q CROSS JOIN cents c),
+       |  FROM pq_q q CROSS JOIN pq_cents c)""".stripMargin
+  }
+
+  val qAnnPqSql: String =
+    s"""WITH $pqFunnelCtes,
        |adc AS (
        |  SELECT qd.qid, co.vec_id, SUM(qd.dmicro) AS adc_micro
-       |  FROM codes co
-       |  JOIN qdots qd ON qd.m = co.m AND qd.cell = co.code
+       |  FROM pq_codes co
+       |  JOIN pq_qdots qd ON qd.m = co.m AND qd.cell = co.code
        |  WHERE co.vec_id <> qd.qid
        |  GROUP BY 1, 2),
        |short AS (
@@ -547,7 +554,120 @@ object Similarity {
        |  FROM rer)
        |SELECT qid, vec_id, adc, score, rn FROM ranked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin
+
+  // ------------------------------------------------------------------
+  // IVF-PQ (q_ann_ivfpq): the composed 100 TB ANN path — the IVF coarse
+  // quantizer prunes the search to NProbe cells (read ~NProbe/NumCells
+  // of the corpus), and WITHIN those cells candidates are scored by PQ
+  // ADC codes (8 bytes/vector instead of 256), with exact cosine
+  // re-ranking of the shortlist. Both codebooks are the already-oracled
+  // training funnels (IVF: 2 Lloyd iters; PQ: 1 joint Lloyd step).
+  // This variant encodes raw vectors, not IVF residuals: residual
+  // encoding buys fidelity but needs float-subtraction parity across
+  // engines; the pruning/bandwidth structure — the part that matters
+  // at scale — is identical.
+  // ------------------------------------------------------------------
+  val qAnnIvfpq: Q = (s, d) => {
+    val e0 = Tables.embeddings(s, d)
+    val ivfMat = trainCodebook(e0)
+    val cents = trainPqCodebook(e0)
+    val centsDf = s.createDataFrame(
+      for (m <- 0 until PqM; c <- 0 until PqKSub)
+        yield (m, c, cents(m)(c).toSeq)
+    ).toDF("m", "cell", "ce")
+    def rankedCells(emb: Column): Column =
+      VectorFunctions.matrixDotRank(emb, ivfMat, Dim)
+    // corpus: one map pass emits the coarse cell + the 8 PQ codes
+    val coded = e0.select(col("vec_id"),
+        element_at(rankedCells(col("embedding")), 1)
+          .cast("bigint").as("cell"),
+        explode(pqCodeStructs(col("embedding"), cents)).as("c"))
+      .select(col("vec_id"), col("cell"),
+              col("c.m").as("m"), col("c.code").as("code"))
+    // queries: probed cells × ADC lookup table, both bounded+broadcast
+    val probes = e0.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"),
+              explode(slice(rankedCells(col("embedding")), 1, NProbe)).as("pc"))
+      .select(col("qid"), col("pc").cast("bigint").as("probe_cell"))
+    val qdots = e0.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(centsDf)
+      .select(col("qid"), col("m"), col("cell").as("pcell"),
+              round(VectorFunctions.vecDot(
+                  slice(col("qe"), col("m") * PqSubDim + 1, lit(PqSubDim)),
+                  col("ce")) * 1e6).cast("long").as("dmicro"))
+    val adc = coded
+      .join(broadcast(probes), col("cell") === col("probe_cell"))
+      .join(broadcast(qdots),
+            coded("m") === qdots("m") && coded("code") === qdots("pcell") &&
+              coded("vec_id") =!= qdots("qid") && probes("qid") === qdots("qid"))
+      .select(probes("qid").as("qid"), coded("vec_id").as("vec_id"),
+              coded("cell").as("cell"), col("dmicro"))
+      .groupBy(col("qid"), col("vec_id"), col("cell"))
+      .agg(sum(col("dmicro")).as("adc_micro"))
+    val short = Ops.topKPerGroup(adc, Seq("qid"), -col("adc_micro"),
+                                 col("vec_id"), PqShortlist, rnCol = "srn")
+    val e = e0.select(col("vec_id"), col("embedding"),
+                      VectorFunctions.vecNorm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid2"), col("embedding").as("qe"),
+              col("nrm").as("qnrm"))
+    val rer = short
+      .join(e, Seq("vec_id"))
+      .join(broadcast(q), col("qid") === col("qid2"))
+      .select(col("qid"), col("cell"), col("vec_id"),
+              round(col("adc_micro").cast("double") / 1e6, 6).as("adc"),
+              round(VectorFunctions.vecDot(col("qe"), col("embedding")) /
+                      (col("qnrm") * col("nrm")), 6).as("score"))
+    Ops.topKPerGroup(rer, Seq("qid"), -col("score"), col("vec_id"), TopK)
+      .select(col("qid"), col("cell"), col("vec_id"), col("adc"),
+              col("score"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
   }
+
+  /** DuckDB oracle: both training funnels' CTE chains composed — IVF
+    * probes restrict the candidate set, PQ codes supply the ADC score,
+    * exact cosine re-ranks the shortlist.
+    */
+  val qAnnIvfpqSql: String =
+    s"""WITH $kmeansFunnelCtes,
+       |$pqFunnelCtes,
+       |probes AS (
+       |  SELECT vec_id AS qid, cell AS probe_cell FROM dots
+       |  WHERE vec_id < $NumQueries AND cell_rn <= $NProbe),
+       |adc AS (
+       |  SELECT p.qid, a.vec_id, a.cell, SUM(qd.dmicro) AS adc_micro
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.probe_cell
+       |  JOIN pq_codes co ON co.vec_id = a.vec_id
+       |  JOIN pq_qdots qd ON qd.qid = p.qid AND qd.m = co.m
+       |                  AND qd.cell = co.code
+       |  WHERE a.vec_id <> p.qid
+       |  GROUP BY 1, 2, 3),
+       |short AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |           ORDER BY adc_micro DESC, vec_id) AS srn
+       |  FROM adc),
+       |rer AS (
+       |  SELECT s.qid, s.cell, s.vec_id,
+       |         round(CAST(s.adc_micro AS DOUBLE) / 1000000.0, 6) AS adc,
+       |         round((SELECT SUM(CAST(qe.embedding[i.i] AS DOUBLE)
+       |                           * CAST(e.embedding[i.i] AS DOUBLE))
+       |                FROM generate_series(1, $Dim) i(i))
+       |               / (nq.nrm * ne.nrm), 6) AS score
+       |  FROM short s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = s.qid
+       |  JOIN nrm nq ON nq.vec_id = s.qid
+       |  JOIN nrm ne ON ne.vec_id = s.vec_id
+       |  WHERE s.srn <= $PqShortlist),
+       |ranked AS (
+       |  SELECT qid, cell, vec_id, adc, score,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+       |  FROM rer)
+       |SELECT qid, cell, vec_id, adc, score, rn FROM ranked WHERE rn <= $TopK
+       |ORDER BY qid, rn""".stripMargin
 
   // ------------------------------------------------------------------
   // K-means clustering summary — the codebook surfaced as a first-class
@@ -642,12 +762,14 @@ object Similarity {
     "q_ann_lsh"         -> qAnnLsh,
     "q_ann_ivf"         -> qAnnIvf,
     "q_ann_pq"          -> qAnnPq,
+    "q_ann_ivfpq"       -> qAnnIvfpq,
     "q_kmeans_cells"    -> qKmeansCells,
     "q_embed_quantize"  -> qEmbedQuantize,
   )
 
   val oracles: Map[String, String] = Map(
     "q_ann_pq"          -> qAnnPqSql,
+    "q_ann_ivfpq"       -> qAnnIvfpqSql,
     "q_similarity_topk" -> qSimilarityTopkSql,
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,

@@ -176,6 +176,34 @@ class QueriesSpec extends AnyFunSuite {
     assert(mean >= 0.35, s"PQ mean recall $mean below floor")
   }
 
+  test("ann_ivfpq: probed-cell candidates only, exact scores sorted") {
+    val out = Similarity.qAnnIvfpq(spark, sf)
+      .select($"qid", $"cell", $"vec_id", $"adc", $"score", $"rn").collect()
+    assert(out.nonEmpty)
+    // every query returns at most TopK rows; exact scores sorted desc;
+    // ADC is a real pre-filter: the shortlist survivors carry finite ADC
+    out.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.length <= Similarity.TopK)
+      val scores = g.sortBy(_.getLong(5)).map(_.getDouble(4))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    }
+    // pruning respects the IVF geometry: a candidate's cell must be one
+    // of its query's probed cells
+    val e0 = Tables.embeddings(spark, sf)
+    val mat = Similarity.trainCodebook(e0)
+    val probed = e0.filter($"vec_id" < Similarity.NumQueries)
+      .select($"vec_id".as("qid"),
+        explode(slice(graft.functions.VectorFunctions.matrixDotRank(
+          $"embedding", mat, Similarity.Dim), 1, Similarity.NProbe)).as("pc"))
+      .select($"qid", $"pc".cast("bigint"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      assert(probed(r.getLong(0)).contains(r.getLong(1)),
+             s"candidate cell ${r.getLong(1)} not probed for qid ${r.getLong(0)}")
+    }
+  }
+
   test("stratified sample: deterministic, honors per-language fractions") {
     import graft.ext.Pipeline
     val a = Pipeline.qStratifiedSample(spark, sf).collect().toSeq
