@@ -228,7 +228,56 @@ object TextOps {
       |       min(doc_id) AS canonical_id, count(*) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_vocab_coverage — tokenizer-prep vocabulary audit: take the top
+  // VocabSize terms by corpus frequency as the working vocabulary and
+  // report each document's out-of-vocabulary token count/rate (the
+  // signal that decides whether a vocab is big enough, and a per-doc
+  // noise filter: high OOV ≈ garbled text). The vocabulary selection is
+  // a total order (count desc, term asc), so the V-boundary is
+  // deterministic in both engines.
+  //
+  // Scale shape: term counts are one partial-aggregated shuffle over
+  // the (bounded, Zipf-light) distinct-term table; top-V is
+  // TakeOrderedAndProject (no global sort materialization); the
+  // per-doc OOV count is a broadcast-joinable lookup against V rows.
+  // ------------------------------------------------------------------
+  val VocabSize = 20
+
+  val qVocabCoverage: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(VocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_toks"), col("n_oov"),
+              round(col("n_oov").cast("double") /
+                      col("n_toks").cast("double"), 6).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qVocabCoverageSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+       |vocab AS (SELECT term FROM tf ORDER BY cnt DESC, term ASC
+       |          LIMIT $VocabSize)
+       |SELECT t.doc_id, COUNT(*) AS n_toks,
+       |       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_oov,
+       |       round(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |               / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+       |FROM tok t LEFT JOIN vocab v ON v.term = t.term
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_vocab_coverage" -> qVocabCoverage,
     "q_text_stats"    -> qTextStats,
     "q_token_count"   -> qTokenCount,
     "q_lang_id"       -> qLangId,
@@ -238,6 +287,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_coverage" -> qVocabCoverageSql,
     "q_text_stats"    -> qTextStatsSql,
     "q_token_count"   -> qTokenCountSql,
     "q_lang_id"       -> qLangIdSql,

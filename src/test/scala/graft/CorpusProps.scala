@@ -54,6 +54,45 @@ object CorpusProps extends Properties("graft.Corpus") {
       got == want
     }
 
+  // ------------------------------------------------------------------
+  // boilerplateRemove invariants on random corpora: a driver-side
+  // re-implementation of the segment/df/filter/reassemble pipeline must
+  // agree exactly, covering shapes the fixed corpus can't (doc counts
+  // of 1, all-duplicate corpora, token counts straddling the segment
+  // boundary, repeated segments WITHIN one doc — df counts docs, not
+  // occurrences).
+  // ------------------------------------------------------------------
+  val corpusGen: Gen[List[(Long, String)]] = for {
+    nDocs <- Gen.chooseNum(1, 8)
+    vocab <- Gen.chooseNum(2, 5) // tiny vocab → cross-doc segment collisions
+    docs <- Gen.listOfN(nDocs, for {
+      nToks <- Gen.chooseNum(1, 23)
+      toks <- Gen.listOfN(nToks, Gen.chooseNum(1, vocab).map(i => s"w$i"))
+    } yield toks.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) }
+
+  private def refBoilerplate(docs: List[(Long, String)])
+      : Map[Long, (Long, Long, String)] = {
+    val w = Corpus.BoilerSegWords
+    val segs = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).grouped(w).map(_.mkString(" ")).toVector
+    }.toMap
+    val df = segs.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (s, occ) => s -> occ.size }
+    docs.map { case (id, _) =>
+      val kept = segs(id).filter(s => df(s) < Corpus.BoilerDfCap)
+      id -> ((segs(id).length.toLong, kept.length.toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  property("boilerplateRemove == driver-side reference pipeline") =
+    Prop.forAllNoShrink(corpusGen) { docs =>
+      val got = Corpus.boilerplateRemove(docs.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, Double, String)].collect()
+        .map { case (id, n, k, _, t) => id -> ((n, k, t)) }.toMap
+      got == refBoilerplate(docs)
+    }
+
   property("warm-started propagation reaches the same fixpoint") =
     Prop.forAllNoShrink(graphGen) { case (vs, es) =>
       val vertices = vs.toDF("doc_id")
