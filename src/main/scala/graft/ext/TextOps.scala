@@ -276,7 +276,93 @@ object TextOps {
        |FROM tok t LEFT JOIN vocab v ON v.term = t.term
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_zipf_fit — corpus-health diagnostic: least-squares slope of the
+  // log-log term rank-frequency curve per language (natural text sits
+  // near -1; machine-generated or templated corpora flatten or steepen
+  // visibly). Fit is over the per-language top-ZipfHead terms — the
+  // standard head fit, and the reason this scales: ranking happens on
+  // the (bounded, distinct-term) frequency table and the regression
+  // sees <= ZipfHead rows per language.
+  //
+  // Cross-engine exactness: ln() per (rank, cnt) is scalar libm (same
+  // values both engines); each product term is snapped to integer
+  // micro-units BEFORE summing, so the sufficient sums are order-free
+  // BIGINTs and the closed-form slope/intercept is one deterministic
+  // double expression over them.
+  // ------------------------------------------------------------------
+  val ZipfHead = 100
+
+  val qZipfFit: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("lang"), explode(Ops.tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+    val ranked = Ops.topKPerGroup(tf, Seq("lang"), -col("cnt"), col("term"),
+                                  ZipfHead)
+      .select(col("lang"),
+              log(col("rn").cast("double")).as("x"),
+              log(col("cnt").cast("double")).as("y"))
+    val micro = (c: Column) => round(c * 1e6).cast("long")
+    val sums = ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+           sum(micro(col("x"))).as("sx_u"),
+           sum(micro(col("y"))).as("sy_u"),
+           sum(micro(col("x") * col("y"))).as("sxy_u"),
+           sum(micro(col("x") * col("x"))).as("sxx_u"))
+      .filter(col("n") >= 2)
+    val n = col("n").cast("double")
+    val sx = col("sx_u").cast("double") / 1e6
+    val sy = col("sy_u").cast("double") / 1e6
+    val sxy = col("sxy_u").cast("double") / 1e6
+    val sxx = col("sxx_u").cast("double") / 1e6
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    sums.select(col("lang"), col("n").as("n_terms"),
+                round(slope, 6).as("slope"),
+                round((sy - slope * sx) / n, 6).as("intercept"))
+      .orderBy(col("lang"))
+  }
+
+  val qZipfFitSql: String =
+    s"""WITH tf AS (
+       |  SELECT lang, term, COUNT(*) AS cnt
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT lang,
+       |         ln(CAST(row_number() OVER (PARTITION BY lang
+       |                   ORDER BY cnt DESC, term ASC) AS DOUBLE)) AS x,
+       |         ln(CAST(cnt AS DOUBLE)) AS y,
+       |         row_number() OVER (PARTITION BY lang
+       |                   ORDER BY cnt DESC, term ASC) AS rn
+       |  FROM tf QUALIFY rn <= $ZipfHead),
+       |sums AS (
+       |  SELECT lang, COUNT(*) AS n,
+       |         SUM(CAST(round(x * 1000000.0, 0) AS BIGINT)) AS sx_u,
+       |         SUM(CAST(round(y * 1000000.0, 0) AS BIGINT)) AS sy_u,
+       |         SUM(CAST(round(x * y * 1000000.0, 0) AS BIGINT)) AS sxy_u,
+       |         SUM(CAST(round(x * x * 1000000.0, 0) AS BIGINT)) AS sxx_u
+       |  FROM ranked GROUP BY 1 HAVING COUNT(*) >= 2)
+       |SELECT lang, n AS n_terms,
+       |       round((CAST(n AS DOUBLE) * (CAST(sxy_u AS DOUBLE) / 1000000.0)
+       |               - (CAST(sx_u AS DOUBLE) / 1000000.0)
+       |                 * (CAST(sy_u AS DOUBLE) / 1000000.0))
+       |             / (CAST(n AS DOUBLE) * (CAST(sxx_u AS DOUBLE) / 1000000.0)
+       |               - (CAST(sx_u AS DOUBLE) / 1000000.0)
+       |                 * (CAST(sx_u AS DOUBLE) / 1000000.0)), 6) AS slope,
+       |       round(((CAST(sy_u AS DOUBLE) / 1000000.0)
+       |               - ((CAST(n AS DOUBLE) * (CAST(sxy_u AS DOUBLE) / 1000000.0)
+       |                   - (CAST(sx_u AS DOUBLE) / 1000000.0)
+       |                     * (CAST(sy_u AS DOUBLE) / 1000000.0))
+       |                  / (CAST(n AS DOUBLE) * (CAST(sxx_u AS DOUBLE) / 1000000.0)
+       |                   - (CAST(sx_u AS DOUBLE) / 1000000.0)
+       |                     * (CAST(sx_u AS DOUBLE) / 1000000.0)))
+       |                 * (CAST(sx_u AS DOUBLE) / 1000000.0)) / CAST(n AS DOUBLE),
+       |             6) AS intercept
+       |FROM sums ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_zipf_fit"       -> qZipfFit,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_text_stats"    -> qTextStats,
     "q_token_count"   -> qTokenCount,
@@ -287,6 +373,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zipf_fit"       -> qZipfFitSql,
     "q_vocab_coverage" -> qVocabCoverageSql,
     "q_text_stats"    -> qTextStatsSql,
     "q_token_count"   -> qTokenCountSql,
