@@ -306,7 +306,92 @@ object Multimodal {
        |       CAST(list_max(samples) AS BIGINT) AS peak
        |FROM f ORDER BY doc_id, win_id""".stripMargin
 
+  // Image RESIZE + channel features over genuinely decoded pixels — the
+  // remaining multimodal stage (decode → resize → feature-extract):
+  // synthesize a 24 bpp BMP per sampled doc (pixels = the doc's bytes
+  // cycled, as q_media_decode), decode it back through the strict DIB
+  // parser, nearest-neighbor downsample the pixel grid 2× with pure
+  // integer index math (dst(x,y) = src(2x,2y) — deterministic, no
+  // filtering kernel to disagree about), and emit the resized
+  // dimensions, per-channel integer sums (BMP byte order: b,g,r) and
+  // the md5 of the resized pixel bytes. The oracle re-derives the same
+  // pixels arithmetically from the doc text (ASCII corpus: byte ==
+  // character code), so a hash match proves decode AND resample
+  // touched the real pixel grid. Per-payload work in mapPartitions —
+  // no shuffle before the output sort.
+  val qImageResize: Q = (s, d) => {
+    import s.implicits._
+    val src = Tables.documents(s, d)
+      .filter(col("doc_id") % 4 === 0 && length(col("text")) >= 3)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    val out = src.mapPartitions(_.map { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val k = id / 4
+      val w = (4 + k % 17).toInt
+      val h = (3 + k % 11).toInt
+      val bmp = MediaCodec.encodeBmp(w, h, MediaCodec.cycle(bytes, 3 * w * h))
+      val pix = MediaCodec.decode(bmp).content
+      val dw = w / 2; val dh = h / 2 // w>=4, h>=3 → dw>=2, dh>=1
+      val dst = new Array[Byte](3 * dw * dh)
+      var sb = 0L; var sg = 0L; var sr = 0L
+      var p = 0
+      while (p < dw * dh) {
+        val y = p / dw; val x = p % dw
+        val off = ((2 * y) * w + 2 * x) * 3
+        dst(3 * p) = pix(off)
+        dst(3 * p + 1) = pix(off + 1)
+        dst(3 * p + 2) = pix(off + 2)
+        sb += pix(off) & 0xff; sg += pix(off + 1) & 0xff
+        sr += pix(off + 2) & 0xff
+        p += 1
+      }
+      (id, w.toLong, h.toLong, dw.toLong, dh.toLong, sb, sg, sr, dst)
+    }).toDF("doc_id", "width", "height", "dst_w", "dst_h",
+            "sum_b", "sum_g", "sum_r", "resized")
+    out.select(col("doc_id"), col("width"), col("height"),
+               col("dst_w"), col("dst_h"), col("sum_b"), col("sum_g"),
+               col("sum_r"), md5(col("resized")).as("resized_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qImageResizeSql: String = {
+    // dst byte j (0-based): pixel p = j//3, channel c = j%3;
+    // src char index = ((2*(p//dw))*w + 2*(p%dw))*3 + c + 1 (1-based)
+    def srcIdx(p: String, c: String) =
+      s"((2*(($p)//dw))*w + 2*(($p)%dw))*3 + ($c) + 1"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len,
+       |         CAST(doc_id // 4 AS BIGINT) AS k
+       |  FROM documents WHERE doc_id % 4 = 0 AND length(text) >= 3),
+       |g AS (
+       |  SELECT doc_id, 4 + (k % 17) AS w, 3 + (k % 11) AS h, text, len
+       |  FROM d),
+       |g2 AS (
+       |  SELECT doc_id, w, h, w // 2 AS dw, h // 2 AS dh,
+       |         substring(repeat(text, CAST((3*w*h + len - 1) // len AS INT)),
+       |                   1, CAST(3*w*h AS INT)) AS pix
+       |  FROM g)
+       |SELECT doc_id,
+       |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |       CAST(dw AS BIGINT) AS dst_w, CAST(dh AS BIGINT) AS dst_h,
+       |       CAST(list_sum(list_transform(range(CAST(dw*dh AS BIGINT)),
+       |            p -> ascii(substr(pix, CAST(${srcIdx("p", "0")} AS INT), 1))))
+       |         AS BIGINT) AS sum_b,
+       |       CAST(list_sum(list_transform(range(CAST(dw*dh AS BIGINT)),
+       |            p -> ascii(substr(pix, CAST(${srcIdx("p", "1")} AS INT), 1))))
+       |         AS BIGINT) AS sum_g,
+       |       CAST(list_sum(list_transform(range(CAST(dw*dh AS BIGINT)),
+       |            p -> ascii(substr(pix, CAST(${srcIdx("p", "2")} AS INT), 1))))
+       |         AS BIGINT) AS sum_r,
+       |       md5(array_to_string(list_transform(range(CAST(3*dw*dh AS BIGINT)),
+       |            j -> substr(pix, CAST(${srcIdx("j//3", "j%3")} AS INT), 1)),
+       |            '')) AS resized_md5
+       |FROM g2 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_image_resize"    -> qImageResize,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_frame_sample"    -> qFrameSample,
     "q_media_decode"    -> qMediaDecode,
@@ -314,6 +399,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_image_resize"    -> qImageResizeSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_frame_sample"    -> qFrameSampleSql,
     "q_media_decode"    -> qMediaDecodeSql,
