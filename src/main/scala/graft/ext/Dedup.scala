@@ -425,12 +425,19 @@ object Dedup {
     val occ = docs
       .select(col("doc_id"), col("source"),
               explode(allSpans(Ops.tokens(col("text")))).as("gram"))
-    val gramDf = occ.groupBy(col("gram"), col("doc_id")).agg(count(lit(1)).as("m"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
-    occ.join(gramDf, Seq("gram"))
+    // Collapse to distinct (gram, doc) pairs FIRST (map-side combine on
+    // the only full-span shuffle), so the df count and the mass join
+    // both run over the much smaller pair table — and the exploded span
+    // stream is built exactly once instead of once per consumer. The
+    // per-pair multiplicity m carries the raw span mass through.
+    val perDoc = occ.groupBy(col("gram"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("m"))
+    val gramDf = perDoc.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
+    perDoc.join(gramDf, Seq("gram"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_spans"),
-           sum(when(col("gram_df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"),
+      .agg(sum(col("m")).as("n_spans"),
+           sum(when(col("gram_df") >= 2, col("m")).otherwise(0L))
+             .as("n_dup_spans"),
            count_distinct(when(col("gram_df") >= 2, col("doc_id")))
              .as("n_docs_hit"))
       .withColumn("dup_ratio",
