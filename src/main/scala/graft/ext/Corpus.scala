@@ -648,10 +648,11 @@ object Corpus {
   // rare-token noise; implausibly high scores flag degenerate repetition.
   //
   // Two shuffles total (term counts; per-doc mean), plus two scalar
-  // aggregates broadcast via 1-row crossJoin. ln() is IEEE double libm
-  // on both engines (sub-ulp different at worst); the summed error is
-  // ~1e-14 relative against a 5e-7 rounding boundary at 6 dp, verified
-  // exact on the oracle corpus.
+  // aggregates broadcast via 1-row crossJoin. ln() per distinct count
+  // is scalar libm (same value both engines); each per-token ln is
+  // snapped to integer MICRO-UNITS before the per-doc sum, so the
+  // aggregate is an order-free BIGINT at any parallelism — raw double
+  // summation would be partition-order-dependent.
   // -------------------------------------------------------------------
   val qUnigramLogprob: Q = (s, d) => unigramLogprob(Tables.documents(s, d))
 
@@ -664,10 +665,12 @@ object Corpus {
     tok.join(tf, Seq("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),
-           sum(log(col("cnt").cast("double"))).as("sum_ln_cnt"))
+           sum(round(log(col("cnt").cast("double")) * 1e6).cast("long"))
+             .as("sum_ln_u"))
       .crossJoin(n)
       .select(col("doc_id"), col("n_toks"),
-              round(col("sum_ln_cnt") / col("n_toks").cast("double")
+              round((col("sum_ln_u").cast("double") / 1e6)
+                      / col("n_toks").cast("double")
                       - log(col("n_total").cast("double")), 6)
                 .as("mean_logprob"))
       .orderBy(col("doc_id"))
@@ -681,10 +684,12 @@ object Corpus {
       |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM tf),
       |per_doc AS (
       |  SELECT tok.doc_id, COUNT(*) AS n_toks,
-      |         SUM(ln(CAST(tf.cnt AS DOUBLE))) AS sum_ln_cnt
+      |         SUM(CAST(round(ln(CAST(tf.cnt AS DOUBLE)) * 1000000.0, 0)
+      |                  AS BIGINT)) AS sum_ln_u
       |  FROM tok JOIN tf USING (term) GROUP BY 1)
       |SELECT doc_id, n_toks,
-      |       round(sum_ln_cnt / CAST(n_toks AS DOUBLE)
+      |       round((CAST(sum_ln_u AS DOUBLE) / 1000000.0)
+      |               / CAST(n_toks AS DOUBLE)
       |               - ln(CAST(n_total AS DOUBLE)), 6) AS mean_logprob
       |FROM per_doc CROSS JOIN n
       |ORDER BY doc_id""".stripMargin

@@ -101,9 +101,11 @@ class CurationSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
       .map { case (id, n, s) => id -> ((n, s)) }.toMap
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // per-token ln snapped to micro-units before summing (order-free)
+    def u(x: Double) = math.rint(math.log(x) * 1e6)
     val n = math.log(5.0)
-    assert(got(1L) == ((3L, r6((2 * math.log(3.0) + math.log(1.0)) / 3.0 - n))))
-    assert(got(2L) == ((2L, r6((math.log(3.0) + math.log(1.0)) / 2.0 - n))))
+    assert(got(1L) == ((3L, r6((2 * u(3.0) + u(1.0)) / 1e6 / 3.0 - n))))
+    assert(got(2L) == ((2L, r6((u(3.0) + u(1.0)) / 1e6 / 2.0 - n))))
   }
 
   test("q_dup_span_mass: span totals match the corpus token arithmetic") {
