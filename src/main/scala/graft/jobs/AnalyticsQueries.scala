@@ -833,12 +833,20 @@ object AnalyticsQueries {
   val qCooccurrence: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
-    val items = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-      .select(col("l_orderkey"), col("p_brand")).distinct()
-    val a = items.select(col("l_orderkey"), col("p_brand").as("brand_a"))
-    val b = items.select(col("l_orderkey"), col("p_brand").as("brand_b"))
-    a.join(b, Seq("l_orderkey"))
-      .filter(col("brand_a") < col("brand_b"))
+    // One shuffle builds the per-order brand set (collect_set dedups, so
+    // no separate distinct pass), then pairs are generated MAP-SIDE from
+    // the sorted set — fan-out bounded by C(brands-per-order, 2), vs the
+    // self-join formulation that shuffled the item table twice more.
+    val orderBrands = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+    orderBrands
+      .select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+          |  transform(slice(bs, i + 2, size(bs)),
+          |            y -> struct(x AS brand_a, y AS brand_b))))"""
+          .stripMargin)).as("pr"))
+      .select(col("pr.brand_a").as("brand_a"), col("pr.brand_b").as("brand_b"))
       .groupBy(col("brand_a"), col("brand_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"))
