@@ -361,7 +361,67 @@ object TextOps {
        |             6) AS intercept
        |FROM sums ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_feature_hash — hashing-trick document embeddings (the classic
+  // feature-hashing / "hashing vectorizer" stage): every token maps to
+  // one of FhDim buckets by md5, contributes an md5-derived ±1 sign,
+  // and the document's vector is the per-bucket signed count,
+  // L2-normalized. Bridges the text and embedding pillars: the output
+  // IS an embedding derived from text by pure deterministic hash math,
+  // so the raw components are exact integers and even the unit vector
+  // hash-matches (one sqrt + one division per component).
+  //
+  // Scale shape: explode → one partial-aggregated (doc, bucket) shuffle
+  // → one tiny per-doc norm aggregate; no joins, no driver state.
+  // Zero-valued buckets are omitted (they carry no norm mass and no
+  // information) so the output stays sparse.
+  // ------------------------------------------------------------------
+  val FhDim = 16
+
+  val qFeatureHash: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("term"))
+      .select(col("doc_id"),
+              (Ops.md5Bits60(concat(col("term"), lit(":fh"))) % FhDim)
+                .as("dim"),
+              when(Ops.md5Bits60(concat(col("term"), lit(":fs"))) % 2 === 0,
+                   1L).otherwise(-1L).as("sgn"))
+    val perDim = tok.groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("raw"))
+      .filter(col("raw") =!= 0L)
+    val norms = perDim.groupBy(col("doc_id"))
+      .agg(sum(col("raw") * col("raw")).as("ss"))
+    perDim.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("dim"), col("raw"),
+              round(col("raw").cast("double") /
+                      sqrt(col("ss").cast("double")), 6).as("unit"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  val qFeatureHashSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |dims AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(term || ':fh'), 1, 15))::BIGINT % $FhDim
+       |           AS dim,
+       |         CASE WHEN ('0x' || substr(md5(term || ':fs'), 1, 15))::BIGINT
+       |                     % 2 = 0
+       |              THEN 1 ELSE -1 END AS sgn
+       |  FROM tok),
+       |perdim AS (
+       |  SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS raw
+       |  FROM dims GROUP BY 1, 2 HAVING SUM(sgn) <> 0),
+       |norms AS (SELECT doc_id, SUM(raw * raw) AS ss FROM perdim GROUP BY 1)
+       |SELECT p.doc_id, p.dim, p.raw,
+       |       round(CAST(p.raw AS DOUBLE) / sqrt(CAST(n.ss AS DOUBLE)), 6)
+       |         AS unit
+       |FROM perdim p JOIN norms n USING (doc_id)
+       |ORDER BY p.doc_id, p.dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_feature_hash"   -> qFeatureHash,
     "q_zipf_fit"       -> qZipfFit,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_text_stats"    -> qTextStats,
@@ -373,6 +433,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_feature_hash"   -> qFeatureHashSql,
     "q_zipf_fit"       -> qZipfFitSql,
     "q_vocab_coverage" -> qVocabCoverageSql,
     "q_text_stats"    -> qTextStatsSql,
