@@ -44,11 +44,12 @@ object Multimodal {
     })
   }
 
-  /** Deterministic resize: shrink a payload to a byte budget derived
-    * from the target (w, h) by even-stride subsampling — the shape of a
-    * real thumbnail/resize stage (1 binary in → 1 smaller binary +
-    * target dims out) with the codec swapped for deterministic byte
-    * math. Partition-preserving mapPartitions, like extractMeta.
+  /** Format-AGNOSTIC byte-budget shrink: even-stride subsampling to a
+    * budget derived from the target (w, h) — the fallback shape for
+    * payloads the codec can't parse (1 binary in → 1 smaller binary +
+    * target dims out). The codec-backed pixel-grid resize is
+    * [[qImageResize]]; this variant exists for opaque formats.
+    * Partition-preserving mapPartitions, like extractMeta.
     */
   def resize(bin: Dataset[(Long, Array[Byte])], targetW: Int, targetH: Int)
       : Dataset[(Long, Int, Int, Array[Byte])] = {
