@@ -35,6 +35,22 @@ object OpsProps extends Properties("graft.Ops") {
         }
     }
 
+  property("all three top-K variants agree: window == salted == heap") =
+    Prop.forAllNoShrink(rowsGen) { rows =>
+      // skewed partitioning on purpose: the salted and heap paths must
+      // return the same rows no matter how data lands in partitions
+      val df = rows.toDF("g", "v", "id").repartition(5)
+      def norm(rs: Array[(Int, Double, Long)]) = rs.toSet
+      val plain = norm(Ops.topKPerGroup(df, Seq("g"), col("v"), col("id"), 3)
+        .select($"g", $"v", $"id").as[(Int, Double, Long)].collect())
+      val salted = norm(Ops.topKPerGroupSalted(df, Seq("g"), col("v"),
+                                               col("id"), 3, saltBuckets = 4)
+        .select($"g", $"v", $"id").as[(Int, Double, Long)].collect())
+      val heap = norm(Ops.topKHeap(df, Seq("g"), col("v"), col("id"), 3)
+        .select($"g", $"score", $"id").as[(Int, Double, Long)].collect())
+      plain == salted && plain == heap
+    }
+
   property("minMaxNorm stays in [0,1] and never NaN") =
     Prop.forAllNoShrink(rowsGen) { rows =>
       val df = rows.toDF("g", "v", "id")
