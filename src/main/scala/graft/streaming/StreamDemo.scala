@@ -28,6 +28,12 @@ object StreamDemo {
     println(s"[stream-demo] dedup survivors=${deduped.count()}")
     val joined = JoinStream.runOnce(spark, dir)
     println(s"[stream-demo] stream-stream join pairs=${joined.count()}")
+    val historyDir = java.nio.file.Files
+      .createTempDirectory("graft_ingest_demo").toString + "/history"
+    val ingested = CorpusStream.runOnce(spark, dir, historyDir)
+    println(s"[stream-demo] corpus ingest survivors=${ingested.count()}")
+    val again = CorpusStream.runOnce(spark, dir, historyDir)
+    println(s"[stream-demo] re-ingest history size=${again.count()} (idempotent)")
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.ext.{Multimodal, Sessions}
 import graft.streaming.EventStream
+import org.apache.spark.sql.functions.{min, sha2, size, split}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Multimodal binary plumbing + streaming/batch parity. */
@@ -104,6 +105,29 @@ class PipelineSpec extends AnyFunSuite {
     val oneByOne = evs.reverse.foldLeft(List.empty[(Long, Long, Long)])(
       (st, e) => merge(st, Seq(e)))
     assert(allAtOnce.toSet == oneByOne.toSet)
+  }
+
+  test("corpus ingest stream: batch-twin dedup + idempotent re-ingest") {
+    import graft.streaming.CorpusStream
+    val historyDir = java.nio.file.Files
+      .createTempDirectory("graft_ingest").toString + "/history"
+    // first ingest: history carries exactly the batch quality+dedup twin
+    val history = CorpusStream.runOnce(spark, sf, historyDir)
+      .select($"text_hash", $"canonical_id").as[(String, Long)].collect()
+    val twin = Tables.documents(spark, sf)
+      .filter(size(split($"text", " ")).between(
+        CorpusStream.MinToks, CorpusStream.MaxToks))
+      .groupBy(sha2($"text", 256).as("text_hash"))
+      .agg(min($"doc_id").as("canonical_id"))
+      .as[(String, Long)].collect()
+    assert(history.length == twin.length)
+    assert(history.toSet == twin.toSet,
+           "stream history must equal the batch quality+dedup twin")
+    // replaying the SAME corpus must add nothing: every hash is already
+    // in the ledger (the operational property incremental ingest exists
+    // for). Fresh checkpoint (runOnce keeps none) so files re-stream.
+    val again = CorpusStream.runOnce(spark, sf, historyDir)
+    assert(again.count() == history.length, "re-ingest must be idempotent")
   }
 
   test("streaming dedup keeps exactly the batch-distinct key set") {
