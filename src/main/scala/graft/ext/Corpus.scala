@@ -69,7 +69,7 @@ object Corpus {
     // converges on the first round instead of NPE-ing on compareTo.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val s = df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
-        .head.getDecimal(0)
+        .head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
     var prevSum = labelSum(labels)

@@ -431,7 +431,7 @@ object CoreQueries {
               col("event_type"), col("value"))
     val dir = "/tmp/graft_dtpart_" + d.replaceAll("[^A-Za-z0-9.]+", "_")
     graft.sources.TextTables.writeDatePartitioned(ev, dir, "ts")
-    val day = ev.agg(date_format(min(col("ts")), "yyyy-MM-dd")).head.getString(0)
+    val day = ev.agg(date_format(min(col("ts")), "yyyy-MM-dd")).head().getString(0)
     graft.sources.TextTables.readDatePartitionParquet(s, dir, day)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
