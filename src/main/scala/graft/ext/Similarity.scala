@@ -757,7 +757,53 @@ object Similarity {
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Cluster LABELING (q_cluster_topics) — the cross-modal composition:
+  // k-means cells over the embedding table joined to the documents
+  // table on id, reporting each cluster's top-3 terms by member token
+  // count. This is what makes a clustering actionable for curriculum /
+  // mixture decisions ("cluster 7 is the code-heavy slice"). The
+  // (vec_id, cell) assignment is corpus-sized, so the join shuffles on
+  // the id key and the term count partial-aggregates; top-3 per cell
+  // is a window over the bounded (cell, term) table.
+  // ------------------------------------------------------------------
+  val TopicsPerCell = 3
+
+  val qClusterTopics: Q = (s, d) => {
+    val e0 = Tables.embeddings(s, d)
+    val mat = trainCodebook(e0)
+    val cells = e0.select(col("vec_id"),
+      element_at(VectorFunctions.matrixDotRank(col("embedding"), mat, Dim), 1)
+        .cast("bigint").as("cell"))
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("term"))
+    val counts = tok.join(cells, tok("doc_id") === cells("vec_id"))
+      .groupBy(col("cell"), col("term")).agg(count(lit(1)).as("cnt"))
+    Ops.topKPerGroup(counts, Seq("cell"), -col("cnt"), col("term"),
+                     TopicsPerCell)
+      .select(col("cell"), col("rn"), col("term"), col("cnt"))
+      .orderBy(col("cell"), col("rn"))
+  }
+
+  val qClusterTopicsSql: String =
+    s"""WITH $kmeansFunnelCtes,
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |counts AS (
+       |  SELECT a.cell, t.term, COUNT(*) AS cnt
+       |  FROM tok t JOIN assigned a ON a.vec_id = t.doc_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT cell, term, cnt,
+       |         CAST(row_number() OVER (PARTITION BY cell
+       |                ORDER BY cnt DESC, term ASC) AS BIGINT) AS rn
+       |  FROM counts)
+       |SELECT cell, rn, term, cnt FROM ranked WHERE rn <= $TopicsPerCell
+       |ORDER BY cell, rn""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_cluster_topics"  -> qClusterTopics,
     "q_similarity_topk" -> qSimilarityTopk,
     "q_ann_lsh"         -> qAnnLsh,
     "q_ann_ivf"         -> qAnnIvf,
@@ -768,6 +814,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cluster_topics"  -> qClusterTopicsSql,
     "q_ann_pq"          -> qAnnPqSql,
     "q_ann_ivfpq"       -> qAnnIvfpqSql,
     "q_similarity_topk" -> qSimilarityTopkSql,
