@@ -573,11 +573,13 @@ object Corpus {
     val w = lit(BoilerSegWords)
     val base = docs
       .select(col("doc_id"), Ops.tokens(col("text")).as("toks"))
-      // ceil(n/w) in exact integer math: (n + w - 1) div w — a double
-      // ceil() would be a needless float detour on both sides
+      // ceil(n/w) via true integer division (Spark's `div`), matching
+      // the oracle's `//` — not `/`, which is double division in Spark
+      // SQL and would rest on quotient exactness rather than integer
+      // arithmetic
       .withColumn("n_segs",
-        ((size(col("toks")) + w - 1).cast("bigint") / w.cast("bigint"))
-          .cast("bigint"))
+        expr(s"CAST((size(toks) + ${BoilerSegWords - 1}) div $BoilerSegWords" +
+             " AS BIGINT)"))
     val segs = base.select(col("doc_id"), col("n_segs"),
         explode(transform(sequence(lit(0L), col("n_segs") - 1),
           i => struct(i.as("seg"),
@@ -647,25 +649,35 @@ object Corpus {
   // each document by its mean token log-probability. Low scores flag
   // rare-token noise; implausibly high scores flag degenerate repetition.
   //
-  // Two shuffles total (term counts; per-doc mean), plus two scalar
-  // aggregates broadcast via 1-row crossJoin. ln() per distinct count
-  // is scalar libm (same value both engines); each per-token ln is
-  // snapped to integer MICRO-UNITS before the per-doc sum, so the
+  // The raw token stream is collapsed to distinct (doc, term) pairs in
+  // its first partial-aggregated shuffle; everything downstream (term
+  // counts, the tf join, the per-doc mean) moves pairs, not
+  // occurrences. ln() per distinct count is scalar libm (same value
+  // both engines); each per-token ln is snapped to integer MICRO-UNITS
+  // (weighted by the pair multiplicity) before the per-doc sum, so the
   // aggregate is an order-free BIGINT at any parallelism — raw double
   // summation would be partition-order-dependent.
   // -------------------------------------------------------------------
   val qUnigramLogprob: Q = (s, d) => unigramLogprob(Tables.documents(s, d))
 
-  /** Core of q_unigram_logprob over any (doc_id, text) frame. */
+  /** Core of q_unigram_logprob over any (doc_id, text) frame. Token
+    * occurrences collapse to per-(doc, term) counts FIRST (the same
+    * pair-collapse as dupSpanMass), so the tf join and the per-doc sum
+    * move distinct pairs, not every occurrence — each occurrence of a
+    * term contributes the identical snapped micro-unit, so weighting
+    * by multiplicity is arithmetically the same.
+    */
   def unigramLogprob(docs: DataFrame): DataFrame = {
-    val tok = docs
+    val perDoc = docs
       .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("term"))
-    val tf = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("m"))
+    val tf = perDoc.groupBy(col("term")).agg(sum(col("m")).as("cnt"))
     val n = tf.agg(sum(col("cnt")).as("n_total"))
-    tok.join(tf, Seq("term"))
+    perDoc.join(tf, Seq("term"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_toks"),
-           sum(round(log(col("cnt").cast("double")) * 1e6).cast("long"))
+      .agg(sum(col("m")).as("n_toks"),
+           sum(col("m") *
+               round(log(col("cnt").cast("double")) * 1e6).cast("long"))
              .as("sum_ln_u"))
       .crossJoin(n)
       .select(col("doc_id"), col("n_toks"),

@@ -338,12 +338,12 @@ object Similarity {
 
   // ------------------------------------------------------------------
   // Product-quantization ANN (q_ann_pq): split the 64-dim vector into
-  // PqM=8 subspaces of 8 dims; per subspace train a PqKSub=4-entry
+  // PqM=8 subspaces of 8 dims; per subspace train a PqKSub=8-entry
   // sub-codebook (md5-sampled seeds + one joint Lloyd step — the same
   // exact-arithmetic funnel as IVF); encode every corpus vector as 8
   // one-byte codes. Queries score candidates by ADC (asymmetric distance
   // computation): per subspace, dot(query_sub, sub_centroid[code]) from
-  // a 32-entry lookup table, summed — reading 8 codes per vector instead
+  // a 64-entry lookup table, summed — reading 8 codes per vector instead
   // of 64 floats, the 8× scan-bandwidth cut that makes exhaustive ANN
   // affordable at 100 TB (and composes with IVF cells for the full
   // IVF-PQ). The ADC shortlist is then re-ranked with exact cosine.
@@ -379,7 +379,7 @@ object Similarity {
     // One Lloyd step, all subspaces at once: assign each (vector,
     // subspace) pair to its nearest sub-centroid via the native
     // (dot desc, cell asc) rank, then per-(m, cell, dim) micro-unit
-    // means. The collect is bounded: ≤ PqM·PqKSub·PqSubDim = 256 rows.
+    // means. The collect is bounded: ≤ PqM·PqKSub·PqSubDim = 512 rows.
     val coded = sample.select(col("vec_id"), col("embedding"),
       explode(pqCodeStructs(col("embedding"), cents0)).as("c"))
       .select(col("embedding"), col("c.m").as("m"), col("c.code").as("code"))
@@ -426,7 +426,7 @@ object Similarity {
         explode(pqCodeStructs(col("embedding"), cents)).as("c"))
       .select(col("vec_id"), col("c.m").as("m"), col("c.code").as("code"))
     // query-side ADC lookup table: micro-unit dot of each query subvector
-    // with each of the 32 sub-centroids (10 × 32 rows, broadcast)
+    // with each of the 64 sub-centroids (10 × 64 rows, broadcast)
     val qdots = e0.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .crossJoin(centsDf)
@@ -775,10 +775,13 @@ object Similarity {
     val cells = e0.select(col("vec_id"),
       element_at(VectorFunctions.matrixDotRank(col("embedding"), mat, Dim), 1)
         .cast("bigint").as("cell"))
+    // collapse to per-(doc, term) counts BEFORE the cells join, so the
+    // id-key shuffle moves distinct pairs rather than every occurrence
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("m"))
     val counts = tok.join(cells, tok("doc_id") === cells("vec_id"))
-      .groupBy(col("cell"), col("term")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cell"), col("term")).agg(sum(col("m")).as("cnt"))
     Ops.topKPerGroup(counts, Seq("cell"), -col("cnt"), col("term"),
                      TopicsPerCell)
       .select(col("cell"), col("rn"), col("term"), col("cnt"))

@@ -17,7 +17,12 @@ import org.apache.spark.sql.types._
   * restarts, and is exactly what the daily batch pipeline
   * (q_dedup_incremental) already maintains — the two planes share one
   * ledger. Within a micro-batch, duplicates collapse to the min doc_id
-  * (deterministic regardless of arrival order).
+  * (deterministic regardless of arrival order); ACROSS micro-batches
+  * the ledger is first-seen-wins, exactly like the batch incremental
+  * pipeline: a duplicate arriving in a later batch is dropped even if
+  * its doc_id is smaller, so the canonical id reflects ingest order,
+  * not the global minimum. (Global-min canonicalization over an
+  * unbounded stream would mean rewriting history per batch.)
   *
   * The key operational property is IDEMPOTENT re-ingest: replaying the
   * same files adds zero rows, because every content hash already sits
@@ -102,6 +107,9 @@ object CorpusStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(historyDir)
+    // historyOrEmpty, not a bare read: if every document failed the
+    // quality gate (or no files matched), no batch ever wrote and the
+    // dir does not exist — an empty ledger, not an error.
+    historyOrEmpty(spark, historyDir)
   }
 }

@@ -111,7 +111,10 @@ class PipelineSpec extends AnyFunSuite {
     import graft.streaming.CorpusStream
     val historyDir = java.nio.file.Files
       .createTempDirectory("graft_ingest").toString + "/history"
-    // first ingest: history carries exactly the batch quality+dedup twin
+    // first ingest: history carries exactly the batch quality+dedup twin.
+    // (Equality with the GLOBAL-min twin holds here because the static
+    // corpus is one file = one micro-batch; across batches the ledger is
+    // first-seen-wins by design — see CorpusStream's scaladoc.)
     val history = CorpusStream.runOnce(spark, sf, historyDir)
       .select($"text_hash", $"canonical_id").as[(String, Long)].collect()
     val twin = Tables.documents(spark, sf)
