@@ -466,7 +466,75 @@ object Dedup {
        |FROM occ JOIN df USING (gram)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q_source_overlap — cross-SOURCE contamination matrix: for every
+  // unordered source pair, how many distinct 8-token spans they share,
+  // and the containment fraction (shared / smaller side's span
+  // vocabulary). This is the report that tells a corpus owner "src12 is
+  // largely a mirror of src3" BEFORE mixing weights are chosen —
+  // pair-level dedup (q_ngram_jaccard) answers which documents collide,
+  // this answers which FEEDS collide.
+  //
+  // Scale shape: spans collapse to distinct (gram, source) postings in
+  // one partial-aggregated shuffle; per-gram source sets are bounded by
+  // the number of SOURCES (not documents), so the map-side pair fan-out
+  // is <= C(n_sources, 2) per gram no matter how many documents share
+  // the span — the hot-gram blowup cannot happen here by construction.
+  // -------------------------------------------------------------------
+  val qSourceOverlap: Q = (s, d) => {
+    val inv = Tables.documents(s, d)
+      .select(col("source"), explode(allSpans(Ops.tokens(col("text"))))
+                .as("gram"))
+      .distinct()
+    val perSrc = inv.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val pairs = inv.groupBy(col("gram"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |            y -> struct(x AS src_a, y AS src_b))))"""
+          .stripMargin)).as("pr"))
+      .groupBy(col("pr.src_a").as("src_a"), col("pr.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(perSrc.select(col("source").as("src_a"),
+                          col("n_grams").as("n_a")), Seq("src_a"))
+      .join(perSrc.select(col("source").as("src_b"),
+                          col("n_grams").as("n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+              round(col("shared_grams").cast("double") /
+                      least(col("n_a"), col("n_b")).cast("double"), 6)
+                .as("containment"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val qSourceOverlapSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, string_split(text, ' ') AS t FROM documents),
+       |spans AS (
+       |  SELECT source,
+       |         unnest(list_transform(
+       |           range(greatest(len(t) - ${SpanN - 1}, 1)),
+       |           i -> array_to_string(t[i+1:i+$SpanN], ' '))) AS gram
+       |  FROM toks),
+       |inv AS (SELECT DISTINCT source, gram FROM spans),
+       |n AS (SELECT source, COUNT(*) AS n_grams FROM inv GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_grams
+       |  FROM inv a JOIN inv b ON a.gram = b.gram AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b, p.shared_grams,
+       |       round(CAST(p.shared_grams AS DOUBLE)
+       |               / CAST(least(na.n_grams, nb.n_grams) AS DOUBLE), 6)
+       |         AS containment
+       |FROM pairs p
+       |JOIN n na ON na.source = p.src_a
+       |JOIN n nb ON nb.source = p.src_b
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_source_overlap" -> qSourceOverlap,
     "q_dup_span_mass" -> qDupSpanMass,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_embedding" -> qDedupEmbedding,
@@ -478,6 +546,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_source_overlap" -> qSourceOverlapSql,
     "q_dup_span_mass" -> qDupSpanMassSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
