@@ -39,28 +39,46 @@ object Bench {
                  false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // Two sinks for the same measurement: stdout gets a COMPACT metric
-    // line (values at 2 dp, sf basename) so it survives the harness's
-    // bounded output capture un-truncated at 90+ queries, and
-    // BENCH_LOCAL.json in the repo gets the full-precision copy so the
-    // per-round perf audit trail doesn't depend on stdout capture at all.
+    // Two sinks for the same measurement. The harness captures only the
+    // LAST ~2000 chars of stdout and JSON-parses them, so the stdout line
+    // must fit that window WHOLE or the parse fails (r4's 105-query line
+    // overflowed it -> parsed:null). stdout therefore gets a BOUNDED line:
+    // total + failures + the slowest queries, greedily added while the
+    // line stays under budget; BENCH_LOCAL.json in the repo gets the
+    // full-precision full map so the per-round perf audit trail doesn't
+    // depend on stdout capture at all.
     def fmt(v: Double, dp: Int): String = {
       val s = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
       if (s.isEmpty) "0" else s
     }
-    def jsonLine(dp: Int, sf: String): String = {
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def fullLine(dp: Int, sf: String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")
-      val total = results.collect { case (_, v) if v >= 0 => v }.sum
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    }
+    def boundedLine(sf: String, budget: Int): String = {
+      // Failures (-1) always surface; the rest slowest-first.
+      val ranked = results.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
+      val head = s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","sf":"$sf","n_queries":${results.size},"full":"BENCH_LOCAL.json","queries":{"""
+      val tail = "}}"
+      val sb = new StringBuilder(head)
+      var first = true
+      for ((k, v) <- ranked) {
+        val entry = (if (first) "" else ",") + "\"" + k + "\":" + fmt(v, 2)
+        if (sb.length + entry.length + tail.length <= budget) {
+          sb.append(entry); first = false
+        }
+      }
+      sb.append(tail).toString
     }
     try {
       val w = new java.io.PrintWriter("/root/repo/BENCH_LOCAL.json")
-      try w.println(jsonLine(4, sfDir)) finally w.close()
+      try w.println(fullLine(4, sfDir)) finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_LOCAL.json: ${e.getMessage}") }
-    println(jsonLine(2, new java.io.File(sfDir).getName))
+    println(boundedLine(new java.io.File(sfDir).getName, 1800))
     spark.stop()
   }
 }

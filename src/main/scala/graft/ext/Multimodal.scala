@@ -323,7 +323,8 @@ object Multimodal {
   val qImageResize: Q = (s, d) => {
     import s.implicits._
     val src = Tables.documents(s, d)
-      .filter(col("doc_id") % 4 === 0 && length(col("text")) >= 3)
+      .filter(col("doc_id") % 4 === 0 && length(col("text")) >= 3 &&
+              octet_length(col("text")) === length(col("text")))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
     val out = src.mapPartitions(_.map { case (id, text) =>
@@ -364,7 +365,8 @@ object Multimodal {
     s"""WITH d AS (
        |  SELECT doc_id, text, length(text) AS len,
        |         CAST(doc_id // 4 AS BIGINT) AS k
-       |  FROM documents WHERE doc_id % 4 = 0 AND length(text) >= 3),
+       |  FROM documents WHERE doc_id % 4 = 0 AND length(text) >= 3
+       |    AND strlen(text) = length(text)),
        |g AS (
        |  SELECT doc_id, 4 + (k % 17) AS w, 3 + (k % 11) AS h, text, len
        |  FROM d),
@@ -391,7 +393,144 @@ object Multimodal {
        |FROM g2 ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q_image_neardup — perceptual-hash (average-hash) image near-dup,
+  // bridging the multimodal and dedup pillars. Every doc is rendered to
+  // a FIXED-size 16×12 thumbnail (pixels = the doc's bytes cycled — the
+  // "normalize before hashing" step real image dedup does with a resize),
+  // round-tripped through the real BMP codec, then aHashed: sample an
+  // 8×8 grid (nearest-neighbor, pure integer index math), gray each cell
+  // as (b+g+r)//3, threshold against the integer mean (floor, strict >)
+  // → a 64-bit signature carried as 4×16-bit bands. Candidate pairs come
+  // from SimHash-style band-LSH (any equal band), buckets capped at
+  // AhMaxBucket docs (dropped above, mirrored in the oracle — the same
+  // hot-bucket defense as the n-gram MaxGramDf cap), and survivors are
+  // filtered to Hamming distance ≤ AhMaxHamming via bit_count(xor) per
+  // band (bands are 16-bit non-negative, so sign never enters).
+  //
+  // Scale shape: signature is map-only per doc (576 bytes through the
+  // codec); the only shuffles are the band groupBy and the capped
+  // bucket self-join — never all-pairs. ASCII premise guarded on both
+  // sides (octet_length == length), as with the other media queries.
+  // Banding tradeoff (documented, mirrored): a true near-dup whose bit
+  // flips spread across all 4 bands has no equal band and is missed —
+  // that is standard LSH recall, not a correctness gap.
+  // ------------------------------------------------------------------
+  val AhW = 16; val AhH = 12; val AhGrid = 8
+  val AhMaxBucket = 64; val AhMaxHamming = 6
+
+  val qImageNearDup: Q = (s, d) => imageNearDup(s, Tables.documents(s, d))
+
+  /** Core of q_image_neardup over any (doc_id, text) frame — factored so
+    * specs can assert exact pair sets on crafted corpora. */
+  def imageNearDup(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val src = docs
+      .filter(length(col("text")) >= 1 &&
+              octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    val sigs = src.mapPartitions(_.map { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val npix = 3 * AhW * AhH
+      val bmp = MediaCodec.encodeBmp(AhW, AhH, MediaCodec.cycle(bytes, npix))
+      val pix = MediaCodec.decode(bmp).content
+      val grays = new Array[Long](AhGrid * AhGrid)
+      var i = 0; var sum = 0L
+      while (i < AhGrid * AhGrid) {
+        val sy = (AhH * (i / AhGrid)) / AhGrid
+        val sx = (AhW * (i % AhGrid)) / AhGrid
+        val off = (sy * AhW + sx) * 3
+        grays(i) = ((pix(off) & 0xff) + (pix(off + 1) & 0xff) +
+                    (pix(off + 2) & 0xff)) / 3
+        sum += grays(i); i += 1
+      }
+      val mean = sum / (AhGrid * AhGrid)
+      val bands = new Array[Long](4)
+      i = 0
+      while (i < AhGrid * AhGrid) {
+        if (grays(i) > mean) bands(i / 16) |= 1L << (i % 16)
+        i += 1
+      }
+      (id, bands(0), bands(1), bands(2), bands(3))
+    }).toDF("doc_id", "b0", "b1", "b2", "b3")
+    val bexp = sigs
+      .select(col("doc_id"),
+              posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "v")
+    val ok = bexp.groupBy(col("band"), col("v")).count()
+      .filter(col("count").between(2, AhMaxBucket)).select("band", "v")
+    val kept = bexp.join(ok, Seq("band", "v"))
+    val pairs = kept.as("x").join(kept.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ham = (0 until 4)
+      .map(j => bit_count(col(s"sa.b$j").bitwiseXOR(col(s"sb.b$j"))))
+      .reduce(_ + _).cast("long")
+    pairs
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+      .filter(col("hamming") <= AhMaxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qImageNearDupSql: String = {
+    // 1-based src char index for grid cell i, channel c (0=b,1=g,2=r):
+    // sy = (AhH*(i//G))//G, sx = (AhW*(i%G))//G, idx = (sy*AhW+sx)*3+c+1
+    def srcIdx(c: Int) =
+      s"(($AhH*(i//$AhGrid))//$AhGrid*$AhW + $AhW*(i%$AhGrid)//$AhGrid)*3 + $c + 1"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len
+       |  FROM documents WHERE length(text) >= 1
+       |    AND strlen(text) = length(text)),
+       |g2 AS (
+       |  SELECT doc_id,
+       |         substring(repeat(text,
+       |                          CAST((${3 * AhW * AhH} + len - 1) // len AS INT)),
+       |                   1, ${3 * AhW * AhH}) AS pix
+       |  FROM d),
+       |grays AS (
+       |  SELECT doc_id,
+       |         list_transform(range(${AhGrid * AhGrid}), i ->
+       |           (ascii(substr(pix, CAST(${srcIdx(0)} AS INT), 1))
+       |          + ascii(substr(pix, CAST(${srcIdx(1)} AS INT), 1))
+       |          + ascii(substr(pix, CAST(${srcIdx(2)} AS INT), 1))) // 3) AS gl
+       |  FROM g2),
+       |sigs AS (
+       |  SELECT doc_id, gl, list_sum(gl) // ${AhGrid * AhGrid} AS m FROM grays),
+       |bands AS (
+       |  SELECT doc_id,
+       |         list_transform(range(4), j ->
+       |           list_sum(list_transform(range(16), t ->
+       |             CASE WHEN gl[CAST(16*j + t + 1 AS INT)] > m
+       |                  THEN (1::BIGINT << CAST(t AS INT)) ELSE 0 END))) AS bs
+       |  FROM sigs),
+       |bexp AS (
+       |  SELECT doc_id, CAST(j AS BIGINT) AS band, bs[CAST(j+1 AS INT)] AS v
+       |  FROM bands, unnest(range(4)) AS u(j)),
+       |ok AS (
+       |  SELECT band, v FROM bexp GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND $AhMaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bexp x JOIN ok USING (band, v) JOIN bexp y USING (band, v)
+       |  WHERE x.doc_id < y.doc_id),
+       |ham AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(list_sum(list_transform(range(4), j ->
+       |           bit_count(xor(ba.bs[CAST(j+1 AS INT)],
+       |                         bb.bs[CAST(j+1 AS INT)])))) AS BIGINT) AS hamming
+       |  FROM cand c JOIN bands ba ON ba.doc_id = c.doc_a
+       |              JOIN bands bb ON bb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, hamming FROM ham
+       |WHERE hamming <= $AhMaxHamming ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_image_neardup"   -> qImageNearDup,
     "q_image_resize"    -> qImageResize,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_frame_sample"    -> qFrameSample,
@@ -400,6 +539,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_image_neardup"   -> qImageNearDupSql,
     "q_image_resize"    -> qImageResizeSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_frame_sample"    -> qFrameSampleSql,

@@ -364,28 +364,33 @@ object TextOps {
   // ------------------------------------------------------------------
   // q_feature_hash — hashing-trick document embeddings (the classic
   // feature-hashing / "hashing vectorizer" stage): every token maps to
-  // one of FhDim buckets by md5, contributes an md5-derived ±1 sign,
-  // and the document's vector is the per-bucket signed count,
-  // L2-normalized. Bridges the text and embedding pillars: the output
-  // IS an embedding derived from text by pure deterministic hash math,
-  // so the raw components are exact integers and even the unit vector
-  // hash-matches (one sqrt + one division per component).
+  // one of FhDim buckets, contributes a ±1 sign, and the document's
+  // vector is the per-bucket signed count, L2-normalized. Bridges the
+  // text and embedding pillars: the output IS an embedding derived
+  // from text by pure deterministic hash math, so the raw components
+  // are exact integers and even the unit vector hash-matches (one
+  // sqrt + one division per component).
+  //
+  // ONE md5 digest per token supplies both coordinates — low bits pick
+  // the bucket, the next bit picks the sign (the r4 shape spent two
+  // digests per token, doubling hash CPU in the hottest per-token
+  // scan). FhDim=256 is real hashing-vectorizer width, not toy.
   //
   // Scale shape: explode → one partial-aggregated (doc, bucket) shuffle
   // → one tiny per-doc norm aggregate; no joins, no driver state.
   // Zero-valued buckets are omitted (they carry no norm mass and no
   // information) so the output stays sparse.
   // ------------------------------------------------------------------
-  val FhDim = 16
+  val FhDim = 256
 
   val qFeatureHash: Q = (s, d) => {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("term"))
+      .withColumn("h", Ops.md5Bits60(concat(col("term"), lit(":fh"))))
       .select(col("doc_id"),
-              (Ops.md5Bits60(concat(col("term"), lit(":fh"))) % FhDim)
-                .as("dim"),
-              when(Ops.md5Bits60(concat(col("term"), lit(":fs"))) % 2 === 0,
-                   1L).otherwise(-1L).as("sgn"))
+              (col("h") % FhDim).as("dim"),
+              when(shiftright(col("h"), 8) % 2 === 0, 1L).otherwise(-1L)
+                .as("sgn"))
     val perDim = tok.groupBy(col("doc_id"), col("dim"))
       .agg(sum(col("sgn")).as("raw"))
       .filter(col("raw") =!= 0L)
@@ -402,14 +407,14 @@ object TextOps {
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
        |  FROM documents),
-       |dims AS (
+       |hashed AS (
        |  SELECT doc_id,
-       |         ('0x' || substr(md5(term || ':fh'), 1, 15))::BIGINT % $FhDim
-       |           AS dim,
-       |         CASE WHEN ('0x' || substr(md5(term || ':fs'), 1, 15))::BIGINT
-       |                     % 2 = 0
-       |              THEN 1 ELSE -1 END AS sgn
+       |         ('0x' || substr(md5(term || ':fh'), 1, 15))::BIGINT AS h
        |  FROM tok),
+       |dims AS (
+       |  SELECT doc_id, h % $FhDim AS dim,
+       |         CASE WHEN (h // $FhDim) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |  FROM hashed),
        |perdim AS (
        |  SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS raw
        |  FROM dims GROUP BY 1, 2 HAVING SUM(sgn) <> 0),
