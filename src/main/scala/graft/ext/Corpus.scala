@@ -706,7 +706,132 @@ object Corpus {
       |FROM per_doc CROSS JOIN n
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_bpe_merges — LEARNED subword tokenizer training: the classic BPE
+  // merge loop (Sennrich-style) over corpus word frequencies. Words are
+  // carried as '|'-wrapped symbol strings ("low" → "|l|o|w|"); each
+  // iteration counts adjacent symbol pairs weighted by word frequency,
+  // takes the GLOBAL top pair under a deterministic total order
+  // (count desc, left asc, right asc), and applies the merge everywhere
+  // via plain left-to-right non-overlapping string replace — the same
+  // primitive (`replace`) with the same scan semantics in Spark and
+  // DuckDB, so the learned merge table hash-matches an oracle of
+  // NumMerges unrolled CTE stages (the Lloyd-funnel discipline).
+  //
+  // Scale shape: ONE corpus-wide shuffle builds the word-frequency
+  // table (bounded by the language's vocabulary, not the corpus); every
+  // iteration after that is a partial-aggregated pair count over the
+  // vocab plus a 1-row ordered-limit collect (the bounded-driver-state
+  // pattern the codebook trainers already use). The merge application
+  // is a map — no joins, no growing shuffle. Exhaustion-safe: if no
+  // pair remains before NumMerges, both engines emit the same shorter
+  // table (Spark breaks; the SQL's empty CTE propagates).
+  // ------------------------------------------------------------------
+  val NumMerges = 20
+
+  /** Training core over any (doc_id, text) frame — factored so specs can
+    * assert exact merge tables on crafted corpora. Output:
+    * (iter, left_sym, right_sym, pair_count) in learned order.
+    */
+  def bpeMerges(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    // The corpus is touched exactly ONCE: the word-frequency table is
+    // persisted and every merge iteration runs against it (vocabulary
+    // is bounded by the language, not the corpus — at 100 TB this cache
+    // is the difference between 1 and NumMerges corpus scans).
+    val base = docs
+      .select(explode(Ops.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))
+                .as("sym"),
+              col("freq"))
+      .persist()
+    var words: DataFrame = base
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= NumMerges && !exhausted) {
+      val top = words
+        .selectExpr("split(sym, '\\\\|') AS a", "freq")
+        .where("size(a) >= 4")
+        .selectExpr(
+          "explode(transform(sequence(0, size(a) - 4), " +
+            "i -> struct(a[i+1] AS l, a[i+2] AS r))) AS p",
+          "freq")
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0); val r = top(0).getString(1)
+        val cnt = top(0).getLong(2)
+        merges += ((it.toLong, l, r, cnt))
+        // l, r are [a-z]+ by construction — safe to inline as literals.
+        words = words.withColumn(
+          "sym", expr(s"replace(sym, '|$l|$r|', '|$l$r|')"))
+        it += 1
+      }
+    }
+    base.unpersist()
+    merges.toSeq
+      .toDF("iter", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("iter"))
+  }
+
+  val qBpeMerges: Q = (s, d) => bpeMerges(s, Tables.documents(s, d))
+
+  /** Encode one word with a learned merge table (merges applied in
+    * learned order, each via the same left-to-right non-overlapping
+    * replace used in training) — the standard BPE encoder. For specs.
+    */
+  def bpeEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var sym = "|" + word.map(c => s"$c|").mkString
+    for ((l, r) <- merges) sym = sym.replace(s"|$l|$r|", s"|$l$r|")
+    sym.split("\\|").filter(_.nonEmpty).toSeq
+  }
+
+  val qBpeMergesSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS sym,
+        |         count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+        |  GROUP BY 1)""".stripMargin)
+    for (it <- 1 to NumMerges) {
+      sb.append(s""",
+        |p$it AS (
+        |  SELECT p.l AS l, p.r AS r, freq FROM (
+        |    SELECT unnest(list_transform(range(len(a) - 3), i ->
+        |             struct_pack(l := a[CAST(i + 2 AS INT)],
+        |                         r := a[CAST(i + 3 AS INT)]))) AS p,
+        |           freq
+        |    FROM (SELECT string_split(sym, '|') AS a, freq FROM w${it - 1}))),
+        |t$it AS MATERIALIZED (
+        |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM p$it GROUP BY 1, 2
+        |  ORDER BY cnt DESC, l, r LIMIT 1),
+        |w$it AS MATERIALIZED (
+        |  SELECT replace(sym, '|' || t.l || '|' || t.r || '|',
+        |                 '|' || t.l || t.r || '|') AS sym, freq
+        |  FROM w${it - 1}, t$it t)""".stripMargin)
+    }
+    sb.append(
+      (1 to NumMerges)
+        .map(it =>
+          s"""SELECT CAST($it AS BIGINT) AS iter, l AS left_sym,
+             |       r AS right_sym, cnt AS pair_count FROM t$it""".stripMargin)
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY iter"))
+    sb.toString
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_bpe_merges"       -> qBpeMerges,
     "q_boilerplate"      -> qBoilerplate,
     "q_unigram_logprob"  -> qUnigramLogprob,
     "q_contamination"    -> qContamination,
@@ -720,6 +845,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_merges"       -> qBpeMergesSql,
     "q_boilerplate"      -> qBoilerplateSql,
     "q_unigram_logprob"  -> qUnigramLogprobSql,
     "q_contamination"    -> qContaminationSql,
