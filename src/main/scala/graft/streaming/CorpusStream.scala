@@ -24,6 +24,25 @@ import org.apache.spark.sql.types._
   * not the global minimum. (Global-min canonicalization over an
   * unbounded stream would mean rewriting history per batch.)
   *
+  * LEDGER LAYOUT — bucketed by hash prefix: the ledger is Hive-
+  * partitioned on `bucket` = the first two hex chars of the content
+  * hash (256 uniform buckets; SHA-256 prefixes are uniform by
+  * construction). A micro-batch probe therefore opens ONLY the bucket
+  * directories its own hashes fall in — a small batch touching b
+  * buckets reads b/256ths of the ledger's files no matter how large
+  * the corpus history grows, instead of rescanning every hash ever
+  * seen (the r4 shape). Appends go through the same partitioning, so
+  * batch and stream keep sharing one layout.
+  *
+  * SINGLE WRITER — the ledger's check-then-append is not atomic: a
+  * second concurrent writer appending between this batch's anti-join
+  * probe and its Append could re-admit a duplicate hash. The ingest
+  * contract is therefore one writer at a time (exactly what a
+  * streaming query with a checkpoint is: one driver owns the sink);
+  * the daily batch plane must run fenced from the stream, e.g. while
+  * the stream is stopped. Readers are unaffected: Hive-partitioned
+  * parquet appends are directory-add only.
+  *
   * The key operational property is IDEMPOTENT re-ingest: replaying the
   * same files adds zero rows, because every content hash already sits
   * in the history (pinned by spec).
@@ -37,6 +56,17 @@ object CorpusStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** Data columns of a ledger bucket file (the `bucket` partition column
+    * lives in the directory name, not the file). Reads always pass this
+    * schema explicitly, so an empty or partially-written directory
+    * degrades to an empty frame instead of failing schema inference.
+    */
+  val ledgerSchema: StructType = StructType(Seq(
+    StructField("text_hash", StringType),
+    StructField("canonical_id", LongType),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
   /** Quality gate: same shape as the rule funnel's pass band — bounded
     * token count. Stateless, so it rides the stream as a pure filter.
     */
@@ -48,24 +78,46 @@ object CorpusStream {
     docs.filter(nToks >= MinToks && nToks <= MaxToks)
   }
 
+  private def fs(spark: SparkSession, dir: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  private def emptyLedger(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ledgerSchema)
+
+  /** The bucket directories under `historyDir` that exist AND are asked
+    * for — the per-batch probe reads exactly these paths. Exposed for
+    * the spec that pins the pruning contract (a b-bucket batch probes
+    * ≤ b of the ledger's 256 partitions).
+    */
+  private[graft] def bucketPaths(spark: SparkSession, historyDir: String,
+                                 buckets: Seq[String]): Seq[String] = {
+    val f = fs(spark, historyDir)
+    buckets.sorted.map(b => s"$historyDir/bucket=$b")
+      .filter(p => f.exists(new org.apache.hadoop.fs.Path(p)))
+  }
+
+  /** Full-ledger view (all buckets), for callers that want the history
+    * as a table — NOT the per-batch probe path. Explicit schema: an
+    * empty, missing, or partially-written dir yields an empty frame.
+    */
   private def historyOrEmpty(spark: SparkSession, historyDir: String): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(historyDir), spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(historyDir)))
-      spark.read.parquet(historyDir)
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("text_hash", StringType),
-          StructField("canonical_id", LongType),
-          StructField("lang", StringType),
-          StructField("source", StringType))))
+    if (fs(spark, historyDir).exists(new org.apache.hadoop.fs.Path(historyDir)))
+      spark.read.schema(ledgerSchema.add(StructField("bucket", StringType)))
+        .option("basePath", historyDir)
+        .parquet(historyDir)
+        .select(col("text_hash"), col("canonical_id"),
+                col("lang"), col("source"))
+    else emptyLedger(spark)
   }
 
   /** One micro-batch of ingest: gate → hash → collapse in-batch dups to
-    * the min doc_id → drop hashes already in the history → append
-    * survivors. Exposed for the spec; foreachBatch delegates here.
+    * the min doc_id → drop hashes already in the MATCHING ledger buckets
+    * → append survivors through the bucket partitioning. The batch's
+    * bucket list is a bounded driver collect (≤ 256 two-hex-char
+    * strings by construction). Exposed for the spec; foreachBatch
+    * delegates here.
     */
   private[graft] def ingestBatch(batch: DataFrame, historyDir: String): Long = {
     val spark = batch.sparkSession
@@ -78,13 +130,20 @@ object CorpusStream {
                   col("doc_id")).as("c"))
       .select(col("text_hash"), col("c.doc_id").as("canonical_id"),
               col("c.lang").as("lang"), col("c.source").as("source"))
-    val history = historyOrEmpty(spark, historyDir)
+      .withColumn("bucket", substring(col("text_hash"), 1, 2))
+      .localCheckpoint(true) // one stable snapshot: bucket list + probe + write
+    val batchBuckets = collapsed.select(col("bucket")).distinct()
+      .collect().map(_.getString(0)).toSeq // ≤ 256 rows by construction
+    val probe = bucketPaths(spark, historyDir, batchBuckets) match {
+      case Seq() => emptyLedger(spark)
+      case paths => spark.read.schema(ledgerSchema).parquet(paths: _*)
+    }
     val fresh = collapsed.join(
-      history.select(col("text_hash")), Seq("text_hash"), "left_anti")
-      .localCheckpoint(true) // snapshot BEFORE appending to the dir it reads
+      probe.select(col("text_hash")), Seq("text_hash"), "left_anti")
+      .localCheckpoint(true) // snapshot BEFORE appending to the dirs it read
     val n = fresh.count()
     if (n > 0)
-      fresh.write.mode(SaveMode.Append).parquet(historyDir)
+      fresh.write.partitionBy("bucket").mode(SaveMode.Append).parquet(historyDir)
     n
   }
 

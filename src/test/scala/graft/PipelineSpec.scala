@@ -133,6 +133,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.count() == history.length, "re-ingest must be idempotent")
   }
 
+  test("bucketed ledger: a batch probes only its own hash-prefix buckets") {
+    import graft.streaming.CorpusStream
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bucketed").toString + "/history"
+    def doc(id: Long, text: String) = (id, text, "en", "web", text.length.toLong)
+    def sha256Bucket(text: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(text.getBytes("UTF-8"))
+        .take(1).map(b => f"${b & 0xff}%02x").mkString
+    // Seed the ledger with 40 distinct docs -> many distinct bucket dirs.
+    val seed = (0 until 40).map(i => doc(i.toLong, (s"w$i " * 12).trim))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(CorpusStream.ingestBatch(seed, dir) == 40L)
+    val allBuckets = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    assert(allBuckets.size > 10, "SHA prefixes must spread the ledger")
+    // The pruning contract: a 1-doc batch's probe path set is AT MOST
+    // its one bucket dir, regardless of how many buckets the ledger has.
+    val dupText = ("w0 " * 12).trim
+    val paths = CorpusStream.bucketPaths(spark, dir, Seq(sha256Bucket(dupText)))
+    assert(paths.size <= 1 &&
+           paths.forall(_.endsWith(s"bucket=${sha256Bucket(dupText)}")))
+    assert(paths.size < allBuckets.size)
+    // Cross-batch dedup still holds through the pruned probe...
+    val dup = Seq(doc(100L, dupText))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(CorpusStream.ingestBatch(dup, dir) == 0L,
+           "a duplicate hash must be caught inside its own bucket")
+    // ...and a genuinely new doc is admitted through its bucket.
+    val fresh = Seq(doc(101L, ("brandnew " * 12).trim))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(CorpusStream.ingestBatch(fresh, dir) == 1L)
+  }
+
   test("streaming dedup keeps exactly the batch-distinct key set") {
     import graft.streaming.DedupStream
     val kept = DedupStream.runOnce(spark, sf)
