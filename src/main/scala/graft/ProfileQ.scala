@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Per-query profiler: wall time AND shuffle read/write bytes (task-
+  * metrics listener), 2 reps each — rep2 is the steady-state number.
+  * Shuffle bytes are the scale-decision currency: on a real cluster
+  * network bytes dominate long before local CPU does, so key-encoding
+  * choices (raw text vs digest) are judged here, not on local wall.
+  */
 object ProfileQ {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -8,12 +17,28 @@ object ProfileQ {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val shufWrite = new AtomicLong; val shufRead = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    })
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     for (name <- names; rep <- 1 to 2) {
+      Thread.sleep(300) // drain listener events from the previous run
+      shufWrite.set(0L); shufRead.set(0L)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[profile] $name rep$rep: ${(System.nanoTime()-t0)/1e9}%.3f s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener bus is async; let task-end events land
+      println(f"[profile] $name rep$rep: $secs%.3f s  " +
+        f"shuffle_write=${shufWrite.get / 1048576.0}%.1f MiB  " +
+        f"shuffle_read=${shufRead.get / 1048576.0}%.1f MiB")
     }
     spark.stop()
   }

@@ -77,8 +77,14 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
               floor(col("n_chars") / 20.0).cast("bigint").as("len_bucket"),
               Ops.shingles(Ops.tokens(col("text")), 3).as("grams"))
+    // Digest shuffle keys here too: the df shuffle, the postings join,
+    // and the pair self-join all key on xxhash64(gram) instead of the
+    // 3-gram text (5.5 → 3.9 MiB shuffled at sf0.1, docs/SCALE.md);
+    // the pair output never contained grams, so the oracle stands.
     val inv0 = docs.select(col("lang"), col("len_bucket"), col("doc_id"),
-                           explode(col("grams")).as("gram"))
+                           explode(col("grams")).as("gram_text"))
+      .select(col("lang"), col("len_bucket"), col("doc_id"),
+              xxhash64(col("gram_text")).as("gram"))
     // Per-block gram document-frequency; partial-aggregating shuffle, then
     // an equi-join back (k postings × 1 df row — no blowup even for the
     // hot grams this exists to drop).
@@ -422,9 +428,19 @@ object Dedup {
     * with the crafted-corpus spec so invariants pin the same code path.
     */
   def dupSpanMass(docs: DataFrame): DataFrame = {
+    // The gram never leaves the map side as text: every shuffle keys on
+    // xxhash64(gram) (8 bytes) instead of the ~50-80-byte span string —
+    // at cluster scale the shuffle's network bytes dominate the hash
+    // CPU (measured locally: 15.0 → 5.6 MiB shuffled at sf0.1, see
+    // docs/SCALE.md). Outputs are gram-free counts, so the oracle is
+    // untouched; a 64-bit collision would merge two grams' counts, with
+    // probability ~n²/2⁶⁵ — immaterial below ~10⁹ distinct grams and
+    // pinned exact-vs-oracle at every gating SF.
     val occ = docs
       .select(col("doc_id"), col("source"),
-              explode(allSpans(Ops.tokens(col("text")))).as("gram"))
+              explode(allSpans(Ops.tokens(col("text")))).as("gram_text"))
+      .select(col("doc_id"), col("source"),
+              xxhash64(col("gram_text")).as("gram"))
     // Collapse to distinct (gram, doc) pairs FIRST (map-side combine on
     // the only full-span shuffle), so the df count and the mass join
     // both run over the much smaller pair table — and the exploded span
@@ -482,9 +498,14 @@ object Dedup {
   // the span — the hot-gram blowup cannot happen here by construction.
   // -------------------------------------------------------------------
   val qSourceOverlap: Q = (s, d) => {
+    // Same digest-key discipline as dupSpanMass: the distinct and the
+    // per-gram collect_set shuffle 8-byte xxhash64 keys, not span text
+    // (8.5 → 3.9 MiB shuffled at sf0.1, docs/SCALE.md); outputs are
+    // source-pair counts, so the oracle needs no change.
     val inv = Tables.documents(s, d)
       .select(col("source"), explode(allSpans(Ops.tokens(col("text"))))
-                .as("gram"))
+                .as("gram_text"))
+      .select(col("source"), xxhash64(col("gram_text")).as("gram"))
       .distinct()
     val perSrc = inv.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     val pairs = inv.groupBy(col("gram"))
