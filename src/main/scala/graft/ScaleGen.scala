@@ -1,15 +1,30 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev utility: deterministically scale an sf dir N× into a new dir by
-  * unioning key-shifted copies (fact keys shifted per copy so
-  * cardinality ratios are preserved; static dims region/nation are kept
-  * single-copy). Used to probe how query runtimes scale beyond the
-  * largest driver-provided SF:
+/** Dev utility: deterministically scale an sf dir N× into a new dir.
   *
-  *   runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sfbig 10
+  * Two modes:
+  *
+  *  - `copy` (default): union key-shifted copies (fact keys shifted per
+  *    copy so cardinality ratios are preserved; static dims kept
+  *    single-copy). Duplicate-SATURATED by construction — duplicates
+  *    grow quadratically, which flatters df-capped operators and
+  *    understates ANN recall (unclustered vectors).
+  *
+  *  - `diverse`: documents are REGENERATED per copy as seeded Zipf-ish
+  *    word mixtures over the corpus's own vocabulary — every text is
+  *    unique (no verbatim copies), token counts follow the source
+  *    corpus's length distribution, so frequency-capped text operators
+  *    see an organically diverse gram stream instead of copy-grams.
+  *    Embeddings are regenerated CLUSTERED: per-label centroid (seeded,
+  *    in [-1,1]^Dim) plus bounded per-vector noise — the realistic
+  *    shape for ANN recall grading (real embedding spaces cluster;
+  *    uniform vectors are the worst case, not the typical one).
+  *    Other fact tables fall back to key-shifted copies.
+  *
+  *   runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sfbig 10 [diverse]
   */
 object ScaleGen {
   val Offset = 10000000L
@@ -32,14 +47,78 @@ object ScaleGen {
       shift.foldLeft(df)((d, c) => d.withColumn(c, col(c) + i * Offset))
     }.reduce(_.unionByName(_))
 
+  /** Uniform-ish u in [0,1) from a 64-bit hash of the seed columns —
+    * whole pipeline stays inside codegen (xxhash64 + arithmetic).
+    */
+  private def u01(seed: Column): Column =
+    (pmod(xxhash64(seed), lit(1000000L))).cast("double") / 1000000.0
+
+  /** Regenerate each document `copies` times as a seeded word mixture:
+    * word j of new doc d' indexes the vocabulary at floor(V·u²) for
+    * u = hash(d', j) — a rank-frequency ∝ k^(−1/2) Zipf-ish skew, so
+    * common words stay common without any text being a verbatim copy.
+    * Token count mirrors the source doc, so the corpus length
+    * distribution survives. The vocabulary rides the plan as an array
+    * literal (language-bounded; capped below — at a vocabulary too big
+    * for a literal this becomes a broadcast index join on word rank).
+    */
+  def diverseDocuments(spark: SparkSession, docs: DataFrame,
+                       copies: Int): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .distinct().orderBy(col("w")).limit(65536)
+      .collect().map(_.getString(0))
+    require(vocab.nonEmpty, "diverse mode needs an alphabetic vocabulary")
+    val vlit = array(vocab.map(lit): _*)
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+                           size(split(col("text"), " ")).as("n_toks"))
+    (0 until copies).map { i =>
+      base
+        .withColumn("doc_id", col("doc_id") + i * Offset)
+        .withColumn("text", array_join(
+          transform(sequence(lit(1), col("n_toks")), j =>
+            element_at(
+              vlit,
+              (floor(lit(vocab.length) *
+                     pow(u01(concat_ws(":", col("doc_id"), j, lit("w"))),
+                         2.0)) + 1).cast("int"))),
+          " "))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+                length(col("text")).cast("bigint").as("n_chars"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Regenerate each embedding `copies` times CLUSTERED: vector v' of
+    * label L is centroid(L) + noise(v'), with centroid(L)[k] seeded
+    * uniform in [-1,1] and noise bounded ±NoiseAmp — tight, separated
+    * clusters (the typical real-embedding shape). Labels are carried
+    * from the source rows, so cluster sizes keep their distribution.
+    */
+  // Noise/centroid ratio picked for non-trivial but realistic structure:
+  // at 0.5 the mean within-cluster cosine is ~0.9 with near-orthogonal
+  // centroids — clustered like real embedding spaces, not so tight that
+  // every ANN variant trivially scores 1.0.
+  val NoiseAmp = 0.5
+
+  def clusteredEmbeddings(spark: SparkSession, embs: DataFrame,
+                          copies: Int, dim: Int = 64): DataFrame =
+    (0 until copies).map { i =>
+      embs
+        .withColumn("vec_id", col("vec_id") + i * Offset)
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)), k =>
+            ((u01(concat_ws(":", col("label"), k, lit("c"))) * 2.0 - 1.0) +
+             (u01(concat_ws(":", col("vec_id"), k, lit("n"))) * 2.0 - 1.0)
+               * NoiseAmp).cast("float")))
+        .select(col("vec_id"), col("embedding"), col("label"))
+    }.reduce(_.unionByName(_))
+
   def main(args: Array[String]): Unit = {
-    val Array(src, dst, n) = args.padTo(3, null) match {
-      case Array(a, b, c) => Array(
-        Option(a).getOrElse("/root/testdata/sf0.1"),
-        Option(b).getOrElse("/tmp/sfbig"),
-        Option(c).getOrElse("10"))
-    }
-    val copies = n.toInt
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/sfbig")
+    val copies = args.lift(2).getOrElse("10").toInt
+    val diverse = args.lift(3).contains("diverse")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions",
@@ -55,9 +134,15 @@ object ScaleGen {
     }
     ShiftCols.foreach { case (t, cols) =>
       val df = spark.read.parquet(s"$src/$t.parquet")
-      scaled(df, cols, copies)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
-      println(s"[scalegen] $t x$copies written")
+      val out = (t, diverse) match {
+        case ("documents", true)  => diverseDocuments(spark, df, copies)
+        case ("embeddings", true) => clusteredEmbeddings(spark, df, copies)
+        case _                    => scaled(df, cols, copies)
+      }
+      out.write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+      println(s"[scalegen] $t x$copies written" +
+        (if (diverse && (t == "documents" || t == "embeddings")) " (diverse)"
+         else ""))
     }
     spark.stop()
   }
