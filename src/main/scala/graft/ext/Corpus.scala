@@ -771,8 +771,13 @@ object Corpus {
         val cnt = top(0).getLong(2)
         merges += ((it.toLong, l, r, cnt))
         // l, r are [a-z]+ by construction — safe to inline as literals.
+        // localCheckpoint per merge: the vocab table is small (language-
+        // bounded), so materializing it beats re-analyzing a k-deep
+        // replace chain every iteration — lineage and analysis stay O(1)
+        // per round instead of O(rounds).
         words = words.withColumn(
           "sym", expr(s"replace(sym, '|$l|$r|', '|$l$r|')"))
+          .localCheckpoint(true)
         it += 1
       }
     }
@@ -794,7 +799,12 @@ object Corpus {
     sym.split("\\|").filter(_.nonEmpty).toSeq
   }
 
-  val qBpeMergesSql: String = {
+  /** The training CTE chain (w0 → t1/w1 → … → tN/wN), shared by the
+    * q_bpe_merges and q_bpe_encode oracles. MATERIALIZED is load-bearing:
+    * each stage is referenced twice, and DuckDB's default CTE inlining
+    * would expand the chain exponentially.
+    */
+  private def bpeTrainingCtes: String = {
     val sb = new StringBuilder
     sb.append(
       """WITH w0 AS MATERIALIZED (
@@ -821,17 +831,81 @@ object Corpus {
         |                 '|' || t.l || t.r || '|') AS sym, freq
         |  FROM w${it - 1}, t$it t)""".stripMargin)
     }
-    sb.append(
+    sb.toString
+  }
+
+  val qBpeMergesSql: String =
+    bpeTrainingCtes +
       (1 to NumMerges)
         .map(it =>
           s"""SELECT CAST($it AS BIGINT) AS iter, l AS left_sym,
              |       r AS right_sym, cnt AS pair_count FROM t$it""".stripMargin)
-        .mkString("\n", "\nUNION ALL\n", "\nORDER BY iter"))
-    sb.toString
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY iter")
+
+  // ------------------------------------------------------------------
+  // q_bpe_encode — the learned tokenizer APPLIED at corpus scale: every
+  // document's alphabetic words are encoded with the q_bpe_merges merge
+  // table (merges in learned order, same left-to-right non-overlapping
+  // replace as training) and rolled up to per-doc word and subword
+  // counts — learned-vocabulary token counting, the budget currency of
+  // a curation pipeline (contrast q_token_count's whitespace tokens).
+  //
+  // Scale shape: training is the bounded loop above (vocab-sized, ≤
+  // NumMerges 1-row collects); application is a pure per-row expression
+  // — the ≤NumMerges merges fold into nested codegen'd replace() calls,
+  // no joins, one partial-aggregated per-doc shuffle. The oracle reuses
+  // the training CTE chain and applies each merge via a scalar subquery
+  // (coalesce-guarded to a no-op pattern when a merge slot is empty, so
+  // exhaustion degrades identically in both engines).
+  // ------------------------------------------------------------------
+  val qBpeEncode: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = bpeMerges(s, docs)
+      .select(col("left_sym"), col("right_sym")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq // ≤ NumMerges rows
+    val alpha = docs
+      .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+    val wrapped = concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))
+    val encoded = merges.foldLeft(wrapped) { case (c, (l, r)) =>
+      replace(c, lit(s"|$l|$r|"), lit(s"|$l$r|"))
+    }
+    alpha
+      .select(col("doc_id"),
+              (size(split(encoded, "\\|")) - 2).cast("long").as("n_sub"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBpeEncodeSql: String = {
+    // '|#|' can never occur in a '|'-wrapped [a-z]+ word, so an empty
+    // merge slot coalesces to a no-op replace — same as Spark folding
+    // over fewer-than-NumMerges merges.
+    val applied = (1 to NumMerges).foldLeft(
+      "'|' || regexp_replace(w, '(.)', '\\1|', 'g')") { (inner, it) =>
+      s"""replace($inner,
+         |  coalesce((SELECT '|' || l || '|' || r || '|' FROM t$it), '|#|'),
+         |  coalesce((SELECT '|' || l || r || '|' FROM t$it), ''))""".stripMargin
+    }
+    bpeTrainingCtes + s""",
+      |words AS (
+      |  SELECT doc_id, w
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2),
+      |enc AS (
+      |  SELECT doc_id,
+      |         len(string_split($applied, '|')) - 2 AS n_sub
+      |  FROM words)
+      |SELECT doc_id, count(*) AS n_words,
+      |       CAST(sum(n_sub) AS BIGINT) AS n_subwords
+      |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
     "q_bpe_merges"       -> qBpeMerges,
+    "q_bpe_encode"       -> qBpeEncode,
     "q_boilerplate"      -> qBoilerplate,
     "q_unigram_logprob"  -> qUnigramLogprob,
     "q_contamination"    -> qContamination,
@@ -846,6 +920,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "q_bpe_merges"       -> qBpeMergesSql,
+    "q_bpe_encode"       -> qBpeEncodeSql,
     "q_boilerplate"      -> qBoilerplateSql,
     "q_unigram_logprob"  -> qUnigramLogprobSql,
     "q_contamination"    -> qContaminationSql,

@@ -454,6 +454,12 @@ object Multimodal {
       }
       (id, bands(0), bands(1), bands(2), bands(3))
     }).toDF("doc_id", "b0", "b1", "b2", "b3")
+      // Cache: five longs per doc, consumed by four plan branches (band
+      // explode + two hamming joins) — one codec pass over the corpus
+      // instead of one per branch. Lazy persist (not an eager
+      // checkpoint): the first branch materializes it, the rest read
+      // the in-memory copy.
+      .persist()
     val bexp = sigs
       .select(col("doc_id"),
               posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
