@@ -31,9 +31,16 @@ object Bench {
     // Keep the sorted Seq end-to-end: deterministic execution AND output
     // key order. A failing query records -1 (not its time-to-throw) so
     // breakage is visible in the metric line instead of masked.
+    //
+    // toRdd.count(), NOT Dataset.count(): counting through a fresh
+    // aggregate plan lets Catalyst eliminate row-preserving left joins
+    // and final sorts — under-measuring any query with that shape.
+    // Executing the query's OWN physical plan times what a consumer of
+    // the full result would pay. (Changed in r5; r4-and-earlier totals
+    // are slight under-measurements for sort/left-join tails.)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name failed: ${e.getMessage}")
                  false }

@@ -33,7 +33,9 @@ object ProfileQ {
       Thread.sleep(300) // drain listener events from the previous run
       shufWrite.set(0L); shufRead.set(0L)
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      // toRdd.count(): execute the query's own plan in full (a bare
+      // count() lets Catalyst drop row-preserving joins + final sorts).
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       val secs = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // listener bus is async; let task-end events land
       println(f"[profile] $name rep$rep: $secs%.3f s  " +

@@ -91,13 +91,19 @@ object Dedup {
     val dfreq = inv0.groupBy(col("lang"), col("len_bucket"), col("gram"))
       .agg(count(lit(1)).as("gram_df"))
       .filter(col("gram_df") <= MaxGramDf)
-      .drop("gram_df")
     val rare = inv0.join(dfreq, Seq("lang", "len_bucket", "gram"))
     val nRare = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val a = rare.select(col("lang"), col("len_bucket"), col("gram"),
-                        col("doc_id").as("doc_a"))
-    val b = rare.select(col("lang"), col("len_bucket"), col("gram"),
-                        col("doc_id").as("doc_b"))
+    // Only grams held by >= 2 docs can form a pair — df=1 postings (the
+    // overwhelming majority on an organically diverse corpus) stay in
+    // each doc's n_grams denominator above but never enter the self-
+    // join. Semantics-preserving; on the 30x diverse stress corpus this
+    // is the difference between joining all postings and joining almost
+    // none (docs/SCALE.md).
+    val shared = rare.filter(col("gram_df") >= 2)
+    val a = shared.select(col("lang"), col("len_bucket"), col("gram"),
+                          col("doc_id").as("doc_a"))
+    val b = shared.select(col("lang"), col("len_bucket"), col("gram"),
+                          col("doc_id").as("doc_b"))
     val pairs = a.join(b, Seq("lang", "len_bucket", "gram"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -448,18 +454,30 @@ object Dedup {
     // per-pair multiplicity m carries the raw span mass through.
     val perDoc = occ.groupBy(col("gram"), col("doc_id"), col("source"))
       .agg(count(lit(1)).as("m"))
-    val gramDf = perDoc.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
-    perDoc.join(gramDf, Seq("gram"))
+      // perDoc feeds three branches (total mass, dup-gram df, dup
+      // join). Cached explicitly: the branches' exchanges do NOT
+      // canonicalize equal (verified in the executed plan), so without
+      // this the full span explode+aggregate runs three times.
+      .persist()
+    // Total span mass needs no join at all — aggregate perDoc directly.
+    val totals = perDoc.groupBy(col("source")).agg(sum(col("m")).as("n_spans"))
+    // Only grams in >= 2 docs carry dup mass, so the join back touches
+    // just those postings — on a diverse corpus (most grams df=1) the
+    // join input collapses instead of carrying the whole span stream.
+    val dupGrams = perDoc.groupBy(col("gram"))
+      .agg(count(lit(1)).as("gram_df"))
+      .filter(col("gram_df") >= 2)
+      .select(col("gram"))
+    val dups = perDoc.join(dupGrams, Seq("gram"))
       .groupBy(col("source"))
-      .agg(sum(col("m")).as("n_spans"),
-           sum(when(col("gram_df") >= 2, col("m")).otherwise(0L))
-             .as("n_dup_spans"),
-           count_distinct(when(col("gram_df") >= 2, col("doc_id")))
-             .as("n_docs_hit"))
-      .withColumn("dup_ratio",
-                  col("n_dup_spans").cast("double") / col("n_spans"))
-      .select(col("source"), col("n_spans"), col("n_dup_spans"),
-              col("n_docs_hit"), col("dup_ratio"))
+      .agg(sum(col("m")).as("n_dup_spans"),
+           count_distinct(col("doc_id")).as("n_docs_hit"))
+    totals.join(dups, Seq("source"), "left")
+      .select(col("source"), col("n_spans"),
+              coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+              coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+              (coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
+                 col("n_spans")).as("dup_ratio"))
       .orderBy(col("source"))
   }
 

@@ -210,9 +210,18 @@ object Ops {
   /** MinHash signature over pre-hashed gram values (md5Bits60 % HashModP):
     * hash family k ↦ ((2k+1)·x + (1000003k + 12345)) mod P — one md5 per
     * gram, then nHashes cheap affine maps. Same family is re-derivable in
-    * plain SQL, so the signature is engine-portable.
+    * plain SQL, so the signature is engine-portable. Native single-pass
+    * expression (graftshim.MinHashSig): the HOF formulation below
+    * interprets nHashes × |grams| lambdas per row — the dominant cost of
+    * the whole MinHash pipeline (spec pins native == HOF).
     */
-  def minHashSignatureMod(xs: Column, nHashes: Int): Column =
+  def minHashSignatureMod(xs: Column, nHashes: Int): Column = {
+    import org.apache.spark.sql.graftshim.{MinHashSig, Shim}
+    Shim.column(MinHashSig(Shim.expression(xs), nHashes))
+  }
+
+  /** Interpreted HOF reference for [[minHashSignatureMod]]. */
+  def minHashSignatureModHof(xs: Column, nHashes: Int): Column =
     transform(
       sequence(lit(0), lit(nHashes - 1)),
       k => array_min(transform(xs,

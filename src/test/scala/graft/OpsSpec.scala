@@ -166,6 +166,22 @@ class OpsSpec extends AnyFunSuite {
     assert(short.forall { case (a, b) => a == b })
   }
 
+  test("native minhash signature == HOF signature on the real corpus") {
+    val xs = transform(Ops.shingles(Ops.tokens(col("text")), 3),
+                       g => Ops.md5Bits60(g) % Ops.HashModP)
+    val both = Tables.documents(spark, TestSpark.Sf)
+      .select(Ops.minHashSignatureMod(xs, 32).as("native"),
+              Ops.minHashSignatureModHof(xs, 32).as("hof"))
+    assert(both.filter(!(col("native") <=> col("hof"))).count() == 0)
+    // edge: empty gram array -> nHashes nulls in both formulations
+    val empty = Seq(Seq.empty[Long]).toDF("xs")
+      .select(Ops.minHashSignatureMod($"xs", 4).as("n"),
+              Ops.minHashSignatureModHof($"xs", 4).as("h"))
+    assert(empty.filter(!(col("n") <=> col("h"))).count() == 0)
+    val row = empty.select(col("n")).head().getSeq[Any](0)
+    assert(row == Seq(null, null, null, null))
+  }
+
   test("minhash signature: identical docs identical, length fixed") {
     val df = Seq("x y z w", "x y z w", "totally different words here")
       .toDF("t")
