@@ -460,6 +460,16 @@ object Multimodal {
       // checkpoint): the first branch materializes it, the rest read
       // the in-memory copy.
       .persist()
+    bandLshPairs(sigs)
+  }
+
+  /** Shared band-LSH pair stage over a 4×16-bit signature table
+    * (doc_id, b0..b3): bucket on any equal band (hot buckets above
+    * AhMaxBucket dropped — the quadratic-blowup defense), then Hamming-
+    * filter candidates with bit_count(xor) per band. Used by the image
+    * aHash and the audio energy-fingerprint near-dup.
+    */
+  private[ext] def bandLshPairs(sigs: DataFrame): DataFrame = {
     val bexp = sigs
       .select(col("doc_id"),
               posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
@@ -482,6 +492,109 @@ object Multimodal {
       .filter(col("hamming") <= AhMaxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  // ------------------------------------------------------------------
+  // q_audio_neardup — audio fingerprint near-dup (chromaprint-lite),
+  // bridging the audio and dedup pillars the way q_image_neardup does
+  // for images: each doc's first 512 bytes become a PCM16 WAV, decoded
+  // back through the real RIFF parser, and fingerprinted by energy
+  // shape — 4 windows × 64 samples, each window yielding 16 bits
+  // (bit j = is sub-band j's 4-sample sum above the window mean:
+  // 16·sub > total, exact integer compare, no division). The 4×16-bit
+  // signature then rides the same band-LSH pair stage as the image
+  // aHash (window = band, bucket cap, Hamming ≤ AhMaxHamming).
+  // ASCII premise guarded; high byte < 0x80 for ASCII text, so the
+  // int16 samples are non-negative and unsigned byte math agrees with
+  // the oracle's character arithmetic.
+  // ------------------------------------------------------------------
+  val AfWindows = 4; val AfWinSamples = 64; val AfSubs = 16
+
+  val qAudioNearDup: Q = (s, d) => audioNearDup(s, Tables.documents(s, d))
+
+  /** Core of q_audio_neardup over any (doc_id, text) frame. */
+  def audioNearDup(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val need = 2 * AfWindows * AfWinSamples // 512 bytes = 256 samples
+    val src = docs
+      .filter(length(col("text")) >= need &&
+              octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    val sigs = src.mapPartitions(_.map { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val wav = MediaCodec.encodeWav(8000, 1, 16,
+        java.util.Arrays.copyOfRange(bytes, 0, need))
+      val pcm = MediaCodec.decode(wav).content
+      val n = AfWindows * AfWinSamples
+      val sam = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        sam(i) = (pcm(2 * i) & 0xff) + 256L * (pcm(2 * i + 1) & 0xff)
+        i += 1
+      }
+      val bands = new Array[Long](AfWindows)
+      var w = 0
+      while (w < AfWindows) {
+        var total = 0L; var t = 0
+        while (t < AfWinSamples) { total += sam(AfWinSamples * w + t); t += 1 }
+        var j = 0
+        val subLen = AfWinSamples / AfSubs
+        while (j < AfSubs) {
+          var sub = 0L; var q = 0
+          while (q < subLen) {
+            sub += sam(AfWinSamples * w + subLen * j + q); q += 1
+          }
+          if (AfSubs * sub > total) bands(w) |= 1L << j
+          j += 1
+        }
+        w += 1
+      }
+      (id, bands(0), bands(1), bands(2), bands(3))
+    }).toDF("doc_id", "b0", "b1", "b2", "b3")
+      .persist() // one codec pass feeds all four LSH branches
+    bandLshPairs(sigs)
+  }
+
+  val qAudioNearDupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE length(text) >= ${2 * AfWindows * AfWinSamples}
+       |    AND strlen(text) = length(text)),
+       |sam AS (
+       |  SELECT doc_id,
+       |         list_transform(range(${AfWindows * AfWinSamples}), i ->
+       |           ascii(substr(text, CAST(2*i + 1 AS INT), 1))
+       |           + 256 * ascii(substr(text, CAST(2*i + 2 AS INT), 1))) AS s
+       |  FROM d),
+       |bands AS (
+       |  SELECT doc_id,
+       |         list_transform(range($AfWindows), w ->
+       |           list_sum(list_transform(range($AfSubs), j ->
+       |             CASE WHEN $AfSubs * list_sum(list_transform(range(4), t ->
+       |                          s[CAST($AfWinSamples*w + 4*j + t + 1 AS INT)]))
+       |                       > list_sum(list_transform(range($AfWinSamples), t ->
+       |                          s[CAST($AfWinSamples*w + t + 1 AS INT)]))
+       |                  THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END))) AS bs
+       |  FROM sam),
+       |bexp AS (
+       |  SELECT doc_id, CAST(w AS BIGINT) AS band, bs[CAST(w+1 AS INT)] AS v
+       |  FROM bands, unnest(range($AfWindows)) AS u(w)),
+       |ok AS (
+       |  SELECT band, v FROM bexp GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND $AhMaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bexp x JOIN ok USING (band, v) JOIN bexp y USING (band, v)
+       |  WHERE x.doc_id < y.doc_id),
+       |ham AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(list_sum(list_transform(range($AfWindows), w ->
+       |           bit_count(xor(ba.bs[CAST(w+1 AS INT)],
+       |                         bb.bs[CAST(w+1 AS INT)])))) AS BIGINT) AS hamming
+       |  FROM cand c JOIN bands ba ON ba.doc_id = c.doc_a
+       |              JOIN bands bb ON bb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, hamming FROM ham
+       |WHERE hamming <= $AhMaxHamming ORDER BY doc_a, doc_b""".stripMargin
 
   val qImageNearDupSql: String = {
     // 1-based src char index for grid cell i, channel c (0=b,1=g,2=r):
@@ -537,6 +650,7 @@ object Multimodal {
 
   val queries: Map[String, Q] = Map(
     "q_image_neardup"   -> qImageNearDup,
+    "q_audio_neardup"   -> qAudioNearDup,
     "q_image_resize"    -> qImageResize,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_frame_sample"    -> qFrameSample,
@@ -546,6 +660,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "q_image_neardup"   -> qImageNearDupSql,
+    "q_audio_neardup"   -> qAudioNearDupSql,
     "q_image_resize"    -> qImageResizeSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_frame_sample"    -> qFrameSampleSql,

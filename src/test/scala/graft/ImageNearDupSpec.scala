@@ -48,6 +48,21 @@ class ImageNearDupSpec extends AnyFunSuite {
              "exceeds AhMaxBucket and must be dropped, not exploded")
   }
 
+  test("audio fingerprint: identical 512-byte prefixes collide at hamming 0") {
+    // Audio near-dup hears only the first 512 bytes (256 samples), so
+    // docs sharing that prefix are exact fingerprint matches even with
+    // different tails; a doc with a different prefix must not pair.
+    val prefix = text(31L, 512)
+    val docs = Seq(
+      (0L, prefix + text(1L, 100)),
+      (1L, prefix + text(2L, 300)),
+      (2L, text(77L, 600))).toDF("doc_id", "text")
+    val got = Multimodal.audioNearDup(spark, docs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L, 0L)))
+    assert(!got.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("non-ASCII text is excluded by the premise guard, not mis-hashed") {
     val a = text(21L, 180)
     val docs = Seq((0L, a), (1L, a), (2L, "café " * 40)).toDF("doc_id", "text")
