@@ -866,13 +866,18 @@ object Corpus {
     val alpha = docs
       .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+    // Encode the DISTINCT vocabulary, not every token occurrence: the
+    // merge chain runs once per word type (language-bounded), and token
+    // instances pick up their subword count through a broadcast join —
+    // the same vocab-not-corpus discipline as training.
     val wrapped = concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))
     val encoded = merges.foldLeft(wrapped) { case (c, (l, r)) =>
       replace(c, lit(s"|$l|$r|"), lit(s"|$l$r|"))
     }
-    alpha
-      .select(col("doc_id"),
+    val vocabEnc = alpha.select(col("w")).distinct()
+      .select(col("w"),
               (size(split(encoded, "\\|")) - 2).cast("long").as("n_sub"))
+    alpha.join(broadcast(vocabEnc), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
       .orderBy(col("doc_id"))
@@ -894,10 +899,10 @@ object Corpus {
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
       |        FROM documents)
       |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2),
-      |enc AS (
-      |  SELECT doc_id,
-      |         len(string_split($applied, '|')) - 2 AS n_sub
-      |  FROM words)
+      |venc AS (
+      |  SELECT w, len(string_split($applied, '|')) - 2 AS n_sub
+      |  FROM (SELECT DISTINCT w FROM words)),
+      |enc AS (SELECT doc_id, n_sub FROM words JOIN venc USING (w))
       |SELECT doc_id, count(*) AS n_words,
       |       CAST(sum(n_sub) AS BIGINT) AS n_subwords
       |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
