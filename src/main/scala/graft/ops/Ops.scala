@@ -229,13 +229,24 @@ object Ops {
               (k.cast("bigint") * 1000003L + 12345L)) % HashModP)))
 
   /** Deterministic polynomial rolling hash of the first `maxLen` chars,
-    * mod 1e9+7 (stays far from Long overflow — Spark 4 runs ANSI mode).
-    * Empty input is explicitly 0: without the guard, sequence(1, 0)
-    * DESCENDS to [1, 0] and the result is 0 only by accident of
-    * ascii('') — and the DuckDB oracle's list_reduce ERRORS on an empty
-    * list, so both sides guard the same way.
+    * mod 1e9+7. Native single-pass expression (graftshim.RollingHash64):
+    * the HOF reference below re-evaluates its child string expression at
+    * every fold step in interpreted mode — maxLen full regexp passes per
+    * row when the child is a normalizer — and pays O(i) per
+    * substring(c, i, 1). Spec pins native == HOF.
     */
-  def rollingHash(c: Column, maxLen: Int = 64): Column =
+  def rollingHash(c: Column, maxLen: Int = 64): Column = {
+    import org.apache.spark.sql.graftshim.{RollingHash64, Shim}
+    Shim.column(RollingHash64(Shim.expression(c), maxLen))
+  }
+
+  /** Interpreted HOF reference for [[rollingHash]]. Empty input is
+    * explicitly 0: without the guard, sequence(1, 0) DESCENDS to [1, 0]
+    * and the result is 0 only by accident of ascii('') — and the DuckDB
+    * oracle's list_reduce ERRORS on an empty list, so both sides guard
+    * the same way.
+    */
+  def rollingHashHof(c: Column, maxLen: Int = 64): Column =
     when(length(c) === 0, lit(0L)).otherwise(
       aggregate(
         sequence(lit(1), least(length(c), lit(maxLen))),

@@ -200,6 +200,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got.forall(h => h >= 0 && h < 1000000007L))
   }
 
+  test("native rollingHash == HOF rollingHash on the real corpus + edges") {
+    val both = Tables.documents(spark, TestSpark.Sf)
+      .select(Ops.rollingHash(Ops.normalizeText(col("text"))).as("n"),
+              Ops.rollingHashHof(Ops.normalizeText(col("text"))).as("h"))
+    assert(both.filter(col("n") =!= col("h")).count() == 0)
+    val edges = Seq("", "a", "é", "x" * 200)
+      .toDF("t").select(Ops.rollingHash($"t").as("n"),
+                        Ops.rollingHashHof($"t").as("h"))
+      .as[(Long, Long)].collect()
+    assert(edges.forall { case (a, b) => a == b })
+  }
+
   test("cosine: self-similarity 1.0, orthogonal 0.0") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
                  (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)))
