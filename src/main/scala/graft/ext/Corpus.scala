@@ -908,7 +908,119 @@ object Corpus {
       |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q_dsir_score — DSIR-style data selection (Xie et al. 2023,
+  // "Data Selection for Language Models via Importance Resampling"):
+  // score every document by the log importance ratio of a TARGET
+  // unigram bag-of-words LM over the RAW-corpus LM, then deterministically
+  // select the top DsirSelectK. Target here = the lang='en' slice (the
+  // stand-in for "looks like the high-quality target distribution");
+  // both LMs are add-1 smoothed over the SHARED raw vocabulary, so
+  // unseen-in-target terms contribute ln(1) - ln(cnt_raw + 1) < 0.
+  //
+  // Exactness: per-term ln values are snapped to integer micro-units and
+  // weighted by the per-(doc, term) multiplicity (the unigram-logprob
+  // discipline — order-free BIGINT sums at any parallelism); the
+  // smoothing-denominator shift ln(N_t + V) - ln(N_r + V) is a per-token
+  // constant and moves outside the sum. Selection ranks by the exact
+  // integer pair (sum_u, n_toks) via one double division of identical
+  // ints on both engines, ties by doc_id.
+  //
+  // Scale shape: token occurrences collapse to (doc, term) pairs in the
+  // first partial-aggregated shuffle; both LM tables are vocab-bounded;
+  // the top-K cut is a bounded window (at 100 TB: Ops.topKHeap on a
+  // constant group — ≤ K rows per partition through the shuffle).
+  // ------------------------------------------------------------------
+  val DsirTargetLang = "en"
+  val DsirSelectK = 100
+
+  val qDsirScore: Q = (s, d) => dsirScore(Tables.documents(s, d))
+
+  /** Core of q_dsir_score over any (doc_id, lang, text) frame — split
+    * out so specs can run crafted corpora with known target slices.
+    */
+  def dsirScore(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), col("lang"),
+              explode(Ops.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("m"))
+    val rawTf = perDoc.groupBy(col("term")).agg(sum(col("m")).as("cnt_raw"))
+    val tgtTf = perDoc.filter(col("lang") === DsirTargetLang)
+      .groupBy(col("term")).agg(sum(col("m")).as("cnt_tgt"))
+    val tf = rawTf.join(tgtTf, Seq("term"), "left")
+      .select(col("term"), col("cnt_raw"),
+              coalesce(col("cnt_tgt"), lit(0L)).as("cnt_tgt"))
+    val totals = tf.agg(sum(col("cnt_raw")).as("n_raw"),
+                        sum(col("cnt_tgt")).as("n_tgt"),
+                        count(lit(1)).as("vocab"))
+    val scored = perDoc.join(tf, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_toks"),
+           sum(col("m") *
+               (round(log(col("cnt_tgt").cast("double") + 1.0) * 1e6)
+                  .cast("long") -
+                round(log(col("cnt_raw").cast("double") + 1.0) * 1e6)
+                  .cast("long"))).as("sum_u"))
+    val sel = Ops.topKPerGroup(
+        scored.withColumn("g", lit(1)), Seq("g"),
+        -(col("sum_u").cast("double") / col("n_toks").cast("double")),
+        col("doc_id"), DsirSelectK)
+      .select(col("doc_id"), lit(1L).as("selflag"))
+    scored.join(sel, Seq("doc_id"), "left")
+      .crossJoin(totals)
+      .select(col("doc_id"), col("n_toks"),
+              round((col("sum_u").cast("double") / 1e6)
+                      / col("n_toks").cast("double")
+                    - log(col("n_tgt").cast("double")
+                            + col("vocab").cast("double"))
+                    + log(col("n_raw").cast("double")
+                            + col("vocab").cast("double")), 6)
+                .as("dsir_score"),
+              coalesce(col("selflag"), lit(0L)).as("is_selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDsirScoreSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |per_doc AS (
+       |  SELECT doc_id, term, COUNT(*) AS m FROM tok GROUP BY 1, 2),
+       |raw_tf AS (SELECT term, COUNT(*) AS cnt_raw FROM tok GROUP BY 1),
+       |tgt_tf AS (SELECT term, COUNT(*) AS cnt_tgt FROM tok
+       |           WHERE lang = '$DsirTargetLang' GROUP BY 1),
+       |tf AS (
+       |  SELECT r.term, r.cnt_raw, COALESCE(t.cnt_tgt, 0) AS cnt_tgt
+       |  FROM raw_tf r LEFT JOIN tgt_tf t USING (term)),
+       |tot AS (
+       |  SELECT CAST(SUM(cnt_raw) AS BIGINT) AS n_raw,
+       |         CAST(SUM(cnt_tgt) AS BIGINT) AS n_tgt,
+       |         CAST(COUNT(*) AS BIGINT) AS vocab
+       |  FROM tf),
+       |sc AS (
+       |  SELECT p.doc_id, CAST(SUM(p.m) AS BIGINT) AS n_toks,
+       |         CAST(SUM(p.m *
+       |           (CAST(round(ln(CAST(tf.cnt_tgt AS DOUBLE) + 1.0) * 1000000.0, 0) AS BIGINT)
+       |          - CAST(round(ln(CAST(tf.cnt_raw AS DOUBLE) + 1.0) * 1000000.0, 0) AS BIGINT)))
+       |           AS BIGINT) AS sum_u
+       |  FROM per_doc p JOIN tf USING (term) GROUP BY 1),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY
+       |           CAST(sum_u AS DOUBLE) / CAST(n_toks AS DOUBLE) DESC,
+       |           doc_id) AS rnk
+       |  FROM sc)
+       |SELECT doc_id, n_toks,
+       |       round((CAST(sum_u AS DOUBLE) / 1000000.0)
+       |               / CAST(n_toks AS DOUBLE)
+       |             - ln(CAST(n_tgt + vocab AS DOUBLE))
+       |             + ln(CAST(n_raw + vocab AS DOUBLE)), 6) AS dsir_score,
+       |       CAST(CASE WHEN rnk <= $DsirSelectK THEN 1 ELSE 0 END AS BIGINT)
+       |         AS is_selected
+       |FROM ranked CROSS JOIN tot ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dsir_score"       -> qDsirScore,
     "q_bpe_merges"       -> qBpeMerges,
     "q_bpe_encode"       -> qBpeEncode,
     "q_boilerplate"      -> qBoilerplate,
@@ -924,6 +1036,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dsir_score"       -> qDsirScoreSql,
     "q_bpe_merges"       -> qBpeMergesSql,
     "q_bpe_encode"       -> qBpeEncodeSql,
     "q_boilerplate"      -> qBoilerplateSql,

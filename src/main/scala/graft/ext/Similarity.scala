@@ -805,6 +805,113 @@ object Similarity {
        |SELECT cell, rn, term, cnt FROM ranked WHERE rn <= $TopicsPerCell
        |ORDER BY cell, rn""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_semdedup — SemDeDup-style semantic deduplication (Abbas et al.
+  // 2023): cluster the embedding space with the TRAINED k-means funnel
+  // (the same seeded-Lloyd codebook as IVF — not the given labels,
+  // which is what separates this from q_dedup_embedding's label
+  // blocking), find near-duplicate pairs WITHIN each cell, and keep the
+  // member of each duplicate relation with the LOWEST cosine to its
+  // cell centroid (the paper's keep-rule: prefer the least-redundant
+  // exemplar). A vector is dropped iff some same-cell partner at
+  // cos >= SemDupThreshold has strictly lower centroid-cosine (ties by
+  // smaller vec_id), so in a fully-connected duplicate group exactly
+  // the min-centroid-cosine member survives — deterministic and
+  // order-free.
+  //
+  // Scale shape: candidate generation never leaves a cell — at 100 TB
+  // NumCells grows ~sqrt(corpus) (the paper's regime) so per-cell
+  // pairwise work stays bounded, and SemCellCap caps participation per
+  // cell (rank by vec_id, mirrored in the oracle) as the same
+  // degenerate-mega-cell defense as AhMaxBucket/MaxGramDf — capped-out
+  // members pass through kept, never silently vanish. All comparisons
+  // use 6-decimal-rounded cosines on both engines, so a last-ulp
+  // summation difference can never flip a drop decision.
+  // ------------------------------------------------------------------
+  val SemDupThreshold = 0.3
+  val SemCellCap = 256
+
+  val qSemDedup: Q = (s, d) => {
+    import s.implicits._
+    val e0 = Tables.embeddings(s, d)
+    val mat = trainCodebook(e0)
+    val cents = (0 until NumCells)
+      .map(c => (c.toLong, mat.slice(c * Dim, (c + 1) * Dim).toSeq))
+      .toDF("cell", "ce")
+      .withColumn("cnrm", VectorFunctions.vecNorm(col("ce")))
+    val mem = e0.select(col("vec_id"), col("embedding"),
+        element_at(
+          VectorFunctions.matrixDotRank(col("embedding"), mat, Dim), 1)
+          .cast("bigint").as("cell"),
+        VectorFunctions.vecNorm(col("embedding")).as("nrm"))
+      .join(broadcast(cents), Seq("cell"))
+      .withColumn("cent_cos",
+        round(VectorFunctions.vecDot(col("embedding"), col("ce")) /
+                (col("nrm") * col("cnrm")), 6))
+    val part = Ops.topKPerGroup(mem, Seq("cell"), col("vec_id"),
+                                col("vec_id"), SemCellCap)
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"),
+              col("cent_cos"))
+    val a = part.select(col("cell"), col("vec_id").as("va"),
+                        col("embedding").as("ea"), col("nrm").as("na"),
+                        col("cent_cos").as("ca"))
+    val b = part.select(col("cell"), col("vec_id").as("vb"),
+                        col("embedding").as("eb"), col("nrm").as("nb"),
+                        col("cent_cos").as("cb"))
+    val losers = a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cos",
+        round(VectorFunctions.vecDot(col("ea"), col("eb")) /
+                (col("na") * col("nb")), 6))
+      .filter(col("cos") >= SemDupThreshold)
+      .select(when(col("ca") > col("cb") ||
+                   (col("ca") === col("cb") && col("va") > col("vb")),
+                   col("va")).otherwise(col("vb")).as("vec_id"))
+      .distinct()
+      .withColumn("dropped", lit(1L))
+    mem.join(losers, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cent_cos"),
+              coalesce(col("dropped"), lit(0L)).as("is_dropped"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qSemDedupSql: String =
+    s"""WITH $kmeansFunnelCtes,
+       |cnrm AS (
+       |  SELECT cell, sqrt((SELECT SUM(CAST(ce[i.i] AS DOUBLE) ** 2)
+       |                     FROM generate_series(1, $Dim) i(i))) AS cn
+       |  FROM cents2),
+       |mem AS (
+       |  SELECT a.vec_id, a.cell,
+       |         row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id) AS rnk,
+       |         round((SELECT SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.ce[i.i] AS DOUBLE))
+       |                FROM generate_series(1, $Dim) i(i)) / (n.nrm * cn.cn), 6) AS cent_cos
+       |  FROM assigned a
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN cents2 c ON c.cell = a.cell
+       |  JOIN nrm n ON n.vec_id = a.vec_id
+       |  JOIN cnrm cn ON cn.cell = a.cell),
+       |part AS (SELECT * FROM mem WHERE rnk <= $SemCellCap),
+       |pairs AS (
+       |  SELECT a.cell, a.vec_id AS va, b.vec_id AS vb,
+       |         a.cent_cos AS ca, b.cent_cos AS cb,
+       |         round((SELECT SUM(CAST(ea.embedding[i.i] AS DOUBLE) * CAST(eb.embedding[i.i] AS DOUBLE))
+       |                FROM generate_series(1, $Dim) i(i)) / (na.nrm * nb.nrm), 6) AS cos
+       |  FROM part a JOIN part b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  JOIN nrm na ON na.vec_id = a.vec_id
+       |  JOIN nrm nb ON nb.vec_id = b.vec_id),
+       |losers AS (
+       |  SELECT DISTINCT CASE WHEN ca > cb OR (ca = cb AND va > vb)
+       |                       THEN va ELSE vb END AS vec_id
+       |  FROM pairs WHERE cos >= $SemDupThreshold)
+       |SELECT m.vec_id, m.cell, m.cent_cos,
+       |       CAST(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |         AS is_dropped
+       |FROM mem m LEFT JOIN losers l ON l.vec_id = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_cluster_topics"  -> qClusterTopics,
     "q_similarity_topk" -> qSimilarityTopk,
@@ -814,6 +921,7 @@ object Similarity {
     "q_ann_ivfpq"       -> qAnnIvfpq,
     "q_kmeans_cells"    -> qKmeansCells,
     "q_embed_quantize"  -> qEmbedQuantize,
+    "q_semdedup"        -> qSemDedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -825,5 +933,6 @@ object Similarity {
     "q_ann_ivf"         -> qAnnIvfSql,
     "q_kmeans_cells"    -> qKmeansCellsSql,
     "q_embed_quantize"  -> qEmbedQuantizeSql,
+    "q_semdedup"        -> qSemDedupSql,
   )
 }

@@ -108,6 +108,37 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, r6((u(3.0) + u(1.0)) / 1e6 / 2.0 - n))))
   }
 
+  test("dsirScore: hand-computed importance log-ratios, target slice wins") {
+    // target (en): "alpha alpha", "beta"; raw adds de "beta beta"
+    // raw counts: alpha=2, beta=3; target: alpha=2, beta=1; V=2
+    val docs = Seq((1L, "en", "alpha alpha"), (2L, "de", "beta beta"),
+                   (3L, "en", "beta")).toDF("doc_id", "lang", "text")
+    val got = Corpus.dsirScore(docs)
+      .as[(Long, Long, Double, Long)].collect()
+      .map { case (id, n, s, f) => id -> ((n, s, f)) }.toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def u(x: Double) = math.rint(math.log(x) * 1e6)
+    val shift = -math.log(3.0 + 2.0) + math.log(5.0 + 2.0)
+    val vAlpha = u(3.0) - u(3.0) // ln(cnt_tgt+1) - ln(cnt_raw+1)
+    val vBeta = u(2.0) - u(4.0)
+    assert(got(1L) == ((2L, r6(2 * vAlpha / 1e6 / 2.0 + shift), 1L)))
+    assert(got(2L) == ((2L, r6(2 * vBeta / 1e6 / 2.0 + shift), 1L)))
+    assert(got(3L) == ((1L, r6(vBeta / 1e6 + shift), 1L)))
+    assert(got(1L)._2 > got(2L)._2, "target-aligned doc must outscore")
+    assert(got(2L)._2 == got(3L)._2, "same token mix, same mean score")
+  }
+
+  test("q_dsir_score: exactly K selected, selected floor >= unselected ceiling") {
+    val out = Corpus.qDsirScore(spark, sf)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.length == 500 && out.forall(r => r._4 == 0L || r._4 == 1L))
+    assert(out.count(_._4 == 1L) == Corpus.DsirSelectK)
+    val selMin = out.filter(_._4 == 1L).map(_._3).min
+    val unselMax = out.filter(_._4 == 0L).map(_._3).max
+    assert(selMin >= unselMax - 1e-6,
+      s"selection not a top-K cut: $selMin < $unselMax")
+  }
+
   test("q_dup_span_mass: span totals match the corpus token arithmetic") {
     val rows = Dedup.qDupSpanMass(spark, sf)
       .as[(String, Long, Long, Long, Double)].collect()

@@ -153,6 +153,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("semdedup: keep-rule — min-centroid-cosine member per cell survives") {
+    val out = Similarity.qSemDedup(spark, sf)
+      .select($"vec_id", $"cell", $"cent_cos", $"is_dropped")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.length == 500, "every vector must appear exactly once")
+    assert(out.forall(r => r._4 == 0L || r._4 == 1L))
+    assert(out.exists(_._4 == 1L) && out.exists(_._4 == 0L),
+      "threshold should neither drop everything nor nothing")
+    // A vector is dropped only by a partner with strictly lower
+    // (cent_cos, vec_id), so each cell's minimum can never lose a pair.
+    // (SemCellCap doesn't bind at sf0.001 — max cell size << 256 — so
+    // participants == members and the invariant covers whole cells.)
+    out.groupBy(_._2).foreach { case (cell, g) =>
+      val keeper = g.minBy(r => (r._3, r._1))
+      assert(keeper._4 == 0L, s"cell $cell: min-cent_cos member was dropped")
+    }
+  }
+
   test("ann_pq: ADC shortlist re-rank beats chance recall vs brute force") {
     val exact = Similarity.qSimilarityTopk(spark, sf)
       .select($"qid", $"vec_id").as[(Long, Long)].collect()
