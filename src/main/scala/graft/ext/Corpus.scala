@@ -1019,7 +1019,119 @@ object Corpus {
        |         AS is_selected
        |FROM ranked CROSS JOIN tot ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_textrank — TextRank keyword extraction (Mihalcea & Tarau 2004):
+  // PageRank over the token co-occurrence graph. Vertices are alpha
+  // words (the BPE filter), edges join ADJACENT words within a document
+  // (undirected, weight = corpus-wide adjacency count), and TrIters
+  // damped power iterations rank every word; the top TrTopK are the
+  // corpus keywords.
+  //
+  // The entire iteration is INTEGER arithmetic — no doubles anywhere:
+  // ranks live in micro-units (r0 = 1e6), each edge contributes
+  // (r_u * w_uv) div wdeg_u (exact BIGINT division, same `div`/`//`
+  // semantics both engines), and damping is (85 * sum) div 100. So the
+  // fixpoint is bit-exact at any parallelism and the oracle is TrIters
+  // unrolled MATERIALIZED CTEs (the Lloyd-funnel discipline).
+  //
+  // Scale shape: the graph is VOCABULARY-bounded (distinct adjacent
+  // word pairs), not corpus-bounded — edge building is one partial-agg
+  // shuffle over exploded bigrams; each iteration is one equi-join +
+  // partial-agg sum over the bounded adjacency list; the top-K cut is
+  // a bounded window. Fixed iteration count means the whole query is
+  // one lazy plan — zero driver round-trips.
+  // ------------------------------------------------------------------
+  val TrIters = 3
+  val TrTopK = 25
+
+  val qTextrank: Q = (s, d) => textrank(Tables.documents(s, d))
+
+  /** Core of q_textrank over any (doc_id, text) frame. */
+  def textrank(docs: DataFrame): DataFrame = {
+    val edges = docs
+      .select(filter(Ops.tokens(col("text")),
+                     w => w.rlike("^[a-z]+$") && length(w) >= 2).as("arr"))
+      .select(explode(expr(
+        """transform(slice(arr, 1, greatest(size(arr) - 1, 0)),
+          |          (x, i) -> struct(x AS wa, element_at(arr, i + 2) AS wb))"""
+          .stripMargin)).as("e"))
+      .select(col("e.wa").as("wa"), col("e.wb").as("wb"))
+      .filter(col("wa") =!= col("wb"))
+      .select(least(col("wa"), col("wb")).as("a"),
+              greatest(col("wa"), col("wb")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    val deg = edges.select(col("a").as("u"), col("w"))
+      .unionAll(edges.select(col("b").as("u"), col("w")))
+      .groupBy(col("u")).agg(sum(col("w")).as("wdeg"))
+    val adj = edges.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .join(deg, Seq("u"))
+      .persist()
+    var r = adj.select(col("u")).distinct()
+      .select(col("u"), lit(1000000L).as("r"))
+    for (_ <- 1 to TrIters) {
+      r = adj.join(r, Seq("u"))
+        .select(col("v"), expr("(r * w) div wdeg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("sc"))
+        .select(col("v").as("u"),
+                expr("CAST(150000 + (85 * sc) div 100 AS BIGINT)").as("r"))
+    }
+    val ranked = Ops.topKPerGroup(
+        r.join(deg, Seq("u")).withColumn("g", lit(1)), Seq("g"),
+        -col("r"), col("u"), TrTopK)
+      .select(col("rn"), col("u").as("term"), col("wdeg"),
+              col("r").as("rank_u"))
+      .orderBy(col("rn"))
+      .localCheckpoint(true)
+    adj.unpersist()
+    ranked
+  }
+
+  val qTextrankSql: String = {
+    def iter(prev: String, next: String): String =
+      s"""$next AS MATERIALIZED (
+         |  SELECT a.v AS u,
+         |         CAST(150000 + (85 * SUM((r.r * a.w) // a.wdeg)) // 100
+         |              AS BIGINT) AS r
+         |  FROM adj a JOIN $prev r ON r.u = a.u GROUP BY 1)""".stripMargin
+    s"""WITH arrs AS (
+       |  SELECT list_filter(string_split(text, ' '),
+       |           w -> regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2)
+       |           AS arr
+       |  FROM documents),
+       |bigrams AS (
+       |  SELECT arr[i] AS wa, arr[i + 1] AS wb
+       |  FROM (SELECT arr, unnest(range(1, len(arr))) AS i FROM arrs)
+       |  WHERE arr[i] <> arr[i + 1]),
+       |edges AS MATERIALIZED (
+       |  SELECT least(wa, wb) AS a, greatest(wa, wb) AS b,
+       |         CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM bigrams GROUP BY 1, 2),
+       |deg AS MATERIALIZED (
+       |  SELECT u, CAST(SUM(w) AS BIGINT) AS wdeg
+       |  FROM (SELECT a AS u, w FROM edges
+       |        UNION ALL SELECT b AS u, w FROM edges)
+       |  GROUP BY 1),
+       |adj AS MATERIALIZED (
+       |  SELECT x.u, x.v, x.w, d.wdeg
+       |  FROM (SELECT a AS u, b AS v, w FROM edges
+       |        UNION ALL SELECT b AS u, a AS v, w FROM edges) x
+       |  JOIN deg d ON d.u = x.u),
+       |r0 AS (SELECT DISTINCT u, CAST(1000000 AS BIGINT) AS r FROM adj),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")},
+       |ranked AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY r.r DESC, r.u) AS BIGINT)
+       |           AS rn,
+       |         r.u AS term, d.wdeg, r.r AS rank_u
+       |  FROM r3 r JOIN deg d ON d.u = r.u)
+       |SELECT rn, term, wdeg, rank_u FROM ranked WHERE rn <= $TrTopK
+       |ORDER BY rn""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_textrank"         -> qTextrank,
     "q_dsir_score"       -> qDsirScore,
     "q_bpe_merges"       -> qBpeMerges,
     "q_bpe_encode"       -> qBpeEncode,
@@ -1036,6 +1148,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_textrank"         -> qTextrankSql,
     "q_dsir_score"       -> qDsirScoreSql,
     "q_bpe_merges"       -> qBpeMergesSql,
     "q_bpe_encode"       -> qBpeEncodeSql,

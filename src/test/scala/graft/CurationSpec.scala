@@ -139,6 +139,28 @@ class CurationSpec extends AnyFunSuite {
       s"selection not a top-K cut: $selMin < $unselMax")
   }
 
+  test("textrank: hand-computed integer PageRank on a star graph") {
+    // "aa bb aa cc aa dd" -> edges (aa,bb) w2, (aa,cc) w2, (aa,dd) w1;
+    // degrees aa=5, bb=2, cc=2, dd=1. Three damped integer iterations
+    // computed by hand (micro-units, div = exact integer division).
+    val docs = Seq((1L, "aa bb aa cc aa dd")).toDF("doc_id", "text")
+    val got = Corpus.textrank(docs)
+      .as[(Long, String, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, "aa", 5L, 2483250L),
+      (2L, "bb", 2L, 576700L),   // tie with cc resolved by term asc
+      (3L, "cc", 2L, 576700L),
+      (4L, "dd", 1L, 363350L)))
+  }
+
+  test("q_textrank: exactly TopK rows, ranks descending, hub outranks leaf") {
+    val out = Corpus.qTextrank(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == Corpus.TrTopK)
+    val ranks = out.sortBy(_._1).map(_._4)
+    assert(ranks.zip(ranks.tail).forall { case (x, y) => x >= y })
+  }
+
   test("q_dup_span_mass: span totals match the corpus token arithmetic") {
     val rows = Dedup.qDupSpanMass(spark, sf)
       .as[(String, Long, Long, Long, Double)].collect()
