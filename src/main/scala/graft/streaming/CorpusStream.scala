@@ -142,9 +142,40 @@ object CorpusStream {
       probe.select(col("text_hash")), Seq("text_hash"), "left_anti")
       .localCheckpoint(true) // snapshot BEFORE appending to the dirs it read
     val n = fresh.count()
-    if (n > 0)
-      fresh.write.partitionBy("bucket").mode(SaveMode.Append).parquet(historyDir)
+    if (n > 0) stagedAppend(spark, fresh, historyDir)
     n
+  }
+
+  /** Append through a STAGING area so the ledger only ever gains
+    * complete files: the batch writes to `<historyDir>.staging/<token>`
+    * first, then each finished part-file is renamed into its bucket
+    * directory (rename is atomic per file on HDFS and local FS — a
+    * reader never observes a torn parquet), and no `_SUCCESS` /
+    * `_temporary` artifacts ever land inside historyDir itself. A crash
+    * mid-write leaves only an inert staging directory outside the
+    * ledger; a crash mid-rename leaves some complete files committed
+    * and the rest in staging — the idempotent re-ingest replays the
+    * batch and the anti-join drops whatever already made it in.
+    */
+  private[graft] def stagedAppend(spark: SparkSession, fresh: DataFrame,
+                                  historyDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val token = java.util.UUID.randomUUID().toString
+    val stageDir = s"$historyDir.staging/$token"
+    fresh.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(stageDir)
+    val f = fs(spark, historyDir)
+    f.listStatus(new Path(stageDir)).filter(_.isDirectory).foreach { bdir =>
+      val dst = new Path(s"$historyDir/${bdir.getPath.getName}")
+      f.mkdirs(dst)
+      f.listStatus(bdir.getPath)
+        .filter(_.getPath.getName.startsWith("part-"))
+        .foreach { file =>
+          val target = new Path(dst, s"$token-${file.getPath.getName}")
+          require(f.rename(file.getPath, target),
+            s"ledger commit rename failed: ${file.getPath} -> $target")
+        }
+    }
+    f.delete(new Path(stageDir), true)
   }
 
   /** Drive the ingest over a static documents dir to completion

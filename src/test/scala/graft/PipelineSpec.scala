@@ -131,6 +131,15 @@ class PipelineSpec extends AnyFunSuite {
     // for). Fresh checkpoint (runOnce keeps none) so files re-stream.
     val again = CorpusStream.runOnce(spark, sf, historyDir)
     assert(again.count() == history.length, "re-ingest must be idempotent")
+    // staged-commit contract: the ledger holds ONLY bucket directories
+    // of complete part files — no _SUCCESS/_temporary write artifacts —
+    // and the staging area is fully drained after each batch commits.
+    val entries = new java.io.File(historyDir).listFiles().map(_.getName)
+    assert(entries.nonEmpty && entries.forall(_.startsWith("bucket=")),
+      s"ledger dir must contain only bucket partitions: ${entries.toList}")
+    val staging = new java.io.File(historyDir + ".staging")
+    assert(!staging.exists() || staging.listFiles().isEmpty,
+      "staging area must be drained after commit")
   }
 
   test("bucketed ledger: a batch probes only its own hash-prefix buckets") {
