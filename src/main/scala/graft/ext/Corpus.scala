@@ -940,17 +940,23 @@ object Corpus {
     * out so specs can run crafted corpora with known target slices.
     */
   def dsirScore(docs: DataFrame): DataFrame = {
+    // The pair table feeds BOTH LM builds and the scoring join — persist
+    // it, or each consumer re-scans and re-explodes the corpus
+    // (ReuseExchange does not reliably unify the three subtrees; the
+    // unpersisted plan audited at 8 corpus scans).
     val perDoc = docs
       .select(col("doc_id"), col("lang"),
               explode(Ops.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("lang"), col("term"))
       .agg(count(lit(1)).as("m"))
-    val rawTf = perDoc.groupBy(col("term")).agg(sum(col("m")).as("cnt_raw"))
-    val tgtTf = perDoc.filter(col("lang") === DsirTargetLang)
-      .groupBy(col("term")).agg(sum(col("m")).as("cnt_tgt"))
-    val tf = rawTf.join(tgtTf, Seq("term"), "left")
-      .select(col("term"), col("cnt_raw"),
-              coalesce(col("cnt_tgt"), lit(0L)).as("cnt_tgt"))
+      .persist()
+    // ONE aggregation builds both LMs (raw + target-slice counts as two
+    // sums over the same pairs) — half the shuffles of the
+    // two-tables-plus-left-join formulation, identical values.
+    val tf = perDoc.groupBy(col("term"))
+      .agg(sum(col("m")).as("cnt_raw"),
+           sum(when(col("lang") === DsirTargetLang, col("m"))
+                 .otherwise(0L)).as("cnt_tgt"))
     val totals = tf.agg(sum(col("cnt_raw")).as("n_raw"),
                         sum(col("cnt_tgt")).as("n_tgt"),
                         count(lit(1)).as("vocab"))
@@ -967,7 +973,7 @@ object Corpus {
         -(col("sum_u").cast("double") / col("n_toks").cast("double")),
         col("doc_id"), DsirSelectK)
       .select(col("doc_id"), lit(1L).as("selflag"))
-    scored.join(sel, Seq("doc_id"), "left")
+    val out = scored.join(sel, Seq("doc_id"), "left")
       .crossJoin(totals)
       .select(col("doc_id"), col("n_toks"),
               round((col("sum_u").cast("double") / 1e6)
@@ -979,6 +985,9 @@ object Corpus {
                 .as("dsir_score"),
               coalesce(col("selflag"), lit(0L)).as("is_selected"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    perDoc.unpersist()
+    out
   }
 
   val qDsirScoreSql: String =
