@@ -81,6 +81,14 @@ object Dedup {
     // and the pair self-join all key on xxhash64(gram) instead of the
     // 3-gram text (5.5 → 3.9 MiB shuffled at sf0.1, docs/SCALE.md);
     // the pair output never contained grams, so the oracle stands.
+    // NOT persisted, deliberately: the plan audits at 8 corpus scans,
+    // but each is a pruned-parquet scan + codegen'd explode that Spark
+    // pipelines straight into map-side partial aggregation — measured
+    // 30×-diverse/100× wall REGRESSED ~25% when the exploded postings
+    // were persisted instead (materializing 10s of millions of postings
+    // to storage costs more than re-deriving them; contrast
+    // qDedupMinhash, where the re-derived stage is an expensive
+    // md5+32-hash signature and persist wins).
     val inv0 = docs.select(col("lang"), col("len_bucket"), col("doc_id"),
                            explode(col("grams")).as("gram_text"))
       .select(col("lang"), col("len_bucket"), col("doc_id"),
@@ -108,7 +116,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    pairs
+    val out = pairs
       .join(nRare.select(col("doc_id").as("doc_a"), col("n_grams").as("n_a")),
             Seq("doc_a"))
       .join(nRare.select(col("doc_id").as("doc_b"), col("n_grams").as("n_b")),
@@ -118,6 +126,7 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+    out
   }
 
   val qNgramJaccardSql: String =
@@ -163,11 +172,16 @@ object Dedup {
     // every gram. Band buckets are the packed signature slice itself (a
     // ':'-joined string): equality on the slice is what LSH needs, no
     // second hash required, and it stays byte-identical across engines.
+    // Grams + the 32-hash signature are the expensive per-doc compute and
+    // feed the banding pass plus BOTH sides of the candidate gram join —
+    // persist, or each consumer re-runs the md5+minhash scan (the
+    // unpersisted plan audited at 14 corpus scans).
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
               Ops.shingles(Ops.tokens(col("text")), 3).as("grams"))
       .withColumn("sig", Ops.minHashSignatureMod(
         transform(col("grams"), g => Ops.md5Bits60(g) % Ops.HashModP), NumHashes))
+      .persist()
     // Band/bucket/dedup on (ids, bucket) ONLY — carrying gram arrays
     // through the 8-band explode, the self-join, and the pair distinct
     // would multiply shuffle bytes by ~8× the array size at scale. Grams
@@ -197,6 +211,9 @@ object Dedup {
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
     val gramsOf = docs.select(col("doc_id"), col("grams"))
+    // pairs feed the per-doc partner stats twice and the dup flag once —
+    // persist the (small) verified-pair table rather than re-running the
+    // candidate join per consumer.
     val pairs = candidateIds
       .join(gramsOf.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")),
             Seq("doc_a"))
@@ -205,6 +222,8 @@ object Dedup {
       .withColumn("jaccard",
         size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
         size(array_union(col("grams_a"), col("grams_b"))))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .persist()
     val partners = pairs.select(col("doc_a").as("doc_id"), col("jaccard"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"), col("jaccard")))
       .groupBy(col("doc_id"))
@@ -212,7 +231,7 @@ object Dedup {
     val dupFlag = pairs.filter(col("jaccard") >= 0.9)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_dup", lit(1L))
-    Tables.documents(s, d).select(col("doc_id"))
+    val out = Tables.documents(s, d).select(col("doc_id"))
       .join(partners, Seq("doc_id"), "left")
       .join(dupFlag, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -220,6 +239,10 @@ object Dedup {
               round(coalesce(col("max_jaccard"), lit(0.0)), 6).as("max_jaccard"),
               coalesce(col("is_dup"), lit(0L)).as("is_dup"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    pairs.unpersist()
+    docs.unpersist()
+    out
   }
 
   /** The DuckDB side of the MinHash pipeline, re-derived relationally:
