@@ -64,4 +64,22 @@ class AnnClusteredSpec extends AnyFunSuite {
     info(f"IVF-PQ recall on clustered data: $r%.2f (uniform-data: ~0.34)")
     assert(r >= 0.7, f"clustered-IVF-PQ recall $r%.2f below 0.7 floor")
   }
+
+  test("semdedup on clustered data: dense drops, keep-rule holds per cell") {
+    // Clustered embeddings (within-cluster cosine ~0.9) are SemDeDup's
+    // design case: trained cells align with clusters, so most members
+    // sit above the pair threshold and collapse to few survivors —
+    // unlike the near-uniform sf embeddings where drops are sparse.
+    val out = Similarity.qSemDedup(spark, dir)
+      .select($"vec_id", $"cell", $"cent_cos", $"is_dropped")
+      .as[(Long, Long, Double, Long)].collect()
+    val dropFrac = out.count(_._4 == 1L).toDouble / out.length
+    info(f"clustered-corpus drop fraction: $dropFrac%.2f")
+    assert(dropFrac >= 0.5,
+      f"clustered corpus should dedup aggressively, got $dropFrac%.2f")
+    out.groupBy(_._2).foreach { case (cell, g) =>
+      val keeper = g.minBy(r => (r._3, r._1))
+      assert(keeper._4 == 0L, s"cell $cell: min-cent_cos member was dropped")
+    }
+  }
 }
