@@ -1029,6 +1029,97 @@ object Corpus {
        |FROM ranked CROSS JOIN tot ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_paragraph_dedup — CCNet-style FIRST-SEEN-WINS paragraph dedup:
+  // segment every document (the boilerplate segmentation, shared
+  // constants), keep each distinct segment's FIRST occurrence in
+  // (doc_id, seg) order, drop every later copy — including repeats
+  // inside one document — and reconstruct the deduplicated text. The
+  // complement of q_boilerplate's df-threshold rule (which drops ALL
+  // copies of a hot segment): here exactly one copy of every segment
+  // survives corpus-wide, the semantics CCNet's paragraph-hash dedup
+  // ships for its wiki corpus.
+  //
+  // Scale shape: one partial-aggregated shuffle finds each segment's
+  // min (doc_id, seg) — a struct-min, order-free — and one equi-join
+  // back marks survivors; reconstruction is a per-doc sorted
+  // collect_list. No pairwise work anywhere; segment keys can ride a
+  // digest at cluster scale exactly like the span ops.
+  // ------------------------------------------------------------------
+  val qParagraphDedup: Q = (s, d) => paragraphDedup(Tables.documents(s, d))
+
+  /** Core of q_paragraph_dedup over any (doc_id, text) frame. */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val w = lit(BoilerSegWords)
+    val base = docs
+      .select(col("doc_id"), Ops.tokens(col("text")).as("toks"))
+      .withColumn("n_segs",
+        expr(s"CAST((size(toks) + ${BoilerSegWords - 1}) div $BoilerSegWords" +
+             " AS BIGINT)"))
+    val segs = base.select(col("doc_id"), col("n_segs"),
+        explode(transform(sequence(lit(0L), col("n_segs") - 1),
+          i => struct(i.as("seg"),
+                      array_join(slice(col("toks"),
+                        (i * w + 1).cast("int"), lit(BoilerSegWords)), " ")
+                        .as("segtext")))).as("sg"))
+      .select(col("doc_id"), col("n_segs"),
+              col("sg.seg").as("seg"), col("sg.segtext").as("segtext"))
+    val winners = segs.groupBy(col("segtext"))
+      .agg(min(struct(col("doc_id"), col("seg"))).as("w"))
+      .select(col("segtext"), col("w.doc_id").as("wdoc"),
+              col("w.seg").as("wseg"))
+    val kept = segs.join(winners, Seq("segtext"))
+      .filter(col("doc_id") === col("wdoc") && col("seg") === col("wseg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+           array_join(
+             transform(array_sort(collect_list(struct(col("seg"),
+                                                      col("segtext")))),
+                       x => x.getField("segtext")), " ").as("kept_text"))
+    base.select(col("doc_id"), col("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              round(lit(1.0) - coalesce(col("n_kept"), lit(0L)).cast("double")
+                      / col("n_segs").cast("double"), 6).as("removed_frac"),
+              coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qParagraphDedupSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |base AS (
+       |  SELECT doc_id, toks,
+       |         CAST((len(toks) + ${BoilerSegWords - 1}) // $BoilerSegWords
+       |              AS BIGINT) AS n_segs
+       |  FROM t),
+       |pos AS (
+       |  SELECT doc_id, n_segs, toks, unnest(range(0, n_segs)) AS seg
+       |  FROM base),
+       |segs AS (
+       |  SELECT doc_id, n_segs, CAST(seg AS BIGINT) AS seg,
+       |         array_to_string(list_slice(toks, seg * $BoilerSegWords + 1,
+       |                                    (seg + 1) * $BoilerSegWords),
+       |                         ' ') AS segtext
+       |  FROM pos),
+       |firsts AS (
+       |  SELECT doc_id, seg, segtext,
+       |         row_number() OVER (PARTITION BY segtext
+       |                            ORDER BY doc_id, seg) AS occ
+       |  FROM segs),
+       |kept AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |         string_agg(segtext, ' ' ORDER BY seg) AS kept_text
+       |  FROM firsts WHERE occ = 1 GROUP BY 1)
+       |SELECT b.doc_id, b.n_segs,
+       |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |       round(1.0 - CAST(COALESCE(k.n_kept, 0) AS DOUBLE)
+       |                     / CAST(b.n_segs AS DOUBLE), 6) AS removed_frac,
+       |       COALESCE(k.kept_text, '') AS kept_text
+       |FROM base b LEFT JOIN kept k USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // q_textrank — TextRank keyword extraction (Mihalcea & Tarau 2004):
   // PageRank over the token co-occurrence graph. Vertices are alpha
   // words (the BPE filter), edges join ADJACENT words within a document
@@ -1141,6 +1232,7 @@ object Corpus {
 
   val queries: Map[String, Q] = Map(
     "q_textrank"         -> qTextrank,
+    "q_paragraph_dedup"  -> qParagraphDedup,
     "q_dsir_score"       -> qDsirScore,
     "q_bpe_merges"       -> qBpeMerges,
     "q_bpe_encode"       -> qBpeEncode,
@@ -1158,6 +1250,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "q_textrank"         -> qTextrankSql,
+    "q_paragraph_dedup"  -> qParagraphDedupSql,
     "q_dsir_score"       -> qDsirScoreSql,
     "q_bpe_merges"       -> qBpeMergesSql,
     "q_bpe_encode"       -> qBpeEncodeSql,

@@ -139,6 +139,22 @@ class CurationSpec extends AnyFunSuite {
       s"selection not a top-K cut: $selMin < $unselMax")
   }
 
+  test("paragraphDedup: first occurrence survives, later copies drop") {
+    val shared = (1 to 5).map(i => s"s$i").mkString(" ")
+    val rep = (1 to 5).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared u1 u2 u3 u4 u5"), // owns the first copy of `shared`
+      (2L, s"$shared v1 v2 v3 v4 v5"), // later copy -> dropped
+      (3L, s"$rep $rep")               // in-doc repeat -> second drops
+    ).toDF("doc_id", "text")
+    val got = Corpus.paragraphDedup(docs)
+      .as[(Long, Long, Long, Double, String)].collect().toList
+    assert(got == List(
+      (1L, 2L, 2L, 0.0, s"$shared u1 u2 u3 u4 u5"),
+      (2L, 2L, 1L, 0.5, "v1 v2 v3 v4 v5"),
+      (3L, 2L, 1L, 0.5, rep)))
+  }
+
   test("textrank: hand-computed integer PageRank on a star graph") {
     // "aa bb aa cc aa dd" -> edges (aa,bb) w2, (aa,cc) w2, (aa,dd) w1;
     // degrees aa=5, bb=2, cc=2, dd=1. Three damped integer iterations
