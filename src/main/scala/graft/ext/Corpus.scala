@@ -2,7 +2,7 @@ package graft.ext
 
 import graft.Tables
 import graft.ops.Ops
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators for a large-scale training-data pipeline,
@@ -1029,6 +1029,132 @@ object Corpus {
        |FROM ranked CROSS JOIN tot ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_bm25_mlt — BM25 "more-like-this" retrieval (Robertson k1/b), the
+  // LEXICAL complement of the embedding ANN family: for each of the
+  // first Bm25NumQueries documents, take its Bm25QueryTerms
+  // characteristic terms (df asc, tf desc, term asc — ALL-INTEGER
+  // ranking, no log whose last ulp could flip a rank; selectivity-first
+  // is Lucene MoreLikeThis's bias and keeps the postings join small) and
+  // retrieve the
+  // top Bm25TopK other documents by BM25 over those terms.
+  //
+  // Exactness: idf and the tf saturation are IEEE doubles derived from
+  // identical integers with identically-shaped expressions on both
+  // engines; each (query, doc, term) contribution is snapped to integer
+  // micro-units BEFORE the per-doc sum (order-free BIGINT at any
+  // parallelism — the unigram-logprob discipline), and the final
+  // ranking key is (score_u desc, doc_id asc), pure integers.
+  //
+  // Scale shape: the score join is query-terms × postings — the
+  // inverted-index traversal a real BM25 engine does, with per-query
+  // cost proportional to the chosen terms' document frequencies (the
+  // df-asc tiebreak biases selection toward SELECTIVE terms, which is
+  // both better retrieval and smaller postings). The per-doc pair table
+  // is persisted once and feeds df/dl/query-selection/scoring.
+  // ------------------------------------------------------------------
+  val Bm25NumQueries = 10
+  val Bm25QueryTerms = 3
+  val Bm25TopK = 5
+
+  val qBm25Mlt: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfreq = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = perDoc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = perDoc.agg(count_distinct(col("doc_id")).as("n_docs"),
+                           sum(col("tf")).as("total_toks"))
+    val qw = Window.partitionBy(col("qid"))
+      .orderBy(col("df").asc, col("tf").desc, col("term").asc)
+    val qterms = perDoc.filter(col("doc_id") < Bm25NumQueries)
+      .join(dfreq, Seq("term"))
+      .select(col("doc_id").as("qid"), col("term"), col("tf"), col("df"))
+      .withColumn("tr", row_number().over(qw))
+      .filter(col("tr") <= Bm25QueryTerms)
+      .select(col("qid"), col("term"))
+    val xd = (c: Column) => c.cast("double")
+    val scored = qterms
+      .join(perDoc, Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats) // 1-row global stats — bounded by construction
+      .withColumn("avgdl", xd(col("total_toks")) / xd(col("n_docs")))
+      .withColumn("idf",
+        log((xd(col("n_docs")) - xd(col("df")) + 0.5) /
+            (xd(col("df")) + 0.5)))
+      .withColumn("tfpart",
+        (xd(col("tf")) * 2.2) /
+          (xd(col("tf")) +
+           lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * xd(col("dl"))
+                         / col("avgdl"))))
+      .withColumn("c_u",
+        round(col("idf") * col("tfpart") * 1e6).cast("long"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_match"), sum(col("c_u")).as("score_u"))
+    val out = Ops.topKPerGroup(scored, Seq("qid"), -col("score_u"),
+                               col("doc_id"), Bm25TopK)
+      .select(col("qid"), col("rn"), col("doc_id"), col("n_match"),
+              round(col("score_u").cast("double") / 1e6, 6).as("bm25"))
+      .orderBy(col("qid"), col("rn"))
+      .localCheckpoint(true)
+    perDoc.unpersist()
+    out
+  }
+
+  val qBm25MltSql: String =
+    s"""WITH per_doc AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM per_doc GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+       |       FROM per_doc GROUP BY 1),
+       |stats AS (
+       |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |         CAST(SUM(tf) AS BIGINT) AS total_toks
+       |  FROM per_doc),
+       |qterms AS (
+       |  SELECT qid, term FROM (
+       |    SELECT p.doc_id AS qid, p.term,
+       |           row_number() OVER (PARTITION BY p.doc_id
+       |             ORDER BY f.df ASC, p.tf DESC, p.term ASC) AS tr
+       |    FROM per_doc p JOIN dfreq f USING (term)
+       |    WHERE p.doc_id < $Bm25NumQueries)
+       |  WHERE tr <= $Bm25QueryTerms),
+       |scored AS (
+       |  SELECT q.qid, p.doc_id,
+       |         COUNT(*) AS n_match,
+       |         CAST(SUM(CAST(round(
+       |           ln((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+       |              / (CAST(f.df AS DOUBLE) + 0.5))
+       |           * ((CAST(p.tf AS DOUBLE) * 2.2)
+       |              / (CAST(p.tf AS DOUBLE)
+       |                 + 1.2 * (1.0 - 0.75 + 0.75 * CAST(l.dl AS DOUBLE)
+       |                            / (CAST(s.total_toks AS DOUBLE)
+       |                               / CAST(s.n_docs AS DOUBLE)))))
+       |           * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS score_u
+       |  FROM qterms q
+       |  JOIN per_doc p USING (term)
+       |  JOIN dfreq f USING (term)
+       |  JOIN dl l ON l.doc_id = p.doc_id
+       |  CROSS JOIN stats s
+       |  WHERE p.doc_id <> q.qid
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, doc_id, n_match, score_u,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |           ORDER BY score_u DESC, doc_id ASC) AS BIGINT) AS rn
+       |  FROM scored)
+       |SELECT qid, rn, doc_id, n_match,
+       |       round(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS bm25
+       |FROM ranked WHERE rn <= $Bm25TopK
+       |ORDER BY qid, rn""".stripMargin
+
+  // ------------------------------------------------------------------
   // q_paragraph_dedup — CCNet-style FIRST-SEEN-WINS paragraph dedup:
   // segment every document (the boilerplate segmentation, shared
   // constants), keep each distinct segment's FIRST occurrence in
@@ -1232,6 +1358,7 @@ object Corpus {
 
   val queries: Map[String, Q] = Map(
     "q_textrank"         -> qTextrank,
+    "q_bm25_mlt"         -> qBm25Mlt,
     "q_paragraph_dedup"  -> qParagraphDedup,
     "q_dsir_score"       -> qDsirScore,
     "q_bpe_merges"       -> qBpeMerges,
@@ -1250,6 +1377,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "q_textrank"         -> qTextrankSql,
+    "q_bm25_mlt"         -> qBm25MltSql,
     "q_paragraph_dedup"  -> qParagraphDedupSql,
     "q_dsir_score"       -> qDsirScoreSql,
     "q_bpe_merges"       -> qBpeMergesSql,

@@ -139,6 +139,22 @@ class CurationSpec extends AnyFunSuite {
       s"selection not a top-K cut: $selMin < $unselMax")
   }
 
+  test("q_bm25_mlt: structural bounds and rank monotonicity") {
+    val out = Corpus.qBm25Mlt(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._1 < Corpus.Bm25NumQueries), "qid bound")
+    assert(out.forall(r => r._3 != r._1), "self never retrieved")
+    assert(out.forall(r => r._4 >= 1 && r._4 <= Corpus.Bm25QueryTerms),
+      "matches bounded by query terms")
+    out.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length <= Corpus.Bm25TopK)
+      val byRank = g.sortBy(_._2).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y },
+        "bm25 must be non-increasing in rank")
+    }
+  }
+
   test("paragraphDedup: first occurrence survives, later copies drop") {
     val shared = (1 to 5).map(i => s"s$i").mkString(" ")
     val rep = (1 to 5).map(i => s"w$i").mkString(" ")
