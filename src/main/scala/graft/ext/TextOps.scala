@@ -425,7 +425,177 @@ object TextOps {
        |FROM perdim p JOIN norms n USING (doc_id)
        |ORDER BY p.doc_id, p.dim""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_quality_classifier — a text-quality classifier TRAINED IN-ENGINE
+  // (the fastText-style weak-supervision stage real curation pipelines
+  // run at corpus scale): logistic-style gradient descent on hashed
+  // bag-of-words features, weak labels = the lang=='en' slice, QcSteps
+  // full-batch steps, then every document scored with the learned
+  // weights. Completes the trained-model family (k-means codebooks,
+  // PQ sub-codebooks, BPE merges, unigram LMs) with a supervised
+  // member.
+  //
+  // Exactness (the Lloyd-funnel discipline, supervised edition):
+  //  - features are md5-bucket token-count RATIOS (cnt/n_toks — one
+  //    int/int division, identical both engines);
+  //  - the squash is a RATIONAL sigmoid p = 0.5 + z/(2(1+|z|)) — pure
+  //    +,*,/,abs, so no transcendental whose last ulp could differ
+  //    (exp is the one libm call the repo has never leaned on);
+  //  - every cross-row sum (per-doc z, per-bucket gradient, bias
+  //    gradient) snaps its per-row term to integer micro-units first —
+  //    order-free BIGINT at any parallelism;
+  //  - weight updates are one identical double expression per step:
+  //    w' = w - Lr*(g_u/1e6)/N. The oracle unrolls QcSteps as
+  //    MATERIALIZED CTE stages.
+  //
+  // Scale shape: one (doc, bucket) partial-agg shuffle builds features;
+  // each step is one bounded-key aggregate (QcDim+1 gradient cells
+  // collected to the driver — the trainCodebook pattern) over the
+  // persisted feature table; scoring is a map over the same table.
+  // ------------------------------------------------------------------
+  val QcDim = 64
+  val QcSteps = 2
+  val QcLr = 4.0
+  val QcTargetLang = "en"
+
+  val qQualityClassifier: Q = (s, d) =>
+    qualityClassifier(Tables.documents(s, d))
+
+  /** Core of q_quality_classifier over any (doc_id, lang, text) frame. */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val feat = docs
+      .select(col("doc_id"), col("lang"),
+              explode(Ops.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("lang"),
+               (Ops.md5Bits60(concat(col("term"), lit(":qc"))) % QcDim)
+                 .as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val nt = feat.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_toks"))
+    val f = feat.join(nt, Seq("doc_id"))
+      .select(col("doc_id"), col("bucket"), col("cnt"), col("n_toks"),
+              when(col("lang") === QcTargetLang, 1.0).otherwise(0.0).as("y"))
+      .persist()
+    val n = f.select(col("doc_id")).distinct().count() // 1 driver long
+
+    def zOf(w: Array[Double], bias: Double): DataFrame = {
+      val wArr = array(w.map(lit): _*)
+      f.groupBy(col("doc_id"))
+        .agg(sum(round(element_at(wArr, col("bucket").cast("int") + 1)
+                         * col("cnt") / col("n_toks") * 1e6).cast("long"))
+               .as("z_u"),
+             max(col("y")).as("y"))
+        .withColumn("z", col("z_u") / 1e6 + bias)
+        .withColumn("p",
+          lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))))
+    }
+
+    var w = Array.fill(QcDim)(0.0)
+    var bias = 0.0
+    for (_ <- 1 to QcSteps) {
+      val errs = zOf(w, bias)
+        .select(col("doc_id"), (col("p") - col("y")).as("err"))
+      val grads = f.join(errs, Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(sum(round(col("err") * col("cnt") / col("n_toks")
+                         * 1e6).cast("long")).as("g_u"))
+        .collect() // bounded: <= QcDim rows
+      val gbU = errs.agg(sum(round(col("err") * 1e6).cast("long"))
+                           .as("gb_u")).head().getLong(0)
+      val nw = w.clone()
+      grads.foreach { r =>
+        val bkt = r.getLong(0).toInt
+        nw(bkt) = nw(bkt) - QcLr * (r.getLong(1).toDouble / 1e6) / n
+      }
+      w = nw
+      bias = bias - QcLr * (gbU.toDouble / 1e6) / n
+    }
+
+    val out = zOf(w, bias)
+      .select(col("doc_id"), col("y").cast("bigint").as("label"),
+              round(col("p"), 6).as("score"),
+              when(col("p") >= 0.5, 1L).otherwise(0L).as("pred"))
+      .withColumn("correct",
+        when(col("pred") === col("label"), 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    f.unpersist()
+    out
+  }
+
+  val qQualityClassifierSql: String = {
+    // One gradient step: score with (prevW, prevB), aggregate micro-unit
+    // gradients, emit (nextW, nextB).
+    def step(pw: String, pb: String, k: Int): String =
+      s"""z$k AS MATERIALIZED (
+         |  SELECT f.doc_id, max(f.y) AS y,
+         |         CAST(SUM(CAST(round(w.w * f.cnt / f.n_toks * 1000000.0, 0)
+         |                       AS BIGINT)) AS BIGINT) AS z_u
+         |  FROM f JOIN $pw w USING (bucket) GROUP BY 1),
+         |p$k AS MATERIALIZED (
+         |  SELECT doc_id, y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p
+         |  FROM (SELECT doc_id, y,
+         |               CAST(z_u AS DOUBLE) / 1000000.0 + b.b AS z
+         |        FROM z$k CROSS JOIN $pb b)),
+         |g$k AS (
+         |  SELECT f.bucket,
+         |         CAST(SUM(CAST(round((p.p - p.y) * f.cnt / f.n_toks
+         |                              * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+         |           AS g_u
+         |  FROM f JOIN p$k p USING (doc_id) GROUP BY 1),
+         |gb$k AS (
+         |  SELECT CAST(SUM(CAST(round((p - y) * 1000000.0, 0) AS BIGINT))
+         |              AS BIGINT) AS gb_u
+         |  FROM p$k),
+         |w$k AS MATERIALIZED (
+         |  SELECT w.bucket,
+         |         w.w - $QcLr * (CAST(COALESCE(g.g_u, 0) AS DOUBLE)
+         |                          / 1000000.0) / CAST(n.n AS DOUBLE) AS w
+         |  FROM $pw w LEFT JOIN g$k g USING (bucket) CROSS JOIN nn n),
+         |b$k AS (
+         |  SELECT b.b - $QcLr * (CAST(gb.gb_u AS DOUBLE) / 1000000.0)
+         |                  / CAST(n.n AS DOUBLE) AS b
+         |  FROM $pb b CROSS JOIN gb$k gb CROSS JOIN nn n)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |feat AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |         ('0x' || substr(md5(term || ':qc'), 1, 15))::BIGINT % $QcDim
+       |           AS bucket,
+       |         COUNT(*) AS cnt
+       |  FROM tok GROUP BY 1, 2, 3),
+       |nt AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks
+       |       FROM feat GROUP BY 1),
+       |f AS MATERIALIZED (
+       |  SELECT feat.doc_id, bucket, cnt, n_toks,
+       |         CASE WHEN lang = '$QcTargetLang' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM feat JOIN nt USING (doc_id)),
+       |nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM f),
+       |w0 AS (SELECT CAST(unnest(range($QcDim)) AS BIGINT) AS bucket,
+       |              0.0 AS w),
+       |b0 AS (SELECT 0.0 AS b),
+       |${step("w0", "b0", 1)},
+       |${step("w1", "b1", 2)},
+       |zf AS (
+       |  SELECT f.doc_id, max(f.y) AS y,
+       |         CAST(SUM(CAST(round(w.w * f.cnt / f.n_toks * 1000000.0, 0)
+       |                       AS BIGINT)) AS BIGINT) AS z_u
+       |  FROM f JOIN w2 w USING (bucket) GROUP BY 1),
+       |pf AS (
+       |  SELECT doc_id, y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p
+       |  FROM (SELECT doc_id, y,
+       |               CAST(z_u AS DOUBLE) / 1000000.0 + b.b AS z
+       |        FROM zf CROSS JOIN b2 b))
+       |SELECT doc_id, CAST(y AS BIGINT) AS label, round(p, 6) AS score,
+       |       CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       |       CAST(CASE WHEN (CASE WHEN p >= 0.5 THEN 1 ELSE 0 END)
+       |                      = CAST(y AS BIGINT) THEN 1 ELSE 0 END AS BIGINT)
+       |         AS correct
+       |FROM pf ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_quality_classifier" -> qQualityClassifier,
     "q_feature_hash"   -> qFeatureHash,
     "q_zipf_fit"       -> qZipfFit,
     "q_vocab_coverage" -> qVocabCoverage,
@@ -438,6 +608,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quality_classifier" -> qQualityClassifierSql,
     "q_feature_hash"   -> qFeatureHashSql,
     "q_zipf_fit"       -> qZipfFitSql,
     "q_vocab_coverage" -> qVocabCoverageSql,

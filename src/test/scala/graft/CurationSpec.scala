@@ -139,6 +139,39 @@ class CurationSpec extends AnyFunSuite {
       s"selection not a top-K cut: $selMin < $unselMax")
   }
 
+  test("qualityClassifier: separable crafted corpus is fully learned") {
+    // Balanced classes with disjoint vocabularies: the en docs' buckets
+    // get positive weights, the others negative, bias stays ~0 — after
+    // two steps every doc lands on the right side of 0.5.
+    import graft.ext.TextOps
+    val docs = (0 until 6).map(i => (i.toLong, "en", "good great solid")) ++
+               (6 until 12).map(i => (i.toLong, "de", "bad awful poor"))
+    val got = TextOps.qualityClassifier(
+        docs.toDF("doc_id", "lang", "text"))
+      .as[(Long, Long, Double, Long, Long)].collect()
+    assert(got.length == 12)
+    assert(got.forall(_._5 == 1L), s"all docs should classify correctly")
+    val en = got.filter(_._2 == 1L).map(_._3)
+    val de = got.filter(_._2 == 0L).map(_._3)
+    assert(en.min > 0.5 && de.max < 0.5)
+  }
+
+  test("q_quality_classifier: real corpus learns the right DIRECTION") {
+    // The synthetic corpus shares an English-ish vocabulary across langs
+    // (see qLangId's scaladoc), so hashed-bucket separation is small —
+    // but two gradient steps must still move target-slice scores ABOVE
+    // the rest on average. (The crafted-corpus test above shows full
+    // separation when vocabularies actually differ.)
+    import graft.ext.TextOps
+    val got = TextOps.qQualityClassifier(spark, sf)
+      .as[(Long, Long, Double, Long, Long)].collect()
+    assert(got.length == 500)
+    val pos = got.filter(_._2 == 1L).map(_._3)
+    val neg = got.filter(_._2 == 0L).map(_._3)
+    assert(pos.sum / pos.length > neg.sum / neg.length,
+      "target-slice mean score must exceed the rest after training")
+  }
+
   test("q_bm25_mlt: structural bounds and rank monotonicity") {
     val out = Corpus.qBm25Mlt(spark, sf)
       .as[(Long, Long, Long, Long, Double)].collect()
