@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftshim.{FloatVectorDot, FloatVectorNorm, HammingDistance, HllSketchAgg, MisraGriesAgg}
+import org.apache.spark.sql.graftshim.{FloatVectorDot, FloatVectorNorm, HammingDistance, HllSketchAgg, MisraGriesAgg, RollingHash64}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available as SQL functions in any session built with
@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_heavy_hitters",
            "graft_heavy_hitters(item, k) - Misra-Gries summary: items with freq > n/(k+1) guaranteed present"),
       (es: Seq[Expression]) => MisraGriesAgg.fromFunctionArgs(es)))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_hash"),
+      info("graft_rolling_hash",
+           "graft_rolling_hash(s[, maxLen]) - polynomial rolling hash of the first maxLen code points, mod 1e9+7"),
+      (es: Seq[Expression]) => RollingHash64.fromFunctionArgs(es)))
   }
 }

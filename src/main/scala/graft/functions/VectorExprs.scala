@@ -43,5 +43,8 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("graft_heavy_hitters",
       es => org.apache.spark.sql.graftshim.MisraGriesAgg.fromFunctionArgs(es),
       "scala_udf")
+    reg.createOrReplaceTempFunction("graft_rolling_hash",
+      es => org.apache.spark.sql.graftshim.RollingHash64.fromFunctionArgs(es),
+      "scala_udf")
   }
 }

@@ -52,3 +52,35 @@ case class RollingHash64(child: Expression, maxLen: Int)
   override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
     copy(child = newChild)
 }
+
+object RollingHash64 {
+  /** SQL-function constructor: `graft_rolling_hash(s[, maxLen])` — the
+    * second argument must be a foldable integral (it sizes the per-row
+    * loop at plan time, like graft_heavy_hitters' k).
+    */
+  def fromFunctionArgs(es: Seq[Expression]): RollingHash64 = {
+    if (es.isEmpty || es.size > 2) throw new IllegalArgumentException(
+      s"graft_rolling_hash expects (s[, maxLen]), got ${es.size} arguments")
+    val maxLen: Int =
+      if (es.size == 1) 64
+      else es(1) match {
+        case e if e.foldable && e.dataType.isInstanceOf[IntegralType] =>
+          e.eval() match {
+            case null => throw new IllegalArgumentException(
+              "graft_rolling_hash maxLen must not be NULL")
+            case b: Byte => b.toInt
+            case s: Short => s.toInt
+            case i: Int => i
+            case l: Long =>
+              if (l < 1 || l > Int.MaxValue) throw new IllegalArgumentException(
+                s"graft_rolling_hash maxLen out of range: $l")
+              l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_rolling_hash maxLen has unsupported value: $other")
+          }
+        case _ => throw new IllegalArgumentException(
+          "graft_rolling_hash maxLen must be a foldable integral literal")
+      }
+    RollingHash64(es.head, maxLen)
+  }
+}

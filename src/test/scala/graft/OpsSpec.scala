@@ -295,4 +295,23 @@ class OpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("constant integer"),
       s"unexpected message: ${err.getMessage}")
   }
+
+  test("graft_rolling_hash SQL function: default + explicit maxLen") {
+    import graft.functions.VectorFunctions
+    VectorFunctions.registerAll(spark)
+    Seq("abc").toDF("s").createOrReplaceTempView("rh_in")
+    val full = spark.sql("SELECT graft_rolling_hash(s) FROM rh_in")
+      .collect()(0).getLong(0)
+    val dfSide = Seq("abc").toDF("s")
+      .select(Ops.rollingHash($"s")).collect()(0).getLong(0)
+    assert(full == dfSide, "SQL function must equal the Column API")
+    val twoOnly = spark.sql("SELECT graft_rolling_hash(s, 1+1) FROM rh_in")
+      .collect()(0).getLong(0)
+    assert(twoOnly == ('a'.toLong * 31 + 'b') % 1000000007L)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_rolling_hash(s, 2.5) FROM rh_in").collect()
+    }
+    assert(err.getMessage.contains("foldable integral"),
+      s"unexpected message: ${err.getMessage}")
+  }
 }
