@@ -928,8 +928,8 @@ object Corpus {
   //
   // Scale shape: token occurrences collapse to (doc, term) pairs in the
   // first partial-aggregated shuffle; both LM tables are vocab-bounded;
-  // the top-K cut is a bounded window (at 100 TB: Ops.topKHeap on a
-  // constant group — ≤ K rows per partition through the shuffle).
+  // the top-K cut is orderBy().limit() → TakeOrderedAndProject, so only
+  // ≤ DsirSelectK rows per partition cross the shuffle.
   // ------------------------------------------------------------------
   val DsirTargetLang = "en"
   val DsirSelectK = 100
@@ -968,10 +968,15 @@ object Corpus {
                   .cast("long") -
                 round(log(col("cnt_raw").cast("double") + 1.0) * 1e6)
                   .cast("long"))).as("sum_u"))
-    val sel = Ops.topKPerGroup(
-        scored.withColumn("g", lit(1)), Seq("g"),
-        -(col("sum_u").cast("double") / col("n_toks").cast("double")),
-        col("doc_id"), DsirSelectK)
+    // Selection cut = orderBy().limit() → TakeOrderedAndProject: each
+    // partition forwards its own top-K, so ≤ DsirSelectK rows per
+    // partition cross the wire — never the corpus-cardinality global
+    // sort a constant-group row_number window would shuffle to one task.
+    val sel = scored
+      .orderBy(
+        (-(col("sum_u").cast("double") / col("n_toks").cast("double"))).asc,
+        col("doc_id").asc)
+      .limit(DsirSelectK)
       .select(col("doc_id"), lit(1L).as("selflag"))
     val out = scored.join(sel, Seq("doc_id"), "left")
       .crossJoin(totals)
@@ -1264,8 +1269,9 @@ object Corpus {
   // word pairs), not corpus-bounded — edge building is one partial-agg
   // shuffle over exploded bigrams; each iteration is one equi-join +
   // partial-agg sum over the bounded adjacency list; the top-K cut is
-  // a bounded window. Fixed iteration count means the whole query is
-  // one lazy plan — zero driver round-trips.
+  // orderBy().limit() → TakeOrderedAndProject (≤ TrTopK rows per
+  // partition through the shuffle). Fixed iteration count means the
+  // whole query is one lazy plan — zero driver round-trips.
   // ------------------------------------------------------------------
   val TrIters = 3
   val TrTopK = 25
@@ -1302,8 +1308,13 @@ object Corpus {
         .select(col("v").as("u"),
                 expr("CAST(150000 + (85 * sc) div 100 AS BIGINT)").as("r"))
     }
+    // Final cut = orderBy().limit() → TakeOrderedAndProject (≤ TrTopK
+    // rows per partition through the shuffle; the vocabulary never lands
+    // on one task). The row_number window below runs AFTER the limit, on
+    // ≤ TrTopK rows — bounded input, not a scale surface.
+    val top = r.orderBy((-col("r")).asc, col("u").asc).limit(TrTopK)
     val ranked = Ops.topKPerGroup(
-        r.join(deg, Seq("u")).withColumn("g", lit(1)), Seq("g"),
+        top.join(deg, Seq("u")).withColumn("g", lit(1)), Seq("g"),
         -col("r"), col("u"), TrTopK)
       .select(col("rn"), col("u").as("term"), col("wdeg"),
               col("r").as("rank_u"))

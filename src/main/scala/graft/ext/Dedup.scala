@@ -202,8 +202,14 @@ object Dedup {
     // shuffled on the 100× duplicate-saturated corpus — the exact
     // hot-bucket blowup the n-gram/aHash caps defend against; star
     // edges are the qDedupCluster recipe applied to LSH buckets.)
-    // Dedup semantics are preserved: the rep is the bucket minimum, so
-    // every duplicate is verified against its cluster's canonical doc.
+    // This is an intentional RECALL trade, like banding itself: only
+    // rep–member edges are verified, so two non-rep members of a bucket
+    // are never compared directly — a true near-dup pair whose shared
+    // bucket rep is a dissimilar band-collision is missed, and the
+    // partner stats (n_candidates/max_jaccard) reflect rep-edges only.
+    // In the common case the trade is free — near-dups collide in SOME
+    // band with their cluster's true rep — and the oracle applies the
+    // identical star-edge rule, so both engines rank the same pairs.
     val bucketRep = banded.groupBy(col("band_id"), col("bucket"))
       .agg(min(col("doc_id")).as("rep"))
     val candidateIds = banded.join(bucketRep, Seq("band_id", "bucket"))

@@ -456,11 +456,14 @@ object Multimodal {
     }).toDF("doc_id", "b0", "b1", "b2", "b3")
       // Cache: five longs per doc, consumed by four plan branches (band
       // explode + two hamming joins) — one codec pass over the corpus
-      // instead of one per branch. Lazy persist (not an eager
-      // checkpoint): the first branch materializes it, the rest read
-      // the in-memory copy.
+      // instead of one per branch.
       .persist()
-    bandLshPairs(sigs)
+    // House pattern: checkpoint the (tiny) pair output eagerly, then
+    // release the signature cache — otherwise each bench/pipeline run
+    // leaks one cached RDD into executor storage.
+    val out = bandLshPairs(sigs).localCheckpoint(true)
+    sigs.unpersist()
+    out
   }
 
   /** Shared band-LSH pair stage over a 4×16-bit signature table
@@ -552,7 +555,10 @@ object Multimodal {
       (id, bands(0), bands(1), bands(2), bands(3))
     }).toDF("doc_id", "b0", "b1", "b2", "b3")
       .persist() // one codec pass feeds all four LSH branches
-    bandLshPairs(sigs)
+    // Checkpoint-then-unpersist, as in imageNearDup: no cached-RDD leak.
+    val out = bandLshPairs(sigs).localCheckpoint(true)
+    sigs.unpersist()
+    out
   }
 
   val qAudioNearDupSql: String =

@@ -382,6 +382,12 @@ object TextOps {
   // information) so the output stays sparse.
   // ------------------------------------------------------------------
   val FhDim = 256
+  // The sign bit is the bit just above the bucket bits: (h div FhDim) % 2
+  // on both engines. Deriving the shift from FhDim (not a hardcoded 8)
+  // keeps Spark and the oracle in lockstep if FhDim ever changes; the
+  // modulo-as-bit-slice reading requires a power-of-two width.
+  require(Integer.bitCount(FhDim) == 1, s"FhDim must be a power of 2: $FhDim")
+  private val FhShift = Integer.numberOfTrailingZeros(FhDim)
 
   val qFeatureHash: Q = (s, d) => {
     val tok = Tables.documents(s, d)
@@ -389,7 +395,7 @@ object TextOps {
       .withColumn("h", Ops.md5Bits60(concat(col("term"), lit(":fh"))))
       .select(col("doc_id"),
               (col("h") % FhDim).as("dim"),
-              when(shiftright(col("h"), 8) % 2 === 0, 1L).otherwise(-1L)
+              when(shiftright(col("h"), FhShift) % 2 === 0, 1L).otherwise(-1L)
                 .as("sgn"))
     val perDim = tok.groupBy(col("doc_id"), col("dim"))
       .agg(sum(col("sgn")).as("raw"))

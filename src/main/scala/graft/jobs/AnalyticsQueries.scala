@@ -324,17 +324,23 @@ object AnalyticsQueries {
   // (no min/max pre-pass) and two runs — or two engines — can never
   // disagree on edges. count per bucket + exact share of total.
   // ------------------------------------------------------------------
-  val qHistogram: Q = (s, d) =>
-    Tables.orders(s, d)
+  val qHistogram: Q = (s, d) => {
+    val buckets = Tables.orders(s, d)
       .select(least(floor(col("o_totalprice") / 25000.0), lit(19.0))
                 .cast("bigint").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
+    // Total via crossJoin(agg) — the oracle's SUM(n) OVER () shape — not
+    // an empty-partition window: the window form logs Spark's "moving
+    // all data to a single partition" warning into every bench tail
+    // (harmless on a ≤20-row bucket table, but it buries real warnings).
+    buckets
+      .crossJoin(buckets.agg(sum(col("n")).as("__total")))
       .withColumn("share",
-        round(col("n").cast("double") /
-                sum(col("n")).over(org.apache.spark.sql.expressions.Window
-                  .partitionBy()).cast("double"), 6))
+        round(col("n").cast("double") / col("__total").cast("double"), 6))
+      .drop("__total")
       .orderBy(col("bucket"))
+  }
 
   val qHistogramSql: String =
     """SELECT bucket, n,

@@ -156,12 +156,30 @@ object CorpusStream {
     * ledger; a crash mid-rename leaves some complete files committed
     * and the rest in staging — the idempotent re-ingest replays the
     * batch and the anti-join drops whatever already made it in.
+    *
+    * OBJECT-STORE CAVEAT: the commit step is only as atomic as the
+    * filesystem's rename. HDFS and local FS rename atomically within a
+    * volume; S3A and most object stores implement "rename" as
+    * copy+delete, so a reader there CAN observe a partially-copied file
+    * and this sink should instead commit via an object-store committer
+    * or a table format with a metadata log. Staging lives at
+    * `<historyDir>.staging` precisely so both sides share one
+    * scheme/authority — enforced below, since a cross-filesystem
+    * "rename" would silently fail or copy. The single-writer contract
+    * (see class doc) is a convention, not a runtime lock; the staged
+    * layout keeps a violated convention from tearing files, not from
+    * re-admitting a duplicate hash.
     */
   private[graft] def stagedAppend(spark: SparkSession, fresh: DataFrame,
                                   historyDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val token = java.util.UUID.randomUUID().toString
     val stageDir = s"$historyDir.staging/$token"
+    // Same-filesystem guard: rename-based commit requires staging and
+    // ledger on one scheme/authority (always true for the sibling-path
+    // layout unless a mount boundary splits them).
+    require(fs(spark, stageDir).getUri == fs(spark, historyDir).getUri,
+      s"staging ($stageDir) and ledger ($historyDir) must share a filesystem")
     fresh.write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(stageDir)
     val f = fs(spark, historyDir)
     f.listStatus(new Path(stageDir)).filter(_.isDirectory).foreach { bdir =>
