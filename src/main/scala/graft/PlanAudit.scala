@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
+    // Pre-checkpoint mode: localCheckpoint tails become the identity
+    // (PlanMode.checkpointTail), so the audit sees each query's REAL
+    // plan instead of "1 cached scan" — and plan construction stays
+    // lazy (eager checkpoints would execute at build time).
+    System.setProperty("graft.plan.audit", "1")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[8]")

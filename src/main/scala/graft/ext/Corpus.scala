@@ -97,8 +97,9 @@ object Corpus {
       labels = next
     }
     // Truncate the iterative lineage so the returned plan is one stable
-    // scan of the converged labels, then release the per-round caches.
-    val finalLabels = labels.localCheckpoint(true)
+    // scan of the converged labels, then release the per-round caches
+    // (in audit mode the deep iterative plan is returned as-is).
+    val finalLabels = graft.PlanMode.checkpointTail(labels)
     spent.foreach(_.unpersist())
     e.unpersist()
     finalLabels
@@ -990,9 +991,9 @@ object Corpus {
                 .as("dsir_score"),
               coalesce(col("selflag"), lit(0L)).as("is_selected"))
       .orderBy(col("doc_id"))
-      .localCheckpoint(true)
+    val ckpt = graft.PlanMode.checkpointTail(out)
     perDoc.unpersist()
-    out
+    ckpt
   }
 
   val qDsirScoreSql: String =
@@ -1104,9 +1105,9 @@ object Corpus {
       .select(col("qid"), col("rn"), col("doc_id"), col("n_match"),
               round(col("score_u").cast("double") / 1e6, 6).as("bm25"))
       .orderBy(col("qid"), col("rn"))
-      .localCheckpoint(true)
+    val ckpt = graft.PlanMode.checkpointTail(out)
     perDoc.unpersist()
-    out
+    ckpt
   }
 
   val qBm25MltSql: String =
@@ -1311,15 +1312,21 @@ object Corpus {
     // Final cut = orderBy().limit() → TakeOrderedAndProject (≤ TrTopK
     // rows per partition through the shuffle; the vocabulary never lands
     // on one task). The row_number window below runs AFTER the limit, on
-    // ≤ TrTopK rows — bounded input, not a scale surface.
+    // ≤ TrTopK rows — bounded input, not a scale surface. Its partition
+    // key is substring(u, 1, 0): '' for every row, but NOT foldable (a
+    // lit(1) key gets constant-folded away, leaving an empty partition
+    // spec that makes WindowExec log "No Partition Defined for Window"
+    // on every run — the one warning that used to close each bench tail).
     val top = r.orderBy((-col("r")).asc, col("u").asc).limit(TrTopK)
-    val ranked = Ops.topKPerGroup(
-        top.join(deg, Seq("u")).withColumn("g", lit(1)), Seq("g"),
-        -col("r"), col("u"), TrTopK)
-      .select(col("rn"), col("u").as("term"), col("wdeg"),
-              col("r").as("rank_u"))
-      .orderBy(col("rn"))
-      .localCheckpoint(true)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring(col("u"), 1, 0))
+      .orderBy((-col("r")).asc, col("u").asc)
+    val ranked = graft.PlanMode.checkpointTail(
+      top.join(deg, Seq("u"))
+        .withColumn("rn", row_number().over(rankW).cast("bigint"))
+        .select(col("rn"), col("u").as("term"), col("wdeg"),
+                col("r").as("rank_u"))
+        .orderBy(col("rn")))
     adj.unpersist()
     ranked
   }

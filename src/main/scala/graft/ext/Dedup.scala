@@ -245,10 +245,10 @@ object Dedup {
               round(coalesce(col("max_jaccard"), lit(0.0)), 6).as("max_jaccard"),
               coalesce(col("is_dup"), lit(0L)).as("is_dup"))
       .orderBy(col("doc_id"))
-      .localCheckpoint(true)
+    val ckpt = graft.PlanMode.checkpointTail(out)
     pairs.unpersist()
     docs.unpersist()
-    out
+    ckpt
   }
 
   /** The DuckDB side of the MinHash pipeline, re-derived relationally:
@@ -615,7 +615,120 @@ object Dedup {
        |JOIN n nb ON nb.source = p.src_b
        |ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q_dedup_substring — EXACT substring dedup at fixed token granularity
+  // (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  // Better"): any 50-token run whose text also occurs earlier in the
+  // corpus — in another document OR earlier in the same document — is
+  // removed, first-seen-wins in (doc_id, start) order. q_dup_span_mass
+  // measures how much such text exists; this operator actually cuts it:
+  // a token survives iff NO duplicate 50-gram occurrence covers it.
+  //
+  // Scale shape: one corpus-cardinality shuffle, keyed on the 8-byte
+  // xxhash64 of the gram (never the ~300-byte span text); first-vs-later
+  // is a row_number window per gram key — per-gram groups are tiny on a
+  // real corpus, so the sort is local and balanced. Removed positions
+  // collapse to one small per-doc array; the rebuild is a map-side
+  // filter over each doc's own tokens. Honest skew caveat: one
+  // pathological gram repeated ~10⁸ times (site-wide boilerplate that
+  // survived upstream q_boilerplate) would sort on a single task; the
+  // escape hatch is a two-phase salted first-occurrence (per-salt min,
+  // then global min) — noted, not built, because boilerplate removal
+  // runs before substring dedup in the curation pipeline.
+  //
+  // Exactness: outputs are gram-free (counts + md5 of the kept text), so
+  // the oracle compares on span TEXT while Spark shuffles digests — the
+  // q_dup_span_mass discipline; a 64-bit collision (~n²/2⁶⁵) would drop
+  // a non-duplicate span, immaterial below ~10⁹ distinct grams and
+  // pinned exact-vs-oracle at every gating SF.
+  // -------------------------------------------------------------------
+  val SubstrK = 50
+
+  val qDedupSubstring: Q = (s, d) => dedupSubstring(Tables.documents(s, d))
+
+  /** The transform itself, over any (doc_id, text) frame — shared with
+    * the crafted-corpus spec so invariants pin the same code path.
+    */
+  def dedupSubstring(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), Ops.tokens(col("text")).as("t"))
+    // Every K-gram occurrence as (doc_id, start, digest) — 24-byte rows
+    // through the one full shuffle.
+    val occ = toks.filter(size(col("t")) >= SubstrK)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(t) - ${SubstrK - 1}),
+           |  i -> struct(CAST(i AS BIGINT) AS s,
+           |              xxhash64(array_join(slice(t, i, $SubstrK), ' '))
+           |                AS gh))""".stripMargin)).as("o"))
+      .select(col("doc_id"), col("o.s").as("s"), col("o.gh").as("gh"))
+    // First occurrence of each gram survives; every later one is a
+    // duplicate span. row_number per gram key = one shuffle, no join.
+    val dups = occ
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gh")).orderBy(col("doc_id"), col("s"))))
+      .filter(col("rn") > 1)
+    // A position is removed iff covered by ANY duplicate occurrence.
+    val removed = dups
+      .select(col("doc_id"),
+              explode(sequence(col("s"), col("s") + (SubstrK - 1)))
+                .as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("rem"))
+    // Rebuild each doc from its own tokens minus removed positions —
+    // per-row work bounded by doc length (rem is a per-doc array, never
+    // corpus-sized).
+    toks.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              size(col("t")).cast("long").as("n_tokens"),
+              filter(col("t"), (_, i) =>
+                !array_contains(
+                  coalesce(col("rem"), expr("array()").cast("array<bigint>")),
+                  (i + lit(1)).cast("long"))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+              (col("n_tokens") - size(col("kept"))).cast("long")
+                .as("n_dropped"),
+              md5(array_join(col("kept"), " ").cast("binary"))
+                .as("kept_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupSubstringSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |              FROM documents),
+       |occ AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+       |         array_to_string(t[i:i + ${SubstrK - 1}], ' ') AS g
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${SubstrK - 2}))
+       |               AS i
+       |        FROM toks WHERE len(t) >= $SubstrK)),
+       |dups AS (
+       |  SELECT doc_id, s FROM (
+       |    SELECT doc_id, s,
+       |           row_number() OVER (PARTITION BY g ORDER BY doc_id, s)
+       |             AS rn
+       |    FROM occ) WHERE rn > 1),
+       |rem AS (
+       |  SELECT DISTINCT doc_id, s + j AS pos
+       |  FROM dups, unnest(range(0, $SubstrK)) AS u(j)),
+       |tokpos AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+       |        FROM toks)),
+       |kept AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY pos) AS ktext
+       |  FROM tokpos tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM rem r
+       |                    WHERE r.doc_id = tp.doc_id AND r.pos = tp.pos)
+       |  GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       |       CAST(len(t.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,
+       |       md5(COALESCE(k.ktext, '')) AS kept_hash
+       |FROM toks t LEFT JOIN kept k USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_substring" -> qDedupSubstring,
     "q_source_overlap" -> qSourceOverlap,
     "q_dup_span_mass" -> qDupSpanMass,
     "q_dedup_incremental" -> qDedupIncremental,
@@ -628,6 +741,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_substring" -> qDedupSubstringSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_dup_span_mass" -> qDupSpanMassSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,

@@ -461,7 +461,7 @@ object Multimodal {
     // House pattern: checkpoint the (tiny) pair output eagerly, then
     // release the signature cache — otherwise each bench/pipeline run
     // leaks one cached RDD into executor storage.
-    val out = bandLshPairs(sigs).localCheckpoint(true)
+    val out = graft.PlanMode.checkpointTail(bandLshPairs(sigs))
     sigs.unpersist()
     out
   }
@@ -556,7 +556,7 @@ object Multimodal {
     }).toDF("doc_id", "b0", "b1", "b2", "b3")
       .persist() // one codec pass feeds all four LSH branches
     // Checkpoint-then-unpersist, as in imageNearDup: no cached-RDD leak.
-    val out = bandLshPairs(sigs).localCheckpoint(true)
+    val out = graft.PlanMode.checkpointTail(bandLshPairs(sigs))
     sigs.unpersist()
     out
   }

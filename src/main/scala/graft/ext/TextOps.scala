@@ -523,9 +523,9 @@ object TextOps {
       .withColumn("correct",
         when(col("pred") === col("label"), 1L).otherwise(0L))
       .orderBy(col("doc_id"))
-      .localCheckpoint(true)
+    val ckpt = graft.PlanMode.checkpointTail(out)
     f.unpersist()
-    out
+    ckpt
   }
 
   val qQualityClassifierSql: String = {

@@ -68,6 +68,44 @@ class CurationSpec extends AnyFunSuite {
     assert(got == List(("a", 2L, 2L, 2L, 1.0), ("b", 2L, 0L, 0L, 0.0)))
   }
 
+  test("dedupSubstring: crafted corpus with embedded 50-token repeats is exact") {
+    def toks(p: String, r: Range) = r.map(i => s"$p$i")
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val a = toks("a", 1 to 60)                       // 60 unique tokens
+    val c = toks("c", 1 to 10) ++ a.take(50) ++ toks("c", 11 to 20)
+    val e = toks("x", 1 to 50) ++ toks("x", 1 to 50) // self-repeat
+    val docs = Seq(
+      (1L, a.mkString(" ")),                 // first-seen: fully kept
+      (2L, a.mkString(" ")),                 // exact later dup: fully cut
+      (3L, c.mkString(" ")),                 // embedded run from doc 1 cut
+      (4L, toks("d", 1 to 40).mkString(" ")),// < 50 tokens: untouched
+      (5L, e.mkString(" "))                  // 2nd half self-dup cut
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSubstring(docs)
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(got == List(
+      (1L, 60L, 0L, md5s(a.mkString(" "))),
+      (2L, 60L, 60L, md5s("")),
+      // doc 3: only the 50-gram at start 11 duplicates doc 1 (grams
+      // overlapping c-tokens are unique) -> positions 11..60 removed.
+      (3L, 70L, 50L,
+       md5s((toks("c", 1 to 10) ++ toks("c", 11 to 20)).mkString(" "))),
+      (4L, 40L, 0L, md5s(toks("d", 1 to 40).mkString(" "))),
+      // doc 5: the only duplicated gram is start 51 (= gram at start 1);
+      // boundary-spanning grams are unique -> positions 51..100 removed.
+      (5L, 100L, 50L, md5s(toks("x", 1 to 50).mkString(" ")))))
+  }
+
+  test("dedupSubstring: first-seen-wins is order-dependent on doc_id") {
+    // Same corpus, swapped ids: the KEEPER flips to the new lower id.
+    val a = (1 to 55).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, a), (3L, a)).toDF("doc_id", "text")
+    val got = Dedup.dedupSubstring(docs)
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(got.map(r => (r._1, r._3)) == List((3L, 0L), (7L, 55L)))
+  }
+
   test("boilerplateRemove: shared segments drop, unique text survives intact") {
     // Segments are 5 tokens: "b1..b5" is the boilerplate segment shared by
     // docs 1 and 2; each doc also carries a unique 5-token segment plus a
