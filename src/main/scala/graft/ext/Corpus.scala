@@ -748,7 +748,25 @@ object Corpus {
                 .as("sym"),
               col("freq"))
       .persist()
-    var words: DataFrame = base
+    // The merge loop is NumMerges serial micro-jobs over the (small)
+    // vocab table; AQE's per-stage materialization barriers and
+    // re-optimization dominate such jobs' wall time, contributing
+    // nothing (there is no skew or partition-size problem in a
+    // vocab-bounded aggregate). Disable it for the loop only, restoring
+    // the caller's setting afterwards. The corpus-scale work (the ONE
+    // base scan above) stays lazy and executes inside the loop's first
+    // job — but it is a single balanced aggregate, exactly the shape
+    // AQE would leave alone anyway.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try bpeMergeLoop(s, base)
+    finally s.conf.set(aqeKey, aqeBefore)
+  }
+
+  private def bpeMergeLoop(s: SparkSession, base0: DataFrame): DataFrame = {
+    import s.implicits._
+    var words: DataFrame = base0
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     var it = 1
@@ -772,17 +790,23 @@ object Corpus {
         val cnt = top(0).getLong(2)
         merges += ((it.toLong, l, r, cnt))
         // l, r are [a-z]+ by construction — safe to inline as literals.
-        // localCheckpoint per merge: the vocab table is small (language-
-        // bounded), so materializing it beats re-analyzing a k-deep
-        // replace chain every iteration — lineage and analysis stay O(1)
-        // per round instead of O(rounds).
+        // LAZY localCheckpoint per merge: the logical plan still
+        // truncates to a flat LogicalRDD immediately (analysis stays
+        // O(1) per round), but the blocks materialize as a side effect
+        // of the NEXT round's pair-count job — one Spark job per merge
+        // instead of two. (The eager variant cost a second job per
+        // iteration just to write the vocab table; with a serial
+        // 20-round driver loop that job overhead, not the pair count,
+        // dominated q_bpe_merges' wall time. A persist() chain is NOT
+        // an alternative: nested InMemoryRelations under AQE render
+        // exponentially large plan descriptions by round 20.)
         words = words.withColumn(
           "sym", expr(s"replace(sym, '|$l|$r|', '|$l$r|')"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         it += 1
       }
     }
-    base.unpersist()
+    base0.unpersist()
     merges.toSeq
       .toDF("iter", "left_sym", "right_sym", "pair_count")
       .orderBy(col("iter"))
@@ -868,16 +892,19 @@ object Corpus {
       .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
     // Encode the DISTINCT vocabulary, not every token occurrence: the
-    // merge chain runs once per word type (language-bounded), and token
+    // encoder runs once per word type (language-bounded), and token
     // instances pick up their subword count through a broadcast join —
-    // the same vocab-not-corpus discipline as training.
-    val wrapped = concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))
-    val encoded = merges.foldLeft(wrapped) { case (c, (l, r)) =>
-      replace(c, lit(s"|$l|$r|"), lit(s"|$l$r|"))
-    }
+    // the same vocab-not-corpus discipline as training. The encoder is
+    // the native BpeEncodeWord expression (one symbol array, one integer
+    // pass per merge) — spec-pinned byte-equal to the NumMerges-deep
+    // replace-chain fold it replaced, which is still what the DuckDB
+    // oracle runs.
+    import org.apache.spark.sql.graftshim.{BpeEncodeWord, Shim}
     val vocabEnc = alpha.select(col("w")).distinct()
       .select(col("w"),
-              (size(split(encoded, "\\|")) - 2).cast("long").as("n_sub"))
+              size(Shim.column(BpeEncodeWord(Shim.expression(col("w")),
+                                             merges)))
+                .cast("long").as("n_sub"))
     alpha.join(broadcast(vocabEnc), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))

@@ -44,6 +44,55 @@ class BpeSpec extends AnyFunSuite {
            "word sharing no learned pair stays at char level")
   }
 
+  test("native BpeEncodeWord == string-fold encoder, incl. consumed-boundary repeats") {
+    import org.apache.spark.sql.graftshim.{BpeEncodeWord, Shim}
+    // Adversarial table: self-pair, merged-symbol chaining, overlaps.
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "a"), ("ab", "c"),
+                     ("b", "c"), ("aab", "x"))
+    val words = Seq("aaaa", "aaaaa", "aaaaaa", "ababab", "abab", "abc",
+                    "abcbc", "aabx", "aaabx", "xyz", "a", "ba", "bcbcbc",
+                    "aabaab", "abcabc")
+    // The reference is the SAME replace primitive the oracle runs:
+    // sequential non-overlapping left-to-right, boundary consumed.
+    val expect = words.map(w => Corpus.bpeEncode(w, merges))
+    // Sanity-pin the subtlety itself, not just agreement: "aaaa" under
+    // a LONE (a,a) merge is [aa, a, a] — not [aa, aa] — because the
+    // second pair's anchor pipe is consumed by the first match.
+    assert(Corpus.bpeEncode("aaaa", Seq(("a", "a"))) == Seq("aa", "a", "a"))
+    val got = words.toDF("w")
+      .select(Shim.column(BpeEncodeWord(Shim.expression($"w"), merges))
+                .as("enc"))
+      .as[Seq[String]].collect().toList
+    assert(got == expect, "native encoder must be byte-equal to the fold")
+  }
+
+  test("native BpeEncodeWord == replace-chain fold over the real corpus vocab") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val merges = Corpus.bpeMerges(spark, docs)
+      .as[(Long, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftshim.{BpeEncodeWord, Shim}
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .distinct()
+    val wrapped = concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))
+    val folded = merges.foldLeft(wrapped) { case (c, (l, r)) =>
+      replace(c, lit(s"|$l|$r|"), lit(s"|$l$r|"))
+    }
+    val mismatches = vocab
+      .select(col("w"),
+              (size(split(folded, "\\|")) - 2).cast("long").as("n_fold"),
+              size(Shim.column(BpeEncodeWord(Shim.expression(col("w")),
+                                             merges)))
+                .cast("long").as("n_native"))
+      .filter(col("n_fold") =!= col("n_native"))
+      .count()
+    assert(mismatches == 0L,
+           "native subword counts must match the fold on every word type")
+  }
+
   test("exhaustion stops the loop early with identical tables") {
     // Two 2-char words: exactly 2 merges exist, far below NumMerges.
     val docs = corpus("ab" -> 2, "cd" -> 2)
