@@ -30,14 +30,17 @@ object ProfileQ {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     for (name <- names; rep <- 1 to 2) {
-      Thread.sleep(300) // drain listener events from the previous run
+      // Deterministic listener-bus drain (BusShim) instead of fixed
+      // sleeps: counters are read only after every task-end event from
+      // this run has been delivered.
+      org.apache.spark.graftshim.BusShim.drain(spark.sparkContext)
       shufWrite.set(0L); shufRead.set(0L)
       val t0 = System.nanoTime()
       // toRdd.count(): execute the query's own plan in full (a bare
       // count() lets Catalyst drop row-preserving joins + final sorts).
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // listener bus is async; let task-end events land
+      org.apache.spark.graftshim.BusShim.drain(spark.sparkContext)
       println(f"[profile] $name rep$rep: $secs%.3f s  " +
         f"shuffle_write=${shufWrite.get / 1048576.0}%.1f MiB  " +
         f"shuffle_read=${shufRead.get / 1048576.0}%.1f MiB")
