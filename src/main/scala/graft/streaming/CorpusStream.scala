@@ -78,7 +78,7 @@ object CorpusStream {
     docs.filter(nToks >= MinToks && nToks <= MaxToks)
   }
 
-  private def fs(spark: SparkSession, dir: String) =
+  private[streaming] def fs(spark: SparkSession, dir: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
 

@@ -177,6 +177,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(CorpusStream.ingestBatch(fresh, dir) == 1L)
   }
 
+  test("paragraph ingest stream: segment ledger equals the batch paragraph-dedup twin") {
+    import graft.streaming.ParagraphStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_segledger").toString + "/segledger"
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    // Two micro-batches in ascending doc_id order: first-seen-wins then
+    // coincides with the batch operator's global min-(doc_id, seg)
+    // winner, so the ledger must reproduce it exactly.
+    assert(ParagraphStream.ingestBatch(docs.filter($"doc_id" < 250), dir) > 0)
+    ParagraphStream.ingestBatch(docs.filter($"doc_id" >= 250), dir)
+    val got = ParagraphStream.keptStats(spark, dir)
+      .as[(Long, Long, String)].collect().toSet
+    val twin = graft.ext.Corpus.paragraphDedup(docs)
+      .filter($"n_kept" > 0)
+      .select($"doc_id", $"n_kept", $"kept_text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == twin,
+           "segment ledger must reconstruct the batch per-doc kept stats")
+    // Idempotent re-ingest: replaying the whole corpus admits nothing.
+    assert(ParagraphStream.ingestBatch(docs, dir) == 0L)
+    // Cross-batch suppression canonicalizes by INGEST order: a segment
+    // re-arriving later from a smaller doc_id is still dropped.
+    val seg = (1 to graft.ext.Corpus.BoilerSegWords)
+      .map(i => s"pstream$i").mkString(" ")
+    assert(ParagraphStream.ingestBatch(
+      Seq((9000L, seg)).toDF("doc_id", "text"), dir) == 1L)
+    assert(ParagraphStream.ingestBatch(
+      Seq((8000L, seg)).toDF("doc_id", "text"), dir) == 0L,
+      "later batch loses even with a smaller doc_id")
+    val winner = ParagraphStream.ledger(spark, dir)
+      .filter($"segtext" === seg).select($"doc_id").as[Long].collect()
+    assert(winner.toList == List(9000L))
+    // Same staged-commit contract as the document ledger.
+    val entries = new java.io.File(dir).listFiles().map(_.getName)
+    assert(entries.nonEmpty && entries.forall(_.startsWith("bucket=")))
+  }
+
   test("streaming dedup keeps exactly the batch-distinct key set") {
     import graft.streaming.DedupStream
     val kept = DedupStream.runOnce(spark, sf)
