@@ -23,8 +23,8 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println("| query | shuffles | broadcasts | codegen spans | scans (pruned cols) |")
-    println("|---|---|---|---|---|")
+    println("| query | shuffles | 1-part exch | broadcasts | codegen spans | scans (pruned cols) |")
+    println("|---|---|---|---|---|---|")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -36,6 +36,13 @@ object PlanAudit {
         val lines = executed.linesIterator.toSeq
         val shuffles = lines.count(l => l.contains("Exchange hashpartitioning") ||
                                         l.contains("Exchange rangepartitioning"))
+        // The corpus-cardinality anti-pattern detector: an Exchange
+        // SinglePartition funnels EVERY row to one task (constant-group
+        // windows, un-limited global sorts). Bounded inputs excuse it
+        // (≤K-row tails); a nonzero count on a corpus-sized input is a
+        // scale bug. TakeOrderedAndProject does NOT show up here — that
+        // is the point of cutting top-K via orderBy().limit().
+        val singles = lines.count(_.contains("Exchange SinglePartition"))
         val bcasts = lines.count(_.contains("BroadcastExchange"))
         // whole-stage-codegen spans show as `*(n)` prefixes in the tree
         val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(executed)
@@ -46,7 +53,7 @@ object PlanAudit {
           .filter(_.trim.startsWith("ReadSchema:"))
           .map(l => l.count(_ == ':') - 1) // fields in struct<a:t,b:t,...>
           .toSeq
-        println(s"| $name | $shuffles | $bcasts | $codegen | " +
+        println(s"| $name | $shuffles | $singles | $bcasts | $codegen | " +
                 s"${scanCols.length} (${scanCols.mkString("/")}) |")
       } catch {
         case e: Throwable =>
