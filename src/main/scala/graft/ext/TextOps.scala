@@ -481,7 +481,18 @@ object TextOps {
       .select(col("doc_id"), col("bucket"), col("cnt"), col("n_toks"),
               when(col("lang") === QcTargetLang, 1.0).otherwise(0.0).as("y"))
       .persist()
-    val n = f.select(col("doc_id")).distinct().count() // 1 driver long
+    // Training is QcSteps serial micro-jobs over the persisted feature
+    // table — the bpeMerges situation: AQE's per-stage re-planning
+    // dominates bounded-key micro-aggregates, contributing nothing
+    // (no skew, no partition-size problem in a ≤QcDim-cell gradient).
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = docs.sparkSession.conf.get(aqeKey, "true")
+    docs.sparkSession.conf.set(aqeKey, "false")
+    try qcTrainScore(f)
+    finally docs.sparkSession.conf.set(aqeKey, aqeBefore)
+  }
+
+  private def qcTrainScore(f: DataFrame): DataFrame = {
 
     def zOf(w: Array[Double], bias: Double): DataFrame = {
       val wArr = array(w.map(lit): _*)
@@ -497,18 +508,30 @@ object TextOps {
 
     var w = Array.fill(QcDim)(0.0)
     var bias = 0.0
+    var n = -1L // doc count, learned from step 1's aggregate
     for (_ <- 1 to QcSteps) {
       val errs = zOf(w, bias)
         .select(col("doc_id"), (col("p") - col("y")).as("err"))
-      val grads = f.join(errs, Seq("doc_id"))
-        .groupBy(col("bucket"))
-        .agg(sum(round(col("err") * col("cnt") / col("n_toks")
-                         * 1e6).cast("long")).as("g_u"))
-        .collect() // bounded: <= QcDim rows
-      val gbU = errs.agg(sum(round(col("err") * 1e6).cast("long"))
-                           .as("gb_u")).head().getLong(0)
+      // ONE bounded aggregate per step: per-bucket weight gradients,
+      // the bias gradient (sentinel bucket -1) and the doc count
+      // (sentinel -2; errs has exactly one row per doc) ride the same
+      // shuffle — the former two-job step recomputed the whole errs
+      // subtree just for the bias sum. Per-row terms and the order-free
+      // BIGINT sums are unchanged, so the learned weights are
+      // bit-identical to the two-job formulation (and the oracle).
+      val cells = f.join(errs, Seq("doc_id"))
+        .select(col("bucket"),
+                round(col("err") * col("cnt") / col("n_toks") * 1e6)
+                  .cast("long").as("g"))
+        .unionAll(errs.select(lit(-1L).as("bucket"),
+                              round(col("err") * 1e6).cast("long").as("g")))
+        .unionAll(errs.select(lit(-2L).as("bucket"), lit(1L).as("g")))
+        .groupBy(col("bucket")).agg(sum(col("g")).as("g_u"))
+        .collect() // bounded: <= QcDim + 2 rows
+      if (n < 0) n = cells.find(_.getLong(0) == -2L).map(_.getLong(1)).get
+      val gbU = cells.find(_.getLong(0) == -1L).map(_.getLong(1)).getOrElse(0L)
       val nw = w.clone()
-      grads.foreach { r =>
+      cells.filter(_.getLong(0) >= 0L).foreach { r =>
         val bkt = r.getLong(0).toInt
         nw(bkt) = nw(bkt) - QcLr * (r.getLong(1).toDouble / 1e6) / n
       }
