@@ -464,12 +464,18 @@ object Dedup {
 
   /** All n-gram occurrences of a token array, multiplicity preserved
     * (contrast Ops.shingles, which is distinct — set semantics for
-    * Jaccard/MinHash; mass accounting needs every occurrence).
+    * Jaccard/MinHash; mass accounting needs every occurrence). Pure-HOF
+    * reference formulation, kept as the semantic spec for the native
+    * Ops.shinglesAll the queries actually run (interpreted HOF lambdas
+    * were the dominant per-row cost on the span scans — the r5 lesson).
     */
-  private def allSpans(toks: org.apache.spark.sql.Column) =
+  private[graft] def allSpansHof(toks: org.apache.spark.sql.Column) =
     transform(
       sequence(lit(0), greatest(size(toks) - (SpanN - 1), lit(1)) - 1),
       i => array_join(slice(toks, i + 1, lit(SpanN)), " "))
+
+  private def allSpans(toks: org.apache.spark.sql.Column) =
+    Ops.shinglesAll(toks, SpanN)
 
   val qDupSpanMass: Q = (s, d) => dupSpanMass(Tables.documents(s, d))
 
@@ -652,14 +658,16 @@ object Dedup {
   def dedupSubstring(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), Ops.tokens(col("text")).as("t"))
     // Every K-gram occurrence as (doc_id, start, digest) — 24-byte rows
-    // through the one full shuffle.
+    // through the one full shuffle. The gram stream is the native
+    // single-pass shingle expression (element i = gram starting at
+    // token i, so the 1-based start is just pos + 1); gram strings are
+    // byte-identical to the HOF formulation, so the digests — and the
+    // oracle — are untouched.
     val occ = toks.filter(size(col("t")) >= SubstrK)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(t) - ${SubstrK - 1}),
-           |  i -> struct(CAST(i AS BIGINT) AS s,
-           |              xxhash64(array_join(slice(t, i, $SubstrK), ' '))
-           |                AS gh))""".stripMargin)).as("o"))
-      .select(col("doc_id"), col("o.s").as("s"), col("o.gh").as("gh"))
+      .select(col("doc_id"),
+              posexplode(Ops.shinglesAll(col("t"), SubstrK)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
+              xxhash64(col("col")).as("gh"))
     // First occurrence of each gram survives; every later one is a
     // duplicate span. row_number per gram key = one shuffle, no join.
     val dups = occ

@@ -189,6 +189,17 @@ object Ops {
     Shim.column(WordShingles(Shim.expression(toks), n))
   }
 
+  /** ALL word n-gram shingle occurrences in position order (element i =
+    * the shingle starting at token i) — the multiplicity-preserving form
+    * the span operators need (dup-span mass, substring dedup). Same
+    * native single-pass expression; the HOF reference is Dedup's
+    * allSpansHof (spec-pinned equal).
+    */
+  def shinglesAll(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftshim.{Shim, WordShingles}
+    Shim.column(WordShingles(Shim.expression(toks), n, keepDuplicates = true))
+  }
+
   def shinglesHof(toks: Column, n: Int): Column =
     array_distinct(
       transform(

@@ -6,17 +6,22 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct word n-gram shingles of a token array, as one native
-  * expression instead of the array_distinct(transform(sequence, slice,
+/** Word n-gram shingles of a token array, as one native expression
+  * instead of the (array_distinct)(transform(sequence, slice,
   * array_join)) HOF stack — the HOF formulation allocates an
   * intermediate array per lambda step and interprets every element; this
   * is a single pass building UTF8Strings.
   *
-  * Semantics are identical to the HOF version (graft.ops.Ops.shingles):
-  * shingle i = tokens[i, min(i+n, len)) joined by a single space,
-  * i ∈ [0, max(len−n, 0)], deduplicated keeping first occurrence.
+  * Semantics are identical to the HOF version (graft.ops.Ops.shingles /
+  * shinglesAll): shingle i = tokens[i, min(i+n, len)) joined by a single
+  * space, i ∈ [0, max(len−n, 0)]; with `keepDuplicates = false` (the
+  * MinHash/Jaccard set form) deduplicated keeping first occurrence,
+  * with `true` every occurrence in position order — element i IS the
+  * shingle starting at token i, the property the span operators'
+  * posexplode relies on.
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int,
+                        keepDuplicates: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(n >= 1, "shingle size must be >= 1")
@@ -30,7 +35,11 @@ case class WordShingles(child: Expression, n: Int)
   def compute(toksRaw: ArrayData): ArrayData = {
     val len = toksRaw.numElements()
     val numShingles = math.max(len - n, 0) + 1
-    val seen = new java.util.LinkedHashSet[UTF8String](numShingles * 2)
+    val seen: java.util.LinkedHashSet[UTF8String] =
+      if (keepDuplicates) null
+      else new java.util.LinkedHashSet[UTF8String](numShingles * 2)
+    val all: Array[Any] = if (keepDuplicates) new Array[Any](numShingles)
+                          else null
     var i = 0
     while (i < numShingles) {
       val end = math.min(i + n, len)
@@ -41,9 +50,11 @@ case class WordShingles(child: Expression, n: Int)
         parts(j - i) = if (t == null) UTF8String.EMPTY_UTF8 else t
         j += 1
       }
-      seen.add(UTF8String.concatWs(space, parts: _*))
+      val sh = UTF8String.concatWs(space, parts: _*)
+      if (keepDuplicates) all(i) = sh else seen.add(sh)
       i += 1
     }
+    if (keepDuplicates) return new GenericArrayData(all)
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var k = 0

@@ -68,6 +68,18 @@ class CurationSpec extends AnyFunSuite {
     assert(got == List(("a", 2L, 2L, 2L, 1.0), ("b", 2L, 0L, 0L, 0.0)))
   }
 
+  test("native shinglesAll == the HOF allSpans reference, every doc incl. short ones") {
+    val toks = Tables.documents(spark, sf)
+      .select(split($"text", " ").as("t"))
+      .unionAll(Seq(Tuple1("a b c"), Tuple1("solo"), Tuple1(""))
+        .toDF("x").select(split($"x", " ").as("t")))
+    val mism = toks
+      .select(graft.ops.Ops.shinglesAll($"t", Dedup.SpanN).as("a"),
+              Dedup.allSpansHof($"t").as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(mism == 0L, "occurrence shingles must be byte-equal to the HOF form")
+  }
+
   test("dedupSubstring: crafted corpus with embedded 50-token repeats is exact") {
     def toks(p: String, r: Range) = r.map(i => s"$p$i")
     def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
