@@ -708,6 +708,131 @@ object Corpus {
       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_bigram_logprob — interpolated BIGRAM language-model scoring, the
+  // model-based quality filter of CCNet-style pipelines (their KenLM
+  // perplexity gate, at bigram order): every document's mean
+  // ln P(w_i | w_{i-1}) under λ·MLE_bigram + (1−λ)·add-1-unigram
+  // backoff, with λ = 4/5. Complements q_unigram_logprob (word
+  // rarity) with CONTEXT fit — word-salad text scores low here even
+  // when its individual words are common.
+  //
+  // Exactness: with λ = 4/5 the interpolated probability is the exact
+  // rational (4·c_bg·(N+V) + c_left·(c_uni+1)) / (5·c_left·(N+V));
+  // numerator and denominator are computed as DOUBLES with identical
+  // association on both engines (IEEE ops are deterministic; pure
+  // BIGINT products would overflow at web-corpus counts), each
+  // per-bigram-TYPE term ln(num)−ln(den) snaps to integer micro-units,
+  // and per-doc sums weight by the (doc, bigram) multiplicity — the
+  // unigram-logprob discipline, so sums are order-free BIGINTs at any
+  // parallelism.
+  //
+  // Scale shape: bigram occurrences collapse to (doc, prev, cur)
+  // multiplicities in the first partial-agg shuffle; the corpus bigram
+  // table, left-context table, and unigram table are all
+  // vocabulary-bounded aggregates of it; scoring is one join pipeline
+  // back onto the pair table plus a 1-row totals crossJoin.
+  // ------------------------------------------------------------------
+  val qBigramLogprob: Q = (s, d) => bigramLogprob(Tables.documents(s, d))
+
+  /** Core of q_bigram_logprob over any (doc_id, text) frame. */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), Ops.tokens(col("text")).as("t"))
+    // The (doc, bigram) pair table and all three model joins ship 8-byte
+    // xxhash64 DIGEST keys, never bigram text — the dupSpanMass
+    // discipline: outputs are gram-free doc scores, so the text-keyed
+    // oracle is untouched, and a 64-bit collision (~n²/2⁶⁵, immaterial
+    // below ~10⁹ distinct bigrams) would merge two counts. On the
+    // 30×-diverse stress corpus this is the difference between
+    // shuffling short strings thrice and shuffling fixed 24 bytes.
+    val perDoc = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(t, 1, size(t) - 1),
+          |          (x, i) -> struct(x AS prev, element_at(t, i + 2)
+          |                           AS cur))""".stripMargin)).as("p"))
+      .select(col("doc_id"),
+              xxhash64(col("p.prev")).as("hp"),
+              xxhash64(col("p.cur")).as("hc"),
+              xxhash64(col("p.prev"), col("p.cur")).as("hb"))
+      .groupBy(col("doc_id"), col("hb"), col("hp"), col("hc"))
+      .agg(count(lit(1)).as("m"))
+    val cbg = perDoc.groupBy(col("hb")).agg(sum(col("m")).as("c_bg"))
+    // c_left(prev) = occurrences of prev as a left context — summing
+    // the pair-table multiplicities per hp equals summing c_bg over
+    // the prev's bigram types.
+    val cleft = perDoc.groupBy(col("hp")).agg(sum(col("m")).as("c_left"))
+    val uni = docs.select(explode(Ops.tokens(col("text"))).as("w"))
+      .select(xxhash64(col("w")).as("hc"))
+      .groupBy(col("hc")).agg(count(lit(1)).as("c_uni"))
+    val totals = uni.agg(sum(col("c_uni")).as("n_total"),
+                         count(lit(1)).as("vocab"))
+    val nv = (col("n_total") + col("vocab")).cast("double")
+    val num = lit(4.0) * col("c_bg").cast("double") * nv +
+      col("c_left").cast("double") * (col("c_uni").cast("double") + lit(1.0))
+    val den = lit(5.0) * col("c_left").cast("double") * nv
+    val scored = perDoc
+      .join(cbg, Seq("hb"))
+      .join(cleft, Seq("hp"))
+      .join(uni, Seq("hc"))
+      .crossJoin(totals)
+      .select(col("doc_id"), col("m"),
+              round((log(num) - log(den)) * 1e6).cast("long").as("u"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+           sum(col("m") * col("u")).as("sum_u"))
+    // The mean is emitted UNROUNDED: sum_u and n_bigrams are identical
+    // BIGINTs on both engines, so the two IEEE divisions produce
+    // bit-identical doubles — while a cosmetic round(x, 6) would
+    // DIVERGE whenever the mean lands on a half boundary (Spark's
+    // BigDecimal HALF_UP vs DuckDB's double rounding disagreed on
+    // -3.4005105 at sf0.1). Exact beats pretty.
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+              coalesce((col("sum_u").cast("double") / 1e6)
+                         / col("n_bigrams").cast("double"),
+                       lit(0.0)).as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBigramLogprobSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |perdoc AS (
+      |  SELECT doc_id, prev, cur, count(*) AS m FROM (
+      |    SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+      |    FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |          FROM toks WHERE len(t) >= 2))
+      |  GROUP BY 1, 2, 3),
+      |cbg AS (SELECT prev, cur, CAST(SUM(m) AS BIGINT) AS c_bg
+      |        FROM perdoc GROUP BY 1, 2),
+      |cleft AS (SELECT prev, CAST(SUM(c_bg) AS BIGINT) AS c_left
+      |          FROM cbg GROUP BY 1),
+      |uni AS (
+      |  SELECT cur, count(*) AS c_uni
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS cur FROM documents)
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS n_total,
+      |               count(*) AS vocab FROM uni),
+      |scored AS (
+      |  SELECT p.doc_id, CAST(SUM(p.m) AS BIGINT) AS n_bigrams,
+      |         SUM(p.m * CAST(round(
+      |           (ln(4.0 * c_bg * (n_total + vocab)
+      |               + c_left * (c_uni + 1.0))
+      |            - ln(5.0 * c_left * (n_total + vocab)))
+      |           * 1000000.0, 0) AS BIGINT)) AS sum_u
+      |  FROM perdoc p
+      |  JOIN cbg USING (prev, cur) JOIN cleft USING (prev)
+      |  JOIN uni ON uni.cur = p.cur CROSS JOIN tot
+      |  GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+      |       COALESCE(CAST(s.sum_u AS DOUBLE) / 1000000.0
+      |                  / CAST(s.n_bigrams AS DOUBLE), 0.0) AS mean_logprob
+      |FROM (SELECT doc_id FROM documents) d
+      |LEFT JOIN scored s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // q_bpe_merges — LEARNED subword tokenizer training: the classic BPE
   // merge loop (Sennrich-style) over corpus word frequencies. Words are
   // carried as '|'-wrapped symbol strings ("low" → "|l|o|w|"); each
@@ -1410,6 +1535,7 @@ object Corpus {
     "q_bpe_encode"       -> qBpeEncode,
     "q_boilerplate"      -> qBoilerplate,
     "q_unigram_logprob"  -> qUnigramLogprob,
+    "q_bigram_logprob"   -> qBigramLogprob,
     "q_contamination"    -> qContamination,
     "q_mixture_sample"   -> qMixtureSample,
     "q_dedup_cluster"    -> qDedupCluster,
@@ -1429,6 +1555,7 @@ object Corpus {
     "q_bpe_encode"       -> qBpeEncodeSql,
     "q_boilerplate"      -> qBoilerplateSql,
     "q_unigram_logprob"  -> qUnigramLogprobSql,
+    "q_bigram_logprob"   -> qBigramLogprobSql,
     "q_contamination"    -> qContaminationSql,
     "q_mixture_sample"   -> qMixtureSampleSql,
     "q_dedup_cluster"    -> qDedupClusterSql,

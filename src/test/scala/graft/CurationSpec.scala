@@ -144,6 +144,41 @@ class CurationSpec extends AnyFunSuite {
     assert(got == List((1L, 1L, 0L, 1.0, ""), (2L, 1L, 0L, 1.0, "")))
   }
 
+  test("bigramLogprob: hand-computed interpolated model is exact") {
+    // corpus: "a b a b" + "b a c"
+    // unigrams: a=3 b=3 c=1 -> N=7, V=3, N+V=10
+    // bigrams: (a,b)=2 (b,a)=2 (a,c)=1; left contexts: a=3, b=2
+    val docs = Seq((1L, "a b a b"), (2L, "b a c")).toDF("doc_id", "text")
+    // u(prev,cur) = round((ln(4*c_bg*10 + c_left*(c_uni+1))
+    //                      - ln(5*c_left*10)) * 1e6)
+    def u(cBg: Long, cLeft: Long, cUni: Long): Long =
+      math.rint((math.log(4.0 * cBg * 10 + cLeft * (cUni + 1.0))
+                 - math.log(5.0 * cLeft * 10)) * 1e6).toLong
+    val uAB = u(2, 3, 3) // ln(92) - ln(150)
+    val uBA = u(2, 2, 3) // ln(88) - ln(100)
+    val uAC = u(1, 3, 1) // ln(46) - ln(150)
+    // Unrounded, like the operator: identical integer sums -> identical
+    // IEEE divisions (a cosmetic 6-dp round diverges at half boundaries).
+    def mean(sumU: Long, n: Long): Double = sumU.toDouble / 1e6 / n
+    val got = Corpus.bigramLogprob(docs)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got == List(
+      (1L, 3L, mean(2 * uAB + uBA, 3)),   // a b, b a, a b
+      (2L, 2L, mean(uBA + uAC, 2))))      // b a, a c
+    // context sensitivity: common words in an unseen order score lower
+    // than the same words in their corpus-frequent order.
+    assert(mean(2 * uAB + uBA, 3) > mean(uBA + uAC, 2),
+           "the doc made of frequent bigrams must outscore the rarer one")
+  }
+
+  test("bigramLogprob: single-token doc gets 0 bigrams, not a null score") {
+    val docs = Seq((1L, "x"), (2L, "x y")).toDF("doc_id", "text")
+    val got = Corpus.bigramLogprob(docs)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got.head == ((1L, 0L, 0.0)))
+    assert(got(1)._2 == 1L)
+  }
+
   test("unigramLogprob: hand-computed corpus model is exact") {
     // corpus: "a a b" + "a c" -> counts a=3, b=1, c=1, N=5
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
