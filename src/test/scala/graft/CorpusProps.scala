@@ -93,6 +93,68 @@ object CorpusProps extends Properties("graft.Corpus") {
       got == refBoilerplate(docs)
     }
 
+  // --- round-7 native-expression pins on RANDOM inputs -----------------
+
+  private val wordGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 12)
+    cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')) // tiny alphabet forces
+  } yield cs.mkString                              // repeats + overlaps
+
+  private val mergesGen: Gen[List[(String, String)]] = for {
+    m <- Gen.chooseNum(0, 6)
+    ms <- Gen.listOfN(m, for {
+      l <- Gen.oneOf("a", "b", "c", "ab", "aa", "bc", "abc")
+      r <- Gen.oneOf("a", "b", "c", "ab", "aa", "bc", "abc")
+    } yield (l, r))
+  } yield ms
+
+  property("BpeEncodeWord == string-fold encoder on random words+merges") =
+    Prop.forAllNoShrink(Gen.listOfN(8, wordGen), mergesGen) { (words, merges) =>
+      import org.apache.spark.sql.graftshim.{BpeEncodeWord, Shim}
+      val got = words.toDF("w")
+        .select(Shim.column(BpeEncodeWord(Shim.expression($"w"), merges))
+                  .as("enc"))
+        .as[Seq[String]].collect().toList
+      got == words.map(w => Corpus.bpeEncode(w, merges))
+    }
+
+  property("WordShingles: all-occurrences positional, distinct = first-seen dedup") =
+    Prop.forAllNoShrink(Gen.chooseNum(1, 5),
+                        Gen.listOfN(10, Gen.listOfN(6, Gen.oneOf("x", "y", "z"))
+                          .map(_.mkString(" ")))) { (n, texts) =>
+      val rows = texts.toDF("text")
+        .select(org.apache.spark.sql.functions.split($"text", " ").as("t"))
+        .select(graft.ops.Ops.shinglesAll($"t", n).as("all"),
+                graft.ops.Ops.shingles($"t", n).as("dis"),
+                $"t")
+        .as[(Seq[String], Seq[String], Seq[String])].collect()
+      rows.forall { case (all, dis, t) =>
+        val expectAll = (0 until math.max(t.length - n, 0) + 1)
+          .map(i => t.slice(i, math.min(i + n, t.length)).mkString(" "))
+        all == expectAll && dis == expectAll.distinct
+      }
+    }
+
+  property("dedupSubstring: replaying a corpus under higher ids never changes the originals") =
+    Prop.forAllNoShrink(Gen.listOfN(3,
+        Gen.listOfN(55, Gen.oneOf("p", "q")).map(_.mkString(" ")))) { texts =>
+      import graft.ext.Dedup
+      val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val copies = texts.zipWithIndex.map { case (t, i) => (100L + i, t) }
+      val both = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        ++ copies).toDF("doc_id", "text")
+      val before = Dedup.dedupSubstring(base)
+        .as[(Long, Long, Long, String)].collect()
+        .filter(_._1 < 100).toList
+      val after = Dedup.dedupSubstring(both)
+        .as[(Long, Long, Long, String)].collect()
+        .filter(_._1 < 100).toList
+      // first-seen-wins: later exact copies are pure losers — the
+      // original docs' kept text and drop counts are unchanged.
+      before == after
+    }
+
   property("warm-started propagation reaches the same fixpoint") =
     Prop.forAllNoShrink(graphGen) { case (vs, es) =>
       val vertices = vs.toDF("doc_id")
