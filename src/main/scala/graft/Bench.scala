@@ -81,9 +81,12 @@ object Bench {
         shufRead.set(0L); shufWrite.set(0L)
         val w2 = runOnce(fn, name)
         BusShim.drain(spark.sparkContext)
-        val best = if (w2 < 0) w1 else math.min(w1, w2)
-        R(name, w1, best,
-          shufRead.get / 1048576.0, shufWrite.get / 1048576.0)
+        // A failed run 2 leaves PARTIAL counters — record a -1 marker,
+        // not the torn bytes, so the round-over-round byte comparison
+        // never reads an aborted run as a regression (or masks one).
+        if (w2 < 0) R(name, w1, w1, -1.0, -1.0)
+        else R(name, w1, math.min(w1, w2),
+               shufRead.get / 1048576.0, shufWrite.get / 1048576.0)
       }
     }
     // Two sinks for the same measurement. The harness captures only the

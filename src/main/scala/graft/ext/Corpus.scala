@@ -570,18 +570,24 @@ object Corpus {
   /** Core of q_boilerplate over any (doc_id, text) frame — split out so
     * specs can run crafted corpora with known repeated segments.
     */
-  def boilerplateRemove(docs: DataFrame): DataFrame = {
+  /** THE segmentation, defined once: fixed BoilerSegWords-token
+    * segments of each document as (doc_id, n_segs, seg, segtext).
+    * boilerplateRemove, paragraphDedup, and the streaming segment
+    * ledger (streaming.ParagraphStream) all consume this single
+    * definition, so their agreement on segment boundaries — the whole
+    * basis of batch/stream ledger parity — is structural, not three
+    * copies kept in sync by hand. ceil(n/w) via true integer division
+    * (Spark's `div`), matching the oracle's `//` — not `/`, which is
+    * double division in Spark SQL.
+    */
+  def segments(docs: DataFrame): DataFrame = {
     val w = lit(BoilerSegWords)
-    val base = docs
+    docs
       .select(col("doc_id"), Ops.tokens(col("text")).as("toks"))
-      // ceil(n/w) via true integer division (Spark's `div`), matching
-      // the oracle's `//` — not `/`, which is double division in Spark
-      // SQL and would rest on quotient exactness rather than integer
-      // arithmetic
       .withColumn("n_segs",
         expr(s"CAST((size(toks) + ${BoilerSegWords - 1}) div $BoilerSegWords" +
              " AS BIGINT)"))
-    val segs = base.select(col("doc_id"), col("n_segs"),
+      .select(col("doc_id"), col("n_segs"),
         explode(transform(sequence(lit(0L), col("n_segs") - 1),
           i => struct(i.as("seg"),
                       array_join(slice(col("toks"),
@@ -589,6 +595,19 @@ object Corpus {
                         .as("segtext")))).as("sg"))
       .select(col("doc_id"), col("n_segs"),
               col("sg.seg").as("seg"), col("sg.segtext").as("segtext"))
+  }
+
+  /** Per-doc segment counts only — the row-preserving spine the segment
+    * operators join their kept stats back onto.
+    */
+  private def docSegCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"CAST((size(split(text, ' ')) + ${BoilerSegWords - 1}) div " +
+           s"$BoilerSegWords AS BIGINT)").as("n_segs"))
+
+  def boilerplateRemove(docs: DataFrame): DataFrame = {
+    val segs = segments(docs)
+    val base = docSegCounts(docs)
     val hot = segs.groupBy(col("segtext"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= BoilerDfCap)
@@ -1333,20 +1352,8 @@ object Corpus {
 
   /** Core of q_paragraph_dedup over any (doc_id, text) frame. */
   def paragraphDedup(docs: DataFrame): DataFrame = {
-    val w = lit(BoilerSegWords)
-    val base = docs
-      .select(col("doc_id"), Ops.tokens(col("text")).as("toks"))
-      .withColumn("n_segs",
-        expr(s"CAST((size(toks) + ${BoilerSegWords - 1}) div $BoilerSegWords" +
-             " AS BIGINT)"))
-    val segs = base.select(col("doc_id"), col("n_segs"),
-        explode(transform(sequence(lit(0L), col("n_segs") - 1),
-          i => struct(i.as("seg"),
-                      array_join(slice(col("toks"),
-                        (i * w + 1).cast("int"), lit(BoilerSegWords)), " ")
-                        .as("segtext")))).as("sg"))
-      .select(col("doc_id"), col("n_segs"),
-              col("sg.seg").as("seg"), col("sg.segtext").as("segtext"))
+    val segs = segments(docs)
+    val base = docSegCounts(docs)
     val winners = segs.groupBy(col("segtext"))
       .agg(min(struct(col("doc_id"), col("seg"))).as("w"))
       .select(col("segtext"), col("w.doc_id").as("wdoc"),

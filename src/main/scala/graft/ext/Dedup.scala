@@ -676,22 +676,28 @@ object Dedup {
           .partitionBy(col("gh")).orderBy(col("doc_id"), col("s"))))
       .filter(col("rn") > 1)
     // A position is removed iff covered by ANY duplicate occurrence.
+    // Only duplicate START positions are collected (≤ dup-span count
+    // per doc — never the SubstrK-fold position explode an earlier cut
+    // shipped, 815 MiB of shuffle read at 100×); the rebuild is the
+    // native two-pointer DropCoveredSpans pass, O(tokens + starts) per
+    // document (the interpreted per-token array_contains scan was
+    // O(tokens × removed) — quadratic on a fully-duplicated MaxToks
+    // doc). Reference formulation pinned equal by spec + property.
     val removed = dups
-      .select(col("doc_id"),
-              explode(sequence(col("s"), col("s") + (SubstrK - 1)))
-                .as("pos"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("pos"))).as("rem"))
-    // Rebuild each doc from its own tokens minus removed positions —
-    // per-row work bounded by doc length (rem is a per-doc array, never
-    // corpus-sized).
+      .agg(sort_array(collect_set(col("s"))).as("ss"))
+    val keptCol = {
+      import org.apache.spark.sql.graftshim.{DropCoveredSpans, Shim}
+      Shim.column(DropCoveredSpans(
+        Shim.expression(col("t")),
+        Shim.expression(coalesce(col("ss"),
+                                 expr("array()").cast("array<bigint>"))),
+        SubstrK))
+    }
     toks.join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"),
               size(col("t")).cast("long").as("n_tokens"),
-              filter(col("t"), (_, i) =>
-                !array_contains(
-                  coalesce(col("rem"), expr("array()").cast("array<bigint>")),
-                  (i + lit(1)).cast("long"))).as("kept"))
+              keptCol.as("kept"))
       .select(col("doc_id"), col("n_tokens"),
               (col("n_tokens") - size(col("kept"))).cast("long")
                 .as("n_dropped"),

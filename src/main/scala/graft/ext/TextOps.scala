@@ -528,7 +528,12 @@ object TextOps {
         .unionAll(errs.select(lit(-2L).as("bucket"), lit(1L).as("g")))
         .groupBy(col("bucket")).agg(sum(col("g")).as("g_u"))
         .collect() // bounded: <= QcDim + 2 rows
-      if (n < 0) n = cells.find(_.getLong(0) == -2L).map(_.getLong(1)).get
+      // getOrElse(1): on an EMPTY feature table every gradient cell is
+      // absent, all updates below are no-ops, and scoring returns an
+      // empty frame — n's value is then never observable (it only
+      // scales updates), so any nonzero default avoids the div-by-zero.
+      if (n < 0) n = cells.find(_.getLong(0) == -2L).map(_.getLong(1))
+                      .getOrElse(1L)
       val gbU = cells.find(_.getLong(0) == -1L).map(_.getLong(1)).getOrElse(0L)
       val nw = w.clone()
       cells.filter(_.getLong(0) >= 0L).foreach { r =>

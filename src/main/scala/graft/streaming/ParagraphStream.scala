@@ -40,25 +40,13 @@ object ParagraphStream {
     StructField("seg", LongType),
     StructField("segtext", StringType)))
 
-  /** The batch operator's segmentation, verbatim (shared constant), over
-    * a (doc_id, text) frame → (doc_id, seg, segtext).
+  /** The batch operator's segmentation — literally the same definition
+    * (graft.ext.Corpus.segments), so stream/batch agreement on segment
+    * boundaries is structural, not a copy kept in sync.
     */
-  private[graft] def segments(docs: DataFrame): DataFrame = {
-    val W = graft.ext.Corpus.BoilerSegWords
-    val w = lit(W)
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("n_segs",
-        expr(s"CAST((size(toks) + ${W - 1}) div $W AS BIGINT)"))
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0L), col("n_segs") - 1),
-          i => struct(i.as("seg"),
-                      array_join(slice(col("toks"),
-                        (i * w + 1).cast("int"), w), " ")
-                        .as("segtext")))).as("sg"))
-      .select(col("doc_id"), col("sg.seg").as("seg"),
-              col("sg.segtext").as("segtext"))
-  }
+  private[graft] def segments(docs: DataFrame): DataFrame =
+    graft.ext.Corpus.segments(docs)
+      .select(col("doc_id"), col("seg"), col("segtext"))
 
   private def emptyLedger(spark: SparkSession): DataFrame =
     spark.createDataFrame(

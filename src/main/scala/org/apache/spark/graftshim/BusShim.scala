@@ -12,5 +12,12 @@ import org.apache.spark.SparkContext
 object BusShim {
   def drain(sc: SparkContext, timeoutMs: Long = 5000L): Unit =
     try sc.listenerBus.waitUntilEmpty(timeoutMs)
-    catch { case _: java.util.concurrent.TimeoutException => () }
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        // Never silent: a timed-out drain means the metrics read next
+        // is INCOMPLETE — exactly the truncation this exists to stop.
+        System.err.println(
+          s"[busshim] listener bus not drained after ${timeoutMs} ms; " +
+            "shuffle-byte readings may be under-counted")
+    }
 }
