@@ -556,7 +556,11 @@ object TextOps {
     ckpt
   }
 
-  val qQualityClassifierSql: String = {
+  /** The full train-then-score CTE chain through `pf` (per-doc final
+    * probabilities), shared by the classifier oracle and the
+    * threshold-sweep oracle — one definition of the trained model.
+    */
+  private val qcChainCtes: String = {
     // One gradient step: score with (prevW, prevB), aggregate micro-unit
     // gradients, emit (nextW, nextB).
     def step(pw: String, pb: String, k: Int): String =
@@ -619,16 +623,82 @@ object TextOps {
        |  SELECT doc_id, y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p
        |  FROM (SELECT doc_id, y,
        |               CAST(z_u AS DOUBLE) / 1000000.0 + b.b AS z
-       |        FROM zf CROSS JOIN b2 b))
+       |        FROM zf CROSS JOIN b2 b))""".stripMargin
+  }
+
+  val qQualityClassifierSql: String =
+    qcChainCtes + s"""
        |SELECT doc_id, CAST(y AS BIGINT) AS label, round(p, 6) AS score,
        |       CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred,
        |       CAST(CASE WHEN (CASE WHEN p >= 0.5 THEN 1 ELSE 0 END)
        |                      = CAST(y AS BIGINT) THEN 1 ELSE 0 END AS BIGINT)
        |         AS correct
        |FROM pf ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_threshold_sweep — precision/recall over a grid of 20 score
+  // cutoffs for the in-engine-trained quality classifier: the report a
+  // curation pipeline reads to CHOOSE its filter threshold (keep-rate
+  // vs purity trade). Thresholds are k/20 for k ∈ [0, 20); both
+  // engines build them as CAST(k AS DOUBLE)/20 and compare against the
+  // same 6-dp-rounded score the classifier already hash-matches, so
+  // every comparison is between identical doubles. Precision/recall
+  // are unrounded int/int divisions (the house ratio rule).
+  //
+  // Scale shape: one constant ×20 fan-out of the scored table into a
+  // partial-aggregated per-threshold count — bounded output (20 rows),
+  // no new corpus-cardinality surface beyond the classifier itself.
+  // ------------------------------------------------------------------
+  val SweepCuts = 20
+
+  val qThresholdSweep: Q = (s, d) => {
+    val scored = qualityClassifier(Tables.documents(s, d))
+      .select(col("label"), col("score"))
+    val thr = s.range(0, SweepCuts)
+      .select((col("id").cast("double") / SweepCuts.toDouble).as("t"))
+    val npos = scored.agg(sum(col("label")).as("n_pos"))
+    scored.crossJoin(thr)
+      .groupBy(col("t"))
+      .agg(sum(when(col("score") >= col("t"), 1L).otherwise(0L))
+             .as("n_pred"),
+           sum(when(col("score") >= col("t") && col("label") === 1L, 1L)
+                 .otherwise(0L)).as("tp"))
+      .crossJoin(npos)
+      .select(col("t"), col("n_pred"), col("tp"),
+              when(col("n_pred") === 0L, lit(1.0))
+                .otherwise(col("tp").cast("double")
+                             / col("n_pred").cast("double")).as("prec"),
+              when(col("n_pos") === 0L, lit(1.0))
+                .otherwise(col("tp").cast("double")
+                             / col("n_pos").cast("double")).as("rec"))
+      .orderBy(col("t"))
   }
 
+  val qThresholdSweepSql: String =
+    qcChainCtes + s""",
+       |scored AS (SELECT CAST(y AS BIGINT) AS label, round(p, 6) AS score
+       |           FROM pf),
+       |npos AS (SELECT CAST(SUM(label) AS BIGINT) AS n_pos FROM scored),
+       |thr AS (SELECT CAST(k AS DOUBLE) / $SweepCuts AS t
+       |        FROM (SELECT unnest(range($SweepCuts)) AS k)),
+       |agg AS (
+       |  SELECT t,
+       |         CAST(SUM(CASE WHEN score >= t THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_pred,
+       |         CAST(SUM(CASE WHEN score >= t AND label = 1 THEN 1 ELSE 0
+       |                  END) AS BIGINT) AS tp
+       |  FROM scored CROSS JOIN thr GROUP BY 1)
+       |SELECT t, n_pred, tp,
+       |       CASE WHEN n_pred = 0 THEN 1.0
+       |            ELSE CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END
+       |         AS prec,
+       |       CASE WHEN n_pos = 0 THEN 1.0
+       |            ELSE CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END
+       |         AS rec
+       |FROM agg CROSS JOIN npos ORDER BY t""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_threshold_sweep" -> qThresholdSweep,
     "q_quality_classifier" -> qQualityClassifier,
     "q_feature_hash"   -> qFeatureHash,
     "q_zipf_fit"       -> qZipfFit,
@@ -642,6 +712,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_threshold_sweep" -> qThresholdSweepSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_feature_hash"   -> qFeatureHashSql,
     "q_zipf_fit"       -> qZipfFitSql,

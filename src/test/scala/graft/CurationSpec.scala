@@ -179,6 +179,28 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1)._2 == 1L)
   }
 
+  test("thresholdSweep: PR-curve invariants over the real corpus") {
+    val rows = TextOps.qThresholdSweep(spark, sf)
+      .as[(Double, Long, Long, Double, Double)].collect().toList
+    assert(rows.length == TextOps.SweepCuts)
+    assert(rows.map(_._1) ==
+           (0 until TextOps.SweepCuts).map(_.toDouble / TextOps.SweepCuts),
+           "cut grid is k/20")
+    val nDocs = Tables.documents(spark, sf).count()
+    // t = 0 admits everything (the rational sigmoid's range is (0, 1)).
+    assert(rows.head._2 == nDocs && rows.head._5 == 1.0)
+    // Monotone: raising the cutoff never admits more docs or more TPs.
+    assert(rows.map(_._2) == rows.map(_._2).sorted.reverse)
+    assert(rows.map(_._3) == rows.map(_._3).sorted.reverse)
+    // Exact ratio arithmetic: prec * n_pred == tp, rec * n_pos == tp.
+    val nPos = rows.head._3 // tp at t=0 counts every positive
+    rows.foreach { case (_, nPred, tp, prec, rec) =>
+      assert(tp <= nPred)
+      if (nPred > 0) assert(prec == tp.toDouble / nPred)
+      assert(rec == (if (nPos == 0) 1.0 else tp.toDouble / nPos))
+    }
+  }
+
   test("unigramLogprob: hand-computed corpus model is exact") {
     // corpus: "a a b" + "a c" -> counts a=3, b=1, c=1, N=5
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
