@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming EXACT-SUBSTRING dedup — the third granularity of the
+  * streaming dedup plane (document: CorpusStream, paragraph:
+  * ParagraphStream, substring: here), and the production shape of
+  * Lee-et-al dedup: each new crawl is deduplicated against every gram
+  * ever ingested, not just against itself.
+  *
+  * Per micro-batch: every 50-token gram occurrence is a duplicate if
+  * its digest is already in the durable gram ledger (first seen in an
+  * earlier batch) OR a smaller (doc_id, start) occurrence exists in
+  * THIS batch; tokens covered by a duplicate occurrence are dropped and
+  * the batch's documents are rebuilt exactly like the batch operator
+  * (native DropCoveredSpans two-pointer pass). First-seen gram digests
+  * are then appended to the ledger through CorpusStream's bucketed
+  * staged-rename commit — the ledger stores ONLY the 8-byte digest per
+  * gram (membership is all later batches need), Hive-partitioned on
+  * the digest's low byte so a batch probes only its own buckets.
+  *
+  * Batch parity (pinned by spec): micro-batches in ascending doc_id
+  * order reproduce ext.Dedup.dedupSubstring's per-document output
+  * exactly — history-membership ∨ in-batch-earlier ≡ global
+  * first-seen-wins when batches are id-ordered. Re-ingesting the same
+  * corpus admits zero grams and (correctly) reports every ≥50-token
+  * document as fully duplicated text.
+  */
+object SubstringStream {
+
+  val ledgerSchema: StructType =
+    StructType(Seq(StructField("gh", LongType)))
+
+  import graft.ext.Dedup.SubstrK
+
+  /** One micro-batch over a (doc_id, text, ...) frame: returns the
+    * per-doc dedup stats (doc_id, n_tokens, n_dropped, kept_hash) —
+    * the batch operator's exact schema — and appends this batch's
+    * first-seen gram digests to the ledger. Stats and the fresh-gram
+    * set are snapshotted BEFORE the append (they read the directories
+    * the append writes). Bucket list = bounded driver collect (≤ 256).
+    */
+  private[graft] def ingestBatch(batch: DataFrame,
+                                 ledgerDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val toks = batch.select(col("doc_id"),
+                            graft.ops.Ops.tokens(col("text")).as("t"))
+    val occ = toks.filter(size(col("t")) >= SubstrK)
+      .select(col("doc_id"),
+              posexplode(graft.ops.Ops.shinglesAll(col("t"), SubstrK)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
+              xxhash64(col("col")).as("gh"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("gh")).orderBy(col("doc_id"), col("s"))))
+      .withColumn("bucket", format_string("%02x", pmod(col("gh"), lit(256))))
+      .localCheckpoint(true) // one stable snapshot: buckets + probe + append
+    val batchBuckets = occ.select(col("bucket")).distinct()
+      .collect().map(_.getString(0)).toSeq // ≤ 256 rows by construction
+    val probe = CorpusStream.bucketPaths(spark, ledgerDir, batchBuckets) match {
+      case Seq() => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ledgerSchema)
+      case paths => spark.read.schema(ledgerSchema).parquet(paths: _*)
+    }
+    val marked = occ.join(probe.withColumn("in_hist", lit(1)), Seq("gh"),
+                          "left")
+    // Duplicate occurrence: seen in an earlier batch, or earlier in this
+    // one. Covered-token removal + rebuild = the batch operator's path.
+    val removed = marked
+      .filter(col("in_hist") === 1 || col("rn") > 1)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("s"))).as("ss"))
+    val keptCol = {
+      import org.apache.spark.sql.graftshim.{DropCoveredSpans, Shim}
+      Shim.column(DropCoveredSpans(
+        Shim.expression(col("t")),
+        Shim.expression(coalesce(col("ss"),
+                                 expr("array()").cast("array<bigint>"))),
+        SubstrK))
+    }
+    val stats = toks.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              size(col("t")).cast("long").as("n_tokens"),
+              keptCol.as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+              (col("n_tokens") - size(col("kept"))).cast("long")
+                .as("n_dropped"),
+              md5(array_join(col("kept"), " ").cast("binary"))
+                .as("kept_hash"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true) // snapshot BEFORE appending to probed dirs
+    // rn == 1 is already one row per distinct gram; first-seen = also
+    // absent from history.
+    val fresh = marked.filter(col("rn") === 1 && col("in_hist").isNull)
+      .select(col("gh"), col("bucket"))
+      .localCheckpoint(true)
+    if (fresh.count() > 0) CorpusStream.stagedAppend(spark, fresh, ledgerDir)
+    stats
+  }
+
+  /** Drive the ingest over a static documents dir (AvailableNow),
+    * appending per-batch dedup stats to `outDir` and first-seen grams
+    * to `ledgerDir`. Returns the accumulated stats.
+    */
+  def runOnce(spark: SparkSession, srcDir: String, ledgerDir: String,
+              outDir: String,
+              name: String = "graft_substring_ingest"): DataFrame = {
+    val q = spark.readStream
+      .schema(CorpusStream.docsSchema)
+      .option("pathGlobFilter", "documents*.parquet")
+      .parquet(srcDir)
+      .writeStream
+      .queryName(name)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, ledgerDir)
+          .write.mode("append").parquet(outDir); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+}

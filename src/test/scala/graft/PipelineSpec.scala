@@ -214,6 +214,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(entries.nonEmpty && entries.forall(_.startsWith("bucket=")))
   }
 
+  test("substring ingest stream: per-doc stats equal the batch operator, re-ingest admits nothing") {
+    import graft.streaming.SubstringStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ghledger").toString + "/ghledger"
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    // doc_id-ordered micro-batches: history-membership + in-batch order
+    // must reproduce the batch operator's global first-seen-wins.
+    val b1 = SubstringStream.ingestBatch(docs.filter($"doc_id" < 250), dir)
+      .as[(Long, Long, Long, String)].collect().toList
+    val b2 = SubstringStream.ingestBatch(docs.filter($"doc_id" >= 250), dir)
+      .as[(Long, Long, Long, String)].collect().toList
+    val twin = graft.ext.Dedup.dedupSubstring(docs)
+      .as[(Long, Long, Long, String)].collect().toList
+    assert((b1 ++ b2) == twin,
+           "streamed per-doc dedup stats must equal the batch operator")
+    // Re-ingest: every >=K-token doc now reports ALL its tokens as
+    // duplicated text (correct dedup of re-crawled content, NOT a bug).
+    val again = SubstringStream.ingestBatch(docs, dir)
+      .as[(Long, Long, Long, String)].collect()
+    val fullCut = again.filter(r => r._2 >= graft.ext.Dedup.SubstrK)
+    assert(fullCut.nonEmpty && fullCut.forall(r => r._3 == r._2),
+           "replayed long docs must be fully duplicate text")
+    assert(again.filter(_._2 < graft.ext.Dedup.SubstrK)
+             .forall(r => r._3 == 0L),
+           "sub-threshold docs are never touched")
+  }
+
   test("streaming dedup keeps exactly the batch-distinct key set") {
     import graft.streaming.DedupStream
     val kept = DedupStream.runOnce(spark, sf)
