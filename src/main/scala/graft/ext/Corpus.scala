@@ -727,6 +727,90 @@ object Corpus {
       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_source_divergence — pairwise KL divergence between per-SOURCE
+  // add-1-smoothed unigram LMs over the shared corpus vocabulary:
+  // KL(P_a ‖ P_b) = Σ_w P_a(w) · ln(P_a(w)/P_b(w)). The distributional
+  // complement of q_source_overlap's verbatim-span overlap — the
+  // report that drives mixture design ("src3 reads like src12" vs
+  // "src3 textually contains src12") and DoReMi-style reweighting.
+  //
+  // Exactness: P ratios are exact integer rationals; each per-term
+  // contribution is ONE identical double expression on both engines —
+  // (c_a+1)/(N_a+V) · (ln((c_a+1)·(N_b+V)) − ln((c_b+1)·(N_a+V))) —
+  // snapped to integer nano-units and summed as BIGINT (order-free at
+  // any parallelism); the final KL is the raw IEEE division of
+  // identical integers (unrounded — the half-boundary rule).
+  //
+  // Scale shape: token occurrences collapse to (source, term) counts in
+  // one partial-agg shuffle; the smoothed table is vocab × sources; the
+  // pair join fans out vocab × sources² rows into a partial-aggregated
+  // sources²-row output — sources is small by construction, so the
+  // whole comparison is vocabulary-bounded, never corpus-bounded.
+  // ------------------------------------------------------------------
+  val qSourceDivergence: Q = (s, d) => sourceDivergence(Tables.documents(s, d))
+
+  /** Core of q_source_divergence over any (source, text) frame. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("source"), explode(Ops.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val vocab = cnt.select(col("term")).distinct()
+    val totals = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    // Every (source, term) cell of the smoothed model, absent → c = 0.
+    val full = vocab.crossJoin(totals).crossJoin(vsize)
+      .join(cnt, Seq("source", "term"), "left")
+      .select(col("source"), col("term"),
+              coalesce(col("c"), lit(0L)).as("c"), col("n"), col("v"))
+    val a = full.select(col("term"), col("source").as("src_a"),
+                        col("c").as("c_a"), col("n").as("n_a"), col("v"))
+    val b = full.select(col("term"), col("source").as("src_b"),
+                        col("c").as("c_b"), col("n").as("n_b"))
+    val ca1 = (col("c_a") + lit(1L)).cast("double")
+    val cb1 = (col("c_b") + lit(1L)).cast("double")
+    val nav = (col("n_a") + col("v")).cast("double")
+    val nbv = (col("n_b") + col("v")).cast("double")
+    a.join(b, Seq("term"))
+      .filter(col("src_a") =!= col("src_b"))
+      .select(col("src_a"), col("src_b"),
+              round(ca1 / nav * (log(ca1 * nbv) - log(cb1 * nav)) * 1e9)
+                .cast("long").as("u"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_terms"),
+           (sum(col("u")).cast("double") / 1e9).as("kl"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val qSourceDivergenceSql: String =
+    """WITH cnt AS (
+      |  SELECT source, term, count(*) AS c
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |vocab AS (SELECT DISTINCT term FROM cnt),
+      |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+      |           FROM cnt GROUP BY 1),
+      |vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+      |fm AS (
+      |  SELECT t.source, vo.term, COALESCE(c.c, 0) AS c, t.n, vs.v
+      |  FROM vocab vo CROSS JOIN totals t CROSS JOIN vs
+      |  LEFT JOIN cnt c ON c.source = t.source AND c.term = vo.term),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |         CAST(round(
+      |           CAST(a.c + 1 AS DOUBLE) / CAST(a.n + a.v AS DOUBLE)
+      |             * (ln(CAST(a.c + 1 AS DOUBLE)
+      |                   * CAST(b.n + a.v AS DOUBLE))
+      |                - ln(CAST(b.c + 1 AS DOUBLE)
+      |                     * CAST(a.n + a.v AS DOUBLE)))
+      |             * 1000000000.0, 0) AS BIGINT) AS u
+      |  FROM fm a JOIN fm b ON a.term = b.term
+      |  WHERE a.source <> b.source)
+      |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_terms,
+      |       CAST(SUM(u) AS DOUBLE) / 1000000000.0 AS kl
+      |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
   // q_bigram_logprob — interpolated BIGRAM language-model scoring, the
   // model-based quality filter of CCNet-style pipelines (their KenLM
   // perplexity gate, at bigram order): every document's mean
@@ -1542,6 +1626,7 @@ object Corpus {
     "q_bpe_encode"       -> qBpeEncode,
     "q_boilerplate"      -> qBoilerplate,
     "q_unigram_logprob"  -> qUnigramLogprob,
+    "q_source_divergence" -> qSourceDivergence,
     "q_bigram_logprob"   -> qBigramLogprob,
     "q_contamination"    -> qContamination,
     "q_mixture_sample"   -> qMixtureSample,
@@ -1562,6 +1647,7 @@ object Corpus {
     "q_bpe_encode"       -> qBpeEncodeSql,
     "q_boilerplate"      -> qBoilerplateSql,
     "q_unigram_logprob"  -> qUnigramLogprobSql,
+    "q_source_divergence" -> qSourceDivergenceSql,
     "q_bigram_logprob"   -> qBigramLogprobSql,
     "q_contamination"    -> qContaminationSql,
     "q_mixture_sample"   -> qMixtureSampleSql,

@@ -144,6 +144,26 @@ class CurationSpec extends AnyFunSuite {
     assert(got == List((1L, 1L, 0L, 1.0, ""), (2L, 1L, 0L, 1.0, "")))
   }
 
+  test("sourceDivergence: hand-computed two-source KL, non-negative, asymmetric") {
+    // src a: "x x y" (n=3), src b: "x z" (n=2), shared vocab {x,y,z}=3
+    val docs = Seq(("a", "x x y"), ("b", "x z")).toDF("source", "text")
+    def u(ca: Long, na: Long, cb: Long, nb: Long, v: Long): Long =
+      math.rint((ca + 1).toDouble / (na + v) *
+        (math.log((ca + 1).toDouble * (nb + v)) -
+         math.log((cb + 1).toDouble * (na + v))) * 1e9).toLong
+    val v = 3L
+    val klAB = (u(2, 3, 1, 2, v) + u(1, 3, 0, 2, v)
+                + u(0, 3, 1, 2, v)).toDouble / 1e9
+    val klBA = (u(1, 2, 2, 3, v) + u(0, 2, 1, 3, v)
+                + u(1, 2, 0, 3, v)).toDouble / 1e9
+    val got = Corpus.sourceDivergence(docs)
+      .as[(String, String, Long, Double)].collect().toList
+    assert(got == List(("a", "b", 3L, klAB), ("b", "a", 3L, klBA)))
+    // Gibbs: KL over true (smoothed) distributions is non-negative,
+    // and KL is asymmetric on this corpus.
+    assert(klAB >= 0 && klBA >= 0 && klAB != klBA)
+  }
+
   test("bigramLogprob: hand-computed interpolated model is exact") {
     // corpus: "a b a b" + "b a c"
     // unigrams: a=3 b=3 c=1 -> N=7, V=3, N+V=10
