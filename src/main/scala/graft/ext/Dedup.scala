@@ -655,37 +655,34 @@ object Dedup {
   /** The transform itself, over any (doc_id, text) frame — shared with
     * the crafted-corpus spec so invariants pin the same code path.
     */
-  def dedupSubstring(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), Ops.tokens(col("text")).as("t"))
-    // Every K-gram occurrence as (doc_id, start, digest) — 24-byte rows
-    // through the one full shuffle. The gram stream is the native
-    // single-pass shingle expression (element i = gram starting at
-    // token i, so the 1-based start is just pos + 1); gram strings are
-    // byte-identical to the HOF formulation, so the digests — and the
-    // oracle — are untouched.
-    val occ = toks.filter(size(col("t")) >= SubstrK)
+  /** Every K-gram occurrence of a (doc_id, t: array<string>) frame as
+    * (doc_id, s, gh) — 24-byte rows through the one full shuffle. The
+    * gram stream is the native single-pass shingle expression (element
+    * i = gram starting at token i, so the 1-based start is just
+    * pos + 1); gram strings are byte-identical to the HOF formulation,
+    * so the digests — and the oracle — are untouched. Shared with the
+    * streaming twin (SubstringStream), so batch/stream agreement on
+    * gram construction is structural.
+    */
+  private[graft] def gramOccurrences(toks: DataFrame): DataFrame =
+    toks.filter(size(col("t")) >= SubstrK)
       .select(col("doc_id"),
               posexplode(Ops.shinglesAll(col("t"), SubstrK)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
               xxhash64(col("col")).as("gh"))
-    // First occurrence of each gram survives; every later one is a
-    // duplicate span. row_number per gram key = one shuffle, no join.
-    val dups = occ
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("gh")).orderBy(col("doc_id"), col("s"))))
-      .filter(col("rn") > 1)
-    // A position is removed iff covered by ANY duplicate occurrence.
-    // Only duplicate START positions are collected (≤ dup-span count
-    // per doc — never the SubstrK-fold position explode an earlier cut
-    // shipped, 815 MiB of shuffle read at 100×); the rebuild is the
-    // native two-pointer DropCoveredSpans pass, O(tokens + starts) per
-    // document (the interpreted per-token array_contains scan was
-    // O(tokens × removed) — quadratic on a fully-duplicated MaxToks
-    // doc). Reference formulation pinned equal by spec + property.
-    val removed = dups
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("s"))).as("ss"))
+
+  /** Rebuild per-doc stats from (doc_id, t) and per-doc removed span
+    * STARTS (doc_id, ss sorted) — the native two-pointer
+    * DropCoveredSpans pass, O(tokens + starts) per document. Only
+    * starts are ever collected (≤ dup-span count per doc — never the
+    * SubstrK-fold position explode an earlier cut shipped, 815 MiB of
+    * shuffle read at 100×; the interpreted per-token array_contains
+    * scan it also replaced was O(tokens × removed)). Shared with the
+    * streaming twin; pinned equal to the reference formulation by spec
+    * + property.
+    */
+  private[graft] def rebuildStats(toks: DataFrame,
+                                  removedStarts: DataFrame): DataFrame = {
     val keptCol = {
       import org.apache.spark.sql.graftshim.{DropCoveredSpans, Shim}
       Shim.column(DropCoveredSpans(
@@ -694,7 +691,7 @@ object Dedup {
                                  expr("array()").cast("array<bigint>"))),
         SubstrK))
     }
-    toks.join(removed, Seq("doc_id"), "left")
+    toks.join(removedStarts, Seq("doc_id"), "left")
       .select(col("doc_id"),
               size(col("t")).cast("long").as("n_tokens"),
               keptCol.as("kept"))
@@ -704,6 +701,23 @@ object Dedup {
               md5(array_join(col("kept"), " ").cast("binary"))
                 .as("kept_hash"))
       .orderBy(col("doc_id"))
+  }
+
+  def dedupSubstring(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), Ops.tokens(col("text")).as("t"))
+    val occ = gramOccurrences(toks)
+    // First occurrence of each gram survives; every later one is a
+    // duplicate span. row_number per gram key = one shuffle, no join.
+    val dups = occ
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gh")).orderBy(col("doc_id"), col("s"))))
+      .filter(col("rn") > 1)
+    // A position is removed iff covered by ANY duplicate occurrence.
+    val removed = dups
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("s"))).as("ss"))
+    rebuildStats(toks, removed)
   }
 
   val qDedupSubstringSql: String =

@@ -48,11 +48,10 @@ object SubstringStream {
     val spark = batch.sparkSession
     val toks = batch.select(col("doc_id"),
                             graft.ops.Ops.tokens(col("text")).as("t"))
-    val occ = toks.filter(size(col("t")) >= SubstrK)
-      .select(col("doc_id"),
-              posexplode(graft.ops.Ops.shinglesAll(col("t"), SubstrK)))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
-              xxhash64(col("col")).as("gh"))
+    // Gram construction is LITERALLY the batch operator's
+    // (Dedup.gramOccurrences) — stream/batch digest agreement is
+    // structural, not a copy kept in sync.
+    val occ = graft.ext.Dedup.gramOccurrences(toks)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("gh")).orderBy(col("doc_id"), col("s"))))
       .withColumn("bucket", format_string("%02x", pmod(col("gh"), lit(256))))
@@ -67,29 +66,13 @@ object SubstringStream {
     val marked = occ.join(probe.withColumn("in_hist", lit(1)), Seq("gh"),
                           "left")
     // Duplicate occurrence: seen in an earlier batch, or earlier in this
-    // one. Covered-token removal + rebuild = the batch operator's path.
+    // one. Covered-token removal + rebuild = the batch operator's OWN
+    // code path (Dedup.rebuildStats).
     val removed = marked
       .filter(col("in_hist") === 1 || col("rn") > 1)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("s"))).as("ss"))
-    val keptCol = {
-      import org.apache.spark.sql.graftshim.{DropCoveredSpans, Shim}
-      Shim.column(DropCoveredSpans(
-        Shim.expression(col("t")),
-        Shim.expression(coalesce(col("ss"),
-                                 expr("array()").cast("array<bigint>"))),
-        SubstrK))
-    }
-    val stats = toks.join(removed, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-              size(col("t")).cast("long").as("n_tokens"),
-              keptCol.as("kept"))
-      .select(col("doc_id"), col("n_tokens"),
-              (col("n_tokens") - size(col("kept"))).cast("long")
-                .as("n_dropped"),
-              md5(array_join(col("kept"), " ").cast("binary"))
-                .as("kept_hash"))
-      .orderBy(col("doc_id"))
+    val stats = graft.ext.Dedup.rebuildStats(toks, removed)
       .localCheckpoint(true) // snapshot BEFORE appending to probed dirs
     // rn == 1 is already one row per distinct gram; first-seen = also
     // absent from history.
@@ -100,9 +83,44 @@ object SubstringStream {
     stats
   }
 
+  val statsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_tokens", LongType),
+    StructField("n_dropped", LongType),
+    StructField("kept_hash", StringType)))
+
+  /** Commit one batch's stats ATOMICALLY: write to a sibling staging
+    * dir, then rename the finished directory into `outDir` (atomic per
+    * directory on HDFS/local FS, same contract as the ledger's staged
+    * commit) — a reader of outDir never observes a torn batch, and a
+    * crash mid-write leaves only an inert staging dir.
+    */
+  private def stagedStatsWrite(spark: SparkSession, stats: DataFrame,
+                               outDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val token = java.util.UUID.randomUUID().toString
+    val stageDir = s"$outDir.staging/$token"
+    stats.write.mode("overwrite").parquet(stageDir)
+    val f = CorpusStream.fs(spark, outDir)
+    f.mkdirs(new Path(outDir))
+    require(f.rename(new Path(stageDir), new Path(s"$outDir/batch-$token")),
+      s"stats commit rename failed: $stageDir")
+    f.delete(new Path(s"$outDir.staging"), true)
+  }
+
   /** Drive the ingest over a static documents dir (AvailableNow),
-    * appending per-batch dedup stats to `outDir` and first-seen grams
-    * to `ledgerDir`. Returns the accumulated stats.
+    * appending per-batch dedup stats to `outDir` (staged-atomic, one
+    * subdirectory per batch) and first-seen grams to `ledgerDir`.
+    * Returns the accumulated stats; a run that fired zero batches
+    * returns an empty frame, not a missing-path error.
+    *
+    * EXACTLY-ONCE CAVEAT: this dev/spec driver keeps no streaming
+    * checkpoint, so a crash between the ledger append and the stats
+    * commit followed by a full replay re-scores the replayed batch
+    * against its own grams (reported as fully duplicated text). A
+    * production deployment must set a durable checkpointLocation so
+    * committed micro-batches are not reprocessed — the ledger itself
+    * is safe either way (duplicate-hash re-admission is impossible).
     */
   def runOnce(spark: SparkSession, srcDir: String, ledgerDir: String,
               outDir: String,
@@ -115,12 +133,18 @@ object SubstringStream {
       .queryName(name)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, ledgerDir)
-          .write.mode("append").parquet(outDir); ()
+        stagedStatsWrite(batch.sparkSession,
+                         ingestBatch(batch, ledgerDir), outDir); ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    if (CorpusStream.fs(spark, outDir)
+          .exists(new org.apache.hadoop.fs.Path(outDir)))
+      spark.read.schema(statsSchema)
+        .option("recursiveFileLookup", "true").parquet(outDir)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], statsSchema)
   }
 }

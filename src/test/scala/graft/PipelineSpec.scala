@@ -241,6 +241,31 @@ class PipelineSpec extends AnyFunSuite {
            "sub-threshold docs are never touched")
   }
 
+  test("substring ingest runOnce: staged stats commit + zero-batch guard") {
+    import graft.streaming.SubstringStream
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ss_run").toString
+    val out = SubstringStream
+      .runOnce(spark, sf, s"$base/ledger", s"$base/stats")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val twin = graft.ext.Dedup
+      .dedupSubstring(Tables.documents(spark, sf).select($"doc_id", $"text"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out == twin, "one-batch runOnce must equal the batch operator")
+    // Atomic-commit contract: only complete batch-* dirs in outDir, no
+    // staging leftovers or loose temporary artifacts.
+    val entries = new java.io.File(s"$base/stats").listFiles().map(_.getName)
+    assert(entries.nonEmpty && entries.forall(_.startsWith("batch-")))
+    assert(!new java.io.File(s"$base/stats.staging").exists() ||
+           new java.io.File(s"$base/stats.staging").listFiles().isEmpty)
+    // Zero matching files -> empty frame, not a missing-path error.
+    val emptySrc = java.nio.file.Files
+      .createTempDirectory("graft_ss_empty").toString
+    val none = SubstringStream
+      .runOnce(spark, emptySrc, s"$base/ledger2", s"$base/stats2")
+    assert(none.count() == 0L)
+  }
+
   test("streaming dedup keeps exactly the batch-distinct key set") {
     import graft.streaming.DedupStream
     val kept = DedupStream.runOnce(spark, sf)
