@@ -105,7 +105,13 @@ object Corpus {
     finalLabels
   }
 
-  val qDedupCluster: Q = (s, d) => {
+  /** Shared blocking-graph component labeling: (doc_id, label) for EVERY
+    * doc, label = the component minimum — the duplicate-cluster structure
+    * that q_dedup_cluster reports and q_dedup_keep_best resolves into
+    * survivors. One code path so the two queries can never disagree on
+    * what a cluster is.
+    */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
               floor(col("n_chars") / 100.0).cast("bigint").as("len_bucket"),
@@ -131,12 +137,14 @@ object Corpus {
     // join round to the same fixpoint.
     val init = keyed.join(star, Seq("key"))
       .groupBy(col("doc_id")).agg(min(col("rep")).as("label"))
-    val finalLabels =
-      minLabelPropagate(docs.select(col("doc_id")), edges, Some(init))
+    minLabelPropagate(docs.select(col("doc_id")), edges, Some(init))
+  }
 
-    val sizes = finalLabels.groupBy(col("label"))
+  val qDedupCluster: Q = (s, d) => {
+    val labels = clusterLabels(s, d)
+    val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("component_size"))
-    finalLabels.join(sizes, Seq("label"))
+    labels.join(sizes, Seq("label"))
       .filter(col("component_size") > 1)
       .select(col("doc_id"), col("label").as("component_id"),
               col("component_size"))
@@ -147,7 +155,11 @@ object Corpus {
     * reachable-label set of each vertex is its connected component (edges
     * are symmetric), so min(label) over it equals the Spark fixpoint.
     */
-  val qDedupClusterSql: String =
+  /** Shared recursive-CTE prefix: resolves the same star-edge graph as
+    * `clusterLabels` into `comp(doc_id, component_id)` + `sizes` — the
+    * reachable-label minimum of each vertex equals the Spark fixpoint.
+    */
+  private val clusterCteSql: String =
     """WITH RECURSIVE docs AS (
       |  SELECT doc_id, lang, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_bucket,
       |         lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS nt
@@ -170,11 +182,91 @@ object Corpus {
       |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
       |comp AS (SELECT v AS doc_id, min(l) AS component_id FROM reach GROUP BY 1),
       |sizes AS (SELECT component_id, count(*) AS component_size
-      |          FROM comp GROUP BY 1)
-      |SELECT c.doc_id, c.component_id, s.component_size
-      |FROM comp c JOIN sizes s ON c.component_id = s.component_id
-      |WHERE s.component_size > 1
-      |ORDER BY c.doc_id""".stripMargin
+      |          FROM comp GROUP BY 1)""".stripMargin
+
+  val qDedupClusterSql: String =
+    s"""$clusterCteSql
+       |SELECT c.doc_id, c.component_id, s.component_size
+       |FROM comp c JOIN sizes s ON c.component_id = s.component_id
+       |WHERE s.component_size > 1
+       |ORDER BY c.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_dedup_keep_best — quality-aware SURVIVOR SELECTION over the same
+  // duplicate clusters: where q_dedup_cluster reports membership and
+  // q_dedup_exact keeps min(doc_id), a curation pipeline keeps the BEST
+  // copy — here argmax of the published quality score (q_quality_score's
+  // exact expression, shared code), ties broken by min doc_id. Output is
+  // one row per duplicate cluster: the survivor, what it beat, and the
+  // char mass the drop releases.
+  //
+  // Scale shape: component labeling is the bounded-round min-label
+  // propagation (star edges, never cliques); everything after is
+  // partial-aggregated group-bys keyed on component labels plus one
+  // members⋈stats equi-join — no windows, no all-rows-to-one-task cut.
+  // The argmax is the classic two-pass shape (per-key max, then filter
+  // members equal to it): quality doubles are computed by identical
+  // expression trees in both engines, so the equality filter is exact.
+  // ------------------------------------------------------------------
+  val qDedupKeepBest: Q = (s, d) => {
+    val labels = clusterLabels(s, d)
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("component_size"))
+    val qual = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+              TextOps.qualityColumn.as("quality"))
+    val members = labels
+      .join(sizes.filter(col("component_size") > 1), Seq("label"))
+      .join(qual, Seq("doc_id"))
+    val stats = members.groupBy(col("label"))
+      .agg(max(col("quality")).as("max_quality"),
+           count(lit(1)).as("component_size"),
+           sum(col("n_chars")).as("total_chars"))
+    members.select(col("label"), col("doc_id"), col("n_chars"), col("quality"))
+      .join(stats, Seq("label"))
+      .filter(col("quality") === col("max_quality"))
+      // struct-min picks (min doc_id, its n_chars) atomically among the
+      // argmax-quality members — survivor identity and its char mass in
+      // one partial-aggregated pass.
+      .groupBy(col("label"), col("component_size"), col("max_quality"),
+               col("total_chars"))
+      .agg(min(struct(col("doc_id"), col("n_chars"))).as("sv"))
+      .select(col("label").as("component_id"),
+              col("sv.doc_id").as("survivor_id"),
+              col("component_size"),
+              col("max_quality"),
+              (col("total_chars") - col("sv.n_chars")).as("chars_dropped"))
+      .orderBy(col("component_id"))
+  }
+
+  val qDedupKeepBestSql: String =
+    s"""$clusterCteSql,
+       |qual AS (
+       |  SELECT doc_id, n_chars,
+       |       ${TextOps.qualitySqlExpr} AS quality
+       |  FROM documents),
+       |members AS (
+       |  SELECT c.component_id, c.doc_id, q.n_chars, q.quality
+       |  FROM comp c
+       |  JOIN sizes s ON s.component_id = c.component_id
+       |  JOIN qual q ON q.doc_id = c.doc_id
+       |  WHERE s.component_size > 1),
+       |stats AS (
+       |  SELECT component_id, max(quality) AS max_quality,
+       |         count(*) AS component_size,
+       |         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |  FROM members GROUP BY 1),
+       |surv AS (
+       |  SELECT m.component_id, min(m.doc_id) AS survivor_id
+       |  FROM members m JOIN stats t ON t.component_id = m.component_id
+       |  WHERE m.quality = t.max_quality
+       |  GROUP BY 1)
+       |SELECT t.component_id, v.survivor_id, t.component_size,
+       |       t.max_quality, t.total_chars - m.n_chars AS chars_dropped
+       |FROM stats t
+       |JOIN surv v ON v.component_id = t.component_id
+       |JOIN members m ON m.doc_id = v.survivor_id
+       |ORDER BY t.component_id""".stripMargin
 
   // -------------------------------------------------------------------
   // q_inverted_index — the classic MapReduce inverted-index build
@@ -898,7 +990,11 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
-  val qBigramLogprobSql: String =
+  /** Shared CTE prefix of the bigram-LM oracle: builds `scored(doc_id,
+    * n_bigrams, sum_u)` — reused verbatim by q_perplexity_buckets so the
+    * two oracles can never disagree on a doc's LM score.
+    */
+  private val bigramCteSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
       |              FROM documents),
       |perdoc AS (
@@ -927,13 +1023,100 @@ object Corpus {
       |  FROM perdoc p
       |  JOIN cbg USING (prev, cur) JOIN cleft USING (prev)
       |  JOIN uni ON uni.cur = p.cur CROSS JOIN tot
-      |  GROUP BY 1)
-      |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
-      |       COALESCE(CAST(s.sum_u AS DOUBLE) / 1000000.0
-      |                  / CAST(s.n_bigrams AS DOUBLE), 0.0) AS mean_logprob
-      |FROM (SELECT doc_id FROM documents) d
-      |LEFT JOIN scored s USING (doc_id)
-      |ORDER BY d.doc_id""".stripMargin
+      |  GROUP BY 1),
+      |docscore AS (
+      |  SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+      |         COALESCE(CAST(s.sum_u AS DOUBLE) / 1000000.0
+      |                    / CAST(s.n_bigrams AS DOUBLE), 0.0) AS mean_logprob
+      |  FROM (SELECT doc_id FROM documents) d
+      |  LEFT JOIN scored s USING (doc_id))""".stripMargin
+
+  val qBigramLogprobSql: String =
+    s"""$bigramCteSql
+       |SELECT doc_id, n_bigrams, mean_logprob
+       |FROM docscore
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_perplexity_buckets — CCNet-style head/middle/tail corpus split by
+  // LM fit: every document scored by the interpolated bigram LM
+  // (q_bigram_logprob's exact machinery, shared code path), then cut
+  // into three buckets at the empirical tertiles of the score
+  // distribution; output is per-(bucket, source) doc and bigram-token
+  // mass — the report a pipeline reads before keeping "head" for
+  // training (CCNet keeps low-perplexity text; 1_head = highest mean
+  // log-probability here).
+  //
+  // Scale-shaped tertiles: a global NTILE(3) would shuffle every doc to
+  // ONE window task — the all-rows-to-one-partition shape this repo
+  // bans. Instead scores snap to 1e-3 quanta (BIGINT qs), a
+  // partial-aggregated histogram over qs is built — bounded by the
+  // score RANGE × granularity (mean ln-probabilities live in
+  // [-ln(5(N+V)), 0], so ≲ 3·10⁴ rows at ANY corpus size), the
+  // cumulative count runs over that bounded histogram (non-foldable
+  // constant partition key, the q_textrank pattern), and the two cut
+  // ranks come back as a 1-row crossJoin. Threshold ties all land on
+  // the same side — deterministic in both engines; bucket sizes are
+  // within one tie-class of exact tertiles. Rank boundaries are pure
+  // integers: r1 = ⌈N/3⌉, r2 = ⌈2N/3⌉.
+  // ------------------------------------------------------------------
+  val qPerplexityBuckets: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // scored feeds both the histogram and the final bucket assignment —
+    // persist so the three-model-join LM pipeline runs once (the
+    // qBm25Mlt discipline).
+    val scored = bigramLogprob(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("qs", round(col("mean_logprob") * 1000.0, 0).cast("long"))
+      .persist()
+    val hist = scored.groupBy(col("qs")).agg(count(lit(1)).as("n"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring(col("qs").cast("string"), 1, 0))
+      .orderBy(col("qs").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("n")).over(cumW))
+    val tot = hist.agg(sum(col("n")).as("n_docs_total"))
+    // t_k = max{ qs : |{docs with score ≥ qs}| ≥ r_k } — 1-row bounds.
+    val cuts = cum.crossJoin(tot)
+      .agg(max(when(col("cum") >= expr("(n_docs_total + 2) div 3"),
+                    col("qs"))).as("t1"),
+           max(when(col("cum") >= expr("(2 * n_docs_total + 2) div 3"),
+                    col("qs"))).as("t2"))
+    scored.crossJoin(cuts)
+      .withColumn("bucket",
+        when(col("qs") >= col("t1"), lit("1_head"))
+          .when(col("qs") >= col("t2"), lit("2_middle"))
+          .otherwise(lit("3_tail")))
+      .groupBy(col("bucket"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_bigrams")).as("n_bigrams"))
+      .orderBy(col("bucket"), col("source"))
+  }
+
+  val qPerplexityBucketsSql: String =
+    s"""$bigramCteSql,
+       |docsc AS (
+       |  SELECT p.doc_id, p.n_bigrams, d2.source,
+       |         CAST(round(p.mean_logprob * 1000.0, 0) AS BIGINT) AS qs
+       |  FROM docscore p JOIN documents d2 USING (doc_id)),
+       |hist AS (SELECT qs, count(*) AS n FROM docsc GROUP BY 1),
+       |cum AS (
+       |  SELECT qs, SUM(n) OVER (ORDER BY qs DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist),
+       |tot2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docsc),
+       |cuts AS (
+       |  SELECT max(CASE WHEN c.cum >= (t.n + 2) // 3 THEN c.qs END) AS t1,
+       |         max(CASE WHEN c.cum >= (2 * t.n + 2) // 3 THEN c.qs END) AS t2
+       |  FROM cum c CROSS JOIN tot2 t)
+       |SELECT CASE WHEN d.qs >= c.t1 THEN '1_head'
+       |            WHEN d.qs >= c.t2 THEN '2_middle'
+       |            ELSE '3_tail' END AS bucket,
+       |       d.source, count(*) AS n_docs,
+       |       CAST(SUM(d.n_bigrams) AS BIGINT) AS n_bigrams
+       |FROM docsc d CROSS JOIN cuts c
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
   // q_bpe_merges — LEARNED subword tokenizer training: the classic BPE
@@ -1630,7 +1813,9 @@ object Corpus {
     "q_bigram_logprob"   -> qBigramLogprob,
     "q_contamination"    -> qContamination,
     "q_mixture_sample"   -> qMixtureSample,
+    "q_perplexity_buckets" -> qPerplexityBuckets,
     "q_dedup_cluster"    -> qDedupCluster,
+    "q_dedup_keep_best"  -> qDedupKeepBest,
     "q_inverted_index"   -> qInvertedIndex,
     "q_tfidf_topterms"   -> qTfidfTopterms,
     "q_repetition_score" -> qRepetitionScore,
@@ -1651,7 +1836,9 @@ object Corpus {
     "q_bigram_logprob"   -> qBigramLogprobSql,
     "q_contamination"    -> qContaminationSql,
     "q_mixture_sample"   -> qMixtureSampleSql,
+    "q_perplexity_buckets" -> qPerplexityBucketsSql,
     "q_dedup_cluster"    -> qDedupClusterSql,
+    "q_dedup_keep_best"  -> qDedupKeepBestSql,
     "q_inverted_index"   -> qInvertedIndexSql,
     "q_tfidf_topterms"   -> qTfidfToptermsSql,
     "q_repetition_score" -> qRepetitionScoreSql,

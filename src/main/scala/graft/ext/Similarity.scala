@@ -912,7 +912,80 @@ object Similarity {
        |FROM mem m LEFT JOIN losers l ON l.vec_id = m.vec_id
        |ORDER BY m.vec_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_embed_project — seeded RANDOM-PROJECTION dimensionality reduction
+  // (Achlioptas-style dense ±1 matrix): each 64-dim embedding maps to
+  // ProjDim=16 signed sums, the JL-lemma step a pipeline runs BEFORE
+  // LSH/clustering when the native dimension is wide (distance
+  // preservation w.h.p. at 1/4 the bytes — at 100 TB the projected
+  // table is what ships to every downstream shuffle, not the raw
+  // vectors).
+  //
+  // Determinism: the sign matrix derives from md5("j_i") hex parity —
+  // no RNG state, the same matrix on every run, every engine, any
+  // parallelism. Spark bakes the signs in as PLAN LITERALS (constant
+  // 64-long arrays, broadcast for free inside codegen); the oracle
+  // re-derives them with SQL md5() — so the cross-check also validates
+  // the derivation. Components quantize to integer micro-units first
+  // (round(x·1e6) BIGINT), so every projected value is an exact
+  // order-free integer sum — no float-association risk.
+  //
+  // Scale shape: a pure per-row MAP — zero shuffles, zero joins; the
+  // only exchange is the final cosmetic orderBy. Long format (vec_id,
+  // j, proj) keeps the output schema engine-neutral.
+  // ------------------------------------------------------------------
+  val ProjDim = 16
+  val EmbedDim = 64 // TESTDATA.md: embeddings.embedding is 64-dim
+
+  private def md5Hex(x: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** sign(j, i) = +1 iff the first hex digit of md5("j_i") is even —
+    * re-derivable in any engine with md5(); the oracle reconstructs the
+    * matrix independently in SQL.
+    */
+  private def projSign(j: Int, i: Int): Long =
+    if ("02468ace".indexOf(md5Hex(s"${j}_${i}").charAt(0)) >= 0) 1L else -1L
+
+  val qEmbedProject: Q = (s, d) => {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)" +
+                   " * 1000000.0, 0) AS BIGINT))").as("qarr"))
+    val projCols: Seq[Column] = (0 until ProjDim).map { j =>
+      val signs = (0 until EmbedDim).map(i => s"${projSign(j, i)}L")
+        .mkString("array(", ", ", ")")
+      expr(s"aggregate(zip_with(qarr, $signs, (a, b) -> a * b), 0L," +
+           " (acc, v) -> acc + v)").as(s"p$j")
+    }
+    q.select(col("vec_id") +: projCols: _*)
+      .select(col("vec_id"),
+              posexplode(array((0 until ProjDim).map(j => col(s"p$j")): _*)))
+      .toDF("vec_id", "j", "proj")
+      .select(col("vec_id"), col("j").cast("bigint").as("j"), col("proj"))
+      .orderBy(col("vec_id"), col("j"))
+  }
+
+  val qEmbedProjectSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)
+       |             * 1000000.0, 0) AS BIGINT)) AS qarr
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT q.vec_id, j.j, i.i,
+       |         qarr[i.i + 1] * (CASE WHEN strpos('02468ace',
+       |             substring(md5(CAST(j.j AS VARCHAR) || '_'
+       |                           || CAST(i.i AS VARCHAR)), 1, 1)) > 0
+       |           THEN 1 ELSE -1 END) AS v
+       |  FROM q, range($ProjDim) j(j), range($EmbedDim) i(i))
+       |SELECT vec_id, j, CAST(SUM(v) AS BIGINT) AS proj
+       |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_embed_project"   -> qEmbedProject,
     "q_cluster_topics"  -> qClusterTopics,
     "q_similarity_topk" -> qSimilarityTopk,
     "q_ann_lsh"         -> qAnnLsh,
@@ -925,6 +998,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_embed_project"   -> qEmbedProjectSql,
     "q_cluster_topics"  -> qClusterTopicsSql,
     "q_ann_pq"          -> qAnnPqSql,
     "q_ann_ivfpq"       -> qAnnIvfpqSql,

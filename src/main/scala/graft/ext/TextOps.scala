@@ -129,29 +129,41 @@ object TextOps {
   // Quality scoring: length factor, punctuation-free ratio, stopword
   // presence — deterministic per-row double arithmetic (no re-association,
   // bit-identical to the oracle). Output per doc.
-  val qQualityScore: Q = (s, d) => {
+  //
+  // The expression is factored out (Spark Column + DuckDB SQL in
+  // lockstep) because it doubles as the SURVIVOR POLICY of
+  // q_dedup_keep_best: "keep the best duplicate" means exactly the
+  // published quality score, not a second ad-hoc metric.
+  /** Per-row quality over a `documents`-shaped frame (text, n_chars). */
+  def qualityColumn: Column = {
     val toks = size(Ops.tokens(col("text"))).cast("double")
     val alnum = length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")).cast("double")
     val lenScore = least(toks / 100.0, lit(1.0))
     val cleanRatio = alnum / col("n_chars").cast("double")
     val stopScore = least(hits(col("text"), EnStop).cast("double") / 3.0, lit(1.0))
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-              ((lenScore + cleanRatio + stopScore) / 3.0).as("quality"))
-      .orderBy(col("doc_id"))
+    (lenScore + cleanRatio + stopScore) / 3.0
   }
 
-  val qQualityScoreSql: String = {
+  /** The same expression in DuckDB SQL, scoped to a `documents` row. */
+  val qualitySqlExpr: String = {
     val scoreExpr = EnStop
       .map(w => s"CASE WHEN ' ' || text || ' ' LIKE '% $w %' THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""SELECT doc_id,
-       |       (least(len(string_split(text, ' ')) / 100.0, 1.0)
+    s"""(least(len(string_split(text, ' ')) / 100.0, 1.0)
        |        + CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
        |            / CAST(n_chars AS DOUBLE)
-       |        + least(($scoreExpr) / 3.0, 1.0)) / 3.0 AS quality
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |        + least(($scoreExpr) / 3.0, 1.0)) / 3.0""".stripMargin
   }
+
+  val qQualityScore: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), qualityColumn.as("quality"))
+      .orderBy(col("doc_id"))
+
+  val qQualityScoreSql: String =
+    s"""SELECT doc_id,
+       |       $qualitySqlExpr AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // Gopher-style rule-funnel quality filter: every document is attributed
   // to the FIRST rule it fails (token-count bounds, mean word length,

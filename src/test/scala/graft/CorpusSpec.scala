@@ -55,6 +55,56 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_keep_best: survivor is the argmax-quality member (tie → min id)") {
+    val clusters = Corpus.qDedupCluster(spark, sf)
+      .select($"doc_id", $"component_id").as[(Long, Long)].collect()
+    val quality = graft.ext.TextOps.qQualityScore(spark, sf)
+      .as[(Long, Double)].collect().toMap
+    val chars = Tables.documents(spark, sf).select($"doc_id", $"n_chars")
+      .as[(Long, Long)].collect().toMap
+    val got = Corpus.qDedupKeepBest(spark, sf)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    val byComp = clusters.groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1) }
+    assert(got.map(_._1).toSet == byComp.keySet,
+           "keep_best components differ from q_dedup_cluster's")
+    got.foreach { case (comp, surv, size, maxq, dropped) =>
+      val members = byComp(comp)
+      assert(members.contains(surv), s"survivor $surv not in component $comp")
+      assert(size == members.length)
+      val mq = members.map(quality).max
+      assert(maxq == mq, s"component $comp max quality mismatch")
+      assert(surv == members.filter(m => quality(m) == mq).min,
+             s"component $comp survivor is not min-id among argmax quality")
+      assert(dropped == members.map(chars).sum - chars(surv))
+    }
+  }
+
+  test("q_perplexity_buckets: tertile cuts partition the corpus deterministically") {
+    val docs = Tables.documents(spark, sf)
+    val scored = Corpus.bigramLogprob(docs)
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .select($"doc_id", $"source", $"n_bigrams",
+              round($"mean_logprob" * 1000.0, 0).cast("long").as("qs"))
+      .as[(Long, String, Long, Long)].collect()
+    val n = scored.length.toLong
+    // rank-r score in desc order IS max{q : #(scores ≥ q) ≥ r}
+    val desc = scored.map(_._4).sorted(Ordering[Long].reverse)
+    val r1 = (n + 2) / 3; val r2 = (2 * n + 2) / 3
+    val t1 = desc((r1 - 1).toInt); val t2 = desc((r2 - 1).toInt)
+    def bucket(qs: Long): String =
+      if (qs >= t1) "1_head" else if (qs >= t2) "2_middle" else "3_tail"
+    val want = scored.groupBy(x => (bucket(x._4), x._2))
+      .map { case (k, xs) => (k._1, k._2, xs.length.toLong, xs.map(_._3).sum) }
+      .toSet
+    val got = Corpus.qPerplexityBuckets(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.toSeq.map(_._3).sum == n, "buckets must partition the corpus")
+    assert(got.toSeq.filter(_._1 == "1_head").map(_._3).sum >= r1,
+           "head holds at least ⌈N/3⌉ docs (threshold ties can only grow it)")
+  }
+
   test("q_pack_sequences: bins respect the token budget boundary rule") {
     val rows = Corpus.qPackSequences(spark, sf)
       .as[(Long, Long, Long, Long)].collect()

@@ -34,6 +34,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("q_embed_project: projections equal the md5-sign micro-unit sums") {
+    val got = Similarity.qEmbedProject(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    assert(got.length == vecs.size * Similarity.ProjDim)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sign(j: Long, i: Int): Long =
+      if ("02468ace".indexOf(md5hex(s"${j}_${i}").charAt(0)) >= 0) 1L else -1L
+    // Spark round() on double is BigDecimal HALF_UP — replicate exactly
+    def micro(x: Float): Long =
+      BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    got.take(4 * Similarity.ProjDim).foreach { case (v, j, p) =>
+      val e = vecs(v)
+      val want = e.indices.map(i => sign(j, i) * micro(e(i))).sum
+      assert(p == want, s"vec $v component $j")
+    }
+  }
+
   test("q_skyline window formulation == brute-force dominance check") {
     import graft.jobs.AnalyticsQueries
     val got = AnalyticsQueries.qSkyline(spark, sf)
