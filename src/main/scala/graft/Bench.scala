@@ -35,18 +35,24 @@ object Bench {
     // the generic exchange/codegen infrastructure is JIT'd. Guarded: a bad
     // sf dir must surface as per-query -1 markers in the metric line, not
     // a crash before any JSON is emitted.
+    // Each warmup step individually guarded: r7's events read threw and
+    // the single shared try skipped the join/codegen warmup entirely,
+    // inflating every alphabetically-early query 5-11× in the round
+    // artifact. One bad table must not cost the others their warmup.
+    def warm(what: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $what failed: ${e.getMessage}") }
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    try {
-      for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                    "orders", "lineitem", "documents", "embeddings"))
-        spark.read.parquet(s"$sfDir/$t.parquet").count()
-      Tables.events(spark, sfDir).count()
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"))
+      warm(t)(spark.read.parquet(s"$sfDir/$t.parquet").count())
+    warm("events")(Tables.events(spark, sfDir).count())
+    warm("join-shape") {
       val a = spark.range(100000L).selectExpr("id", "id % 100 AS k")
       val b = spark.range(100L).selectExpr("id AS k", "id * 2 AS v")
       a.join(org.apache.spark.sql.functions.broadcast(b), "k")
         .groupBy("k").count().count()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] warmup read failed: ${e.getMessage}") }
+    }
     // Keep the sorted Seq end-to-end: deterministic execution AND output
     // key order. A failing query records -1 (not its time-to-throw) so
     // breakage is visible in the metric line instead of masked.
@@ -130,5 +136,14 @@ object Bench {
       System.err.println(s"[bench] could not write BENCH_LOCAL.json: ${e.getMessage}") }
     println(boundedLine(new java.io.File(sfDir).getName, 1800))
     spark.stop()
+    // rc must say what the metric line says: a round where queries
+    // errored is a FAILED bench run, not "[success]" with -1 markers
+    // buried in the JSON (r7 shipped exactly that and the artifact
+    // attested a passing round with 23 broken queries).
+    val nFailed = results.count(_.best < 0)
+    if (nFailed > 0) {
+      System.err.println(s"[bench] $nFailed queries failed — exiting nonzero")
+      sys.exit(1)
+    }
   }
 }

@@ -20,13 +20,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws leaves NO parquet dir, and the driver's compare
+    // silently omits it from CORRECTNESS_r{N}.json — 23 broken queries
+    // read as an all-green round (r7 postmortem). Record every failure in
+    // an explicit manifest next to the dumps and shout on stdout, so
+    // missing coverage is visible rather than implied passing.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(3).mkString(" | ").take(500)
+        System.err.println(s"[verify] $name failed: $msg")
+        failed(name) = msg
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +54,16 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: {${q("err")}: ${q(v)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failed.nonEmpty)
+      println(s"[verify] ${failed.size}/${SparkEntry.queries.size} queries FAILED: " +
+        failed.keys.mkString(", "))
     spark.stop()
+    // Nonzero exit so the harness records the round as broken instead of
+    // attesting a shrunken-but-green correctness report.
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

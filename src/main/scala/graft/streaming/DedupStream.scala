@@ -22,12 +22,7 @@ import org.apache.spark.sql.functions._
 object DedupStream {
 
   def dedup(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(EventStream.eventsSchema)
-      .option("pathGlobFilter", "events*.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    EventStream.readEvents(spark, dir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
   }

@@ -19,12 +19,7 @@ object JoinStream {
 
   private def side(spark: SparkSession, dir: String, eventType: String)
       : DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(EventStream.eventsSchema)
-      .option("pathGlobFilter", "events*.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    EventStream.readEvents(spark, dir)
       .filter(col("event_type") === eventType)
   }
 

@@ -71,12 +71,7 @@ object SessionStream {
   /** Build the streaming sessionization over a static events dir. */
   def sessionize(spark: SparkSession, dir: String): Dataset[UserSessions] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(EventStream.eventsSchema)
-      .option("pathGlobFilter", "events*.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    EventStream.readEvents(spark, dir)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts"), expr("unix_micros(ts)").as("ts_us"),
               col("event_id"))
@@ -112,10 +107,23 @@ object SessionStream {
     try {
       q.processAllAvailable()
       // sentinel: year-2100 event, written as a single parquet FILE so the
-      // source's pathGlobFilter (events*.parquet, file-name match) sees it
+      // source's pathGlobFilter (events*.parquet, file-name match) sees it.
+      // Its ts column must mirror the REAL file's physical type (the
+      // streaming schema was probed from it — see EventStream.readEvents):
+      // nanos-long for the NANOS generation, timestamp_ntz for MICROS.
       val staging = s"$tmp/__staging"
-      Seq((-1L, 4102444800000000000L, -1L, "sentinel", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tsOnDisk = spark.read.parquet(s"$tmp/events.parquet")
+        .schema("ts").dataType
+      val base = Seq((-1L, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "user_id", "event_type", "value", "props")
+      val sentinel = tsOnDisk match {
+        case org.apache.spark.sql.types.LongType =>
+          base.withColumn("ts", lit(4102444800000000000L)) // 2100-01-01 in ns
+        case _ =>
+          base.withColumn("ts", expr("timestamp_ntz'2100-01-01 00:00:00'"))
+      }
+      sentinel
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.parquet(staging)
       val part = Files.list(Paths.get(staging)).toArray
         .map(_.toString).filter(_.endsWith(".parquet")).head

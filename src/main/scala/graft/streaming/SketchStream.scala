@@ -37,12 +37,7 @@ object SketchStream {
   }
 
   def streaming(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream
-      .schema(EventStream.eventsSchema)
-      .option("pathGlobFilter", "events*.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    val src = EventStream.readEvents(spark, dir)
       .withWatermark("ts", "1 hour")
     hourlyHeavyHitters(src)
   }
