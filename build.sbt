@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 123 queries x 2 runs of whole-stage-codegen classes overflow the
+  // 240m default; once the JIT code cache fills the compiler disables
+  // and the sweep tail runs interpreted (10x+ on expression-heavy ops).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -79,14 +79,26 @@ object Bench {
     }
     case class R(name: String, first: Double, best: Double,
                  readMb: Double, writeMb: Double)
+    // Inter-query hygiene: drop any cache entries the query registered
+    // and nudge the ContextCleaner (weak-ref driven, so it only frees
+    // localCheckpoint/persist blocks after a GC). Without this, blocks
+    // and old-gen garbage accumulate across 123 queries x 2 runs and the
+    // tail of the run measures GC thrash, not the queries (r8: isolated
+    // q_embed_quantize 0.6 s vs 10.9 s late in a full sweep). Also keeps
+    // run 2 honest: a leaked persist from run 1 would under-measure it.
+    def sweep(): Unit = {
+      BusShim.drain(spark.sparkContext)
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val w1 = runOnce(fn, name)
       if (w1 < 0) R(name, -1.0, -1.0, 0, 0)
       else {
-        BusShim.drain(spark.sparkContext)
+        sweep()
         shufRead.set(0L); shufWrite.set(0L)
         val w2 = runOnce(fn, name)
-        BusShim.drain(spark.sparkContext)
+        sweep()
         // A failed run 2 leaves PARTIAL counters — record a -1 marker,
         // not the torn bytes, so the round-over-round byte comparison
         // never reads an aborted run as a regression (or masks one).
