@@ -268,6 +268,51 @@ object Corpus {
        |JOIN members m ON m.doc_id = v.survivor_id
        |ORDER BY t.component_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_split_holdout — dedup-aware train/holdout split: assign every
+  // document to train or holdout BY DUPLICATE COMPONENT, not by doc, so
+  // no near-dup pair ever straddles the split (the leakage that makes
+  // held-out perplexity lie). The component label is the same
+  // clusterLabels fixpoint q_dedup_cluster reports (singletons label
+  // themselves), and the assignment is a pure hash of the label —
+  // deterministic, shuffle-free given labels, and stable under corpus
+  // growth for unchanged components (adding documents never reassigns
+  // an existing component unless its min-id representative changes).
+  //
+  // Exactness: the 1-in-HoldoutMod draw is md5Bits60(label || ':split')
+  // % HoldoutMod — the engine-portable hash family every sampler here
+  // uses. No floats anywhere.
+  //
+  // Scale shape: labeling is the bounded-round min-label propagation;
+  // the assignment itself adds one md5 per doc and ONE equi-join back
+  // to documents for char mass — no new shuffle keyed on anything
+  // corpus-cardinality beyond what labeling already paid.
+  // ------------------------------------------------------------------
+  val HoldoutMod = 20 // 1-in-20 components -> ~5% holdout
+
+  val qSplitHoldout: Q = (s, d) => {
+    val labels = clusterLabels(s, d)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    labels
+      .withColumn("split",
+        when(Ops.md5Bits60(concat(col("label").cast("string"), lit(":split")))
+               % HoldoutMod === 0, "holdout").otherwise("train"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("label").as("component_id"),
+              col("split"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSplitHoldoutSql: String =
+    s"""$clusterCteSql
+       |SELECT c.doc_id, c.component_id,
+       |       CASE WHEN ('0x' || substr(md5(c.component_id || ':split'), 1, 15))::BIGINT
+       |                 % $HoldoutMod = 0
+       |            THEN 'holdout' ELSE 'train' END AS split,
+       |       d.n_chars
+       |FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   // -------------------------------------------------------------------
   // q_inverted_index — the classic MapReduce inverted-index build
   // (token → document postings), the missing canonical shape from the
@@ -1816,6 +1861,7 @@ object Corpus {
     "q_perplexity_buckets" -> qPerplexityBuckets,
     "q_dedup_cluster"    -> qDedupCluster,
     "q_dedup_keep_best"  -> qDedupKeepBest,
+    "q_split_holdout"    -> qSplitHoldout,
     "q_inverted_index"   -> qInvertedIndex,
     "q_tfidf_topterms"   -> qTfidfTopterms,
     "q_repetition_score" -> qRepetitionScore,
@@ -1839,6 +1885,7 @@ object Corpus {
     "q_perplexity_buckets" -> qPerplexityBucketsSql,
     "q_dedup_cluster"    -> qDedupClusterSql,
     "q_dedup_keep_best"  -> qDedupKeepBestSql,
+    "q_split_holdout"    -> qSplitHoldoutSql,
     "q_inverted_index"   -> qInvertedIndexSql,
     "q_tfidf_topterms"   -> qTfidfToptermsSql,
     "q_repetition_score" -> qRepetitionScoreSql,

@@ -1110,7 +1110,130 @@ object Similarity {
        |SELECT qid, vec_id, score, rn FROM ranked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_select_mmr — Maximal Marginal Relevance diverse top-k: the
+  // retrieval-side counterpart of dedup. A plain cosine top-k returns
+  // near-duplicates of the best hit; MMR greedily picks
+  //   argmax over remaining of  λ·rel(c) − (1−λ)·max sim(c, selected)
+  // so each pick is relevant AND novel — the standard diversified
+  // selection for RAG context packing and eval-set curation.
+  //
+  // Scale shape (the two-phase bounded-selection discipline): phase 1 is
+  // distributed — one corpus scan against the broadcast query vector,
+  // cut to the MmrCand shortlist via orderBy().limit() →
+  // TakeOrderedAndProject (≤MmrCand rows cross the wire per partition).
+  // Phase 2, the greedy argmax chain, is inherently SEQUENTIAL (pick k
+  // depends on picks 1..k−1) over a set that is bounded BY CONSTRUCTION
+  // — so it runs on the driver over ONE ≤MmrCand-row collect, the same
+  // justification as the PQ codebook collects. No all-pairs over the
+  // corpus: only shortlist×shortlist sims (≤MmrCand²) are ever formed.
+  //
+  // Exactness: rel and pairwise sims are round(·,6) cosines; the
+  // greedy key λ·rel − (1−λ)·maxsim is computed from those rounded
+  // doubles by the same literal constants (0.7 / 0.3 — NOT 1−λ, whose
+  // double 0.30000000000000004 would diverge from the SQL literal) in
+  // index-order arithmetic on both engines, and ORDER BY uses the
+  // unrounded key with vec_id tiebreak on both sides.
+  // ------------------------------------------------------------------
+  val MmrCand = 32
+  val MmrK = 8
+
+  val qSelectMmr: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+              VectorFunctions.vecNorm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val shortlist = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+              round(VectorFunctions.vecDot(col("qe"), col("embedding"))
+                      / (col("qnrm") * col("nrm")), 6).as("rel"),
+              col("embedding"), col("nrm"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrCand)
+    val rows = shortlist.collect() // bounded: ≤ MmrCand rows
+    final case class C(id: Long, rel: Double, emb: Array[Float], nrm: Double)
+    val cs = rows.map(r => C(r.getLong(0), r.getDouble(1),
+                             r.getSeq[Float](2).toArray, r.getDouble(3)))
+    // Spark round(_, 6) semantics (BigDecimal HALF_UP), mirrored for the
+    // driver-side pair sims so they equal the oracle's round(_, 6).
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def sim(a: C, b: C): Double = { // FloatVectorDot's index-order loop
+      var acc = 0.0; var i = 0
+      while (i < a.emb.length) { acc += a.emb(i).toDouble * b.emb(i).toDouble; i += 1 }
+      r6(acc / (a.nrm * b.nrm))
+    }
+    val byId = cs.map(c => c.id -> c).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashSet(cs.map(_.id): _*)
+    while (selected.length < MmrK && remaining.nonEmpty) {
+      val best = remaining.toSeq.map { id =>
+        val c = byId(id)
+        val maxSim = if (selected.isEmpty) 0.0
+                     else selected.iterator.map(p => sim(c, byId(p._2))).max
+        (id, c.rel, 0.7 * c.rel - 0.3 * maxSim)
+      }.minBy { case (id, _, m) => (-m, id) }
+      selected += ((selected.length + 1L, best._1, best._2, r6(best._3)))
+      remaining -= best._1
+    }
+    import s.implicits._
+    selected.toSeq.toDF("sel_rank", "vec_id", "rel", "mmr")
+      .orderBy(col("sel_rank"))
+  }
+
+  val qSelectMmrSql: String = {
+    def dot(a: String, b: String): String =
+      s"""(SELECT SUM(CAST($a.embedding[i.i] AS DOUBLE)
+         |            * CAST($b.embedding[i.i] AS DOUBLE))
+         |  FROM generate_series(1, $Dim) i(i))""".stripMargin
+    def nrm(a: String): String =
+      s"""sqrt((SELECT SUM(CAST($a.embedding[i.i] AS DOUBLE) ** 2)
+         |  FROM generate_series(1, $Dim) i(i)))""".stripMargin
+    // One greedy pick: the SAME unrounded ordering key as the driver
+    // loop (λ·rel − (1−λ)·max sim to the already-picked set), vec_id
+    // tiebreak, then the key rounded for output.
+    def step(k: Int): String = {
+      val prev = s"s${k - 1}"
+      val key = s"""0.7 * c.rel - 0.3 * (SELECT max(p.sim) FROM pair p
+                   |      WHERE p.va = c.vec_id
+                   |        AND p.vb IN (SELECT vec_id FROM $prev))""".stripMargin
+      s"""s$k AS MATERIALIZED (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  (SELECT CAST($k AS BIGINT) AS sel_rank, c.vec_id, c.rel,
+         |          round($key, 6) AS mmr
+         |   FROM cand c
+         |   WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |   ORDER BY $key DESC, c.vec_id
+         |   LIMIT 1))""".stripMargin
+    }
+    s"""WITH qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |rel AS (
+       |  SELECT e.vec_id,
+       |         round(${dot("qv", "e")} / (${nrm("qv")} * ${nrm("e")}), 6)
+       |           AS rel
+       |  FROM embeddings e, qv WHERE e.vec_id <> 0),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT $MmrCand),
+       |pair AS MATERIALIZED (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |         round(${dot("ea", "eb")} / (${nrm("ea")} * ${nrm("eb")}), 6)
+       |           AS sim
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |s1 AS MATERIALIZED (
+       |  SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, rel,
+       |         round(0.7 * rel, 6) AS mmr
+       |  FROM cand ORDER BY 0.7 * rel DESC, vec_id LIMIT 1),
+       |${(2 to MmrK).map(step).mkString(",\n")}
+       |SELECT sel_rank, vec_id, rel, mmr FROM s$MmrK ORDER BY sel_rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_select_mmr"      -> qSelectMmr,
     "q_embed_project"   -> qEmbedProject,
     "q_ann_project"     -> qAnnProject,
     "q_cluster_topics"  -> qClusterTopics,
@@ -1125,6 +1248,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_select_mmr"      -> qSelectMmrSql,
     "q_embed_project"   -> qEmbedProjectSql,
     "q_ann_project"     -> qAnnProjectSql,
     "q_cluster_topics"  -> qClusterTopicsSql,

@@ -107,4 +107,26 @@ class AnnClusteredSpec extends AnyFunSuite {
       assert(keeper._4 == 0L, s"cell $cell: min-cent_cos member was dropped")
     }
   }
+
+  test("q_select_mmr: first pick is argmax-rel, picks unique, no pick beats its round's key") {
+    val sf = TestSpark.Sf
+    val sel = Similarity.qSelectMmr(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(sel.length == Similarity.MmrK)
+    assert(sel.map(_._1).toSeq == (1L to Similarity.MmrK.toLong),
+           "ranks must be 1..K")
+    assert(sel.map(_._2).distinct.length == sel.length, "picks must be unique")
+    // rank 1 is the plain argmax of relevance (MMR with empty selected
+    // set degenerates to relevance); its mmr is λ·rel
+    val top1 = sel.head
+    assert(sel.map(_._3).max == top1._3, "rank 1 must carry the max rel")
+    assert(math.abs(top1._4 - 0.7 * top1._3) < 1e-6)
+    // marginal scores of successive picks never increase: adding to the
+    // selected set can only raise the penalty term, and greedy takes the
+    // best remaining each round
+    sel.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 <= a._4 + 1e-9,
+             s"mmr must be non-increasing, got ${a._4} then ${b._4}")
+    }
+  }
 }

@@ -206,4 +206,28 @@ class CorpusSpec extends AnyFunSuite {
       assert(ids.length <= 5 && ids.sameElements(ids.sorted))
     }
   }
+
+  test("q_split_holdout: every doc assigned once, no component straddles the split") {
+    val rows = Corpus.qSplitHoldout(spark, sf)
+      .as[(Long, Long, String, Long)].collect()
+    assert(rows.length == Tables.documents(spark, sf).count(),
+           "split must cover every document exactly once")
+    // the leakage guarantee: one split per component
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.map(_._3).toSet.size == 1,
+             s"component $comp appears in both train and holdout")
+    }
+    // in particular every DUPLICATE pair q_dedup_cluster reports lands
+    // on one side — the property a per-doc hash split would violate
+    val dupComps = Corpus.qDedupCluster(spark, sf)
+      .select($"doc_id", $"component_id").as[(Long, Long)].collect()
+    val splitOf = rows.map(r => r._1 -> r._3).toMap
+    dupComps.groupBy(_._2).foreach { case (comp, members) =>
+      val sides = members.map(m => splitOf(m._1)).toSet
+      assert(sides.size == 1, s"duplicate component $comp leaks across split")
+    }
+    val holdFrac = rows.count(_._3 == "holdout").toDouble / rows.length
+    assert(holdFrac > 0.005 && holdFrac < 0.25,
+           s"holdout fraction $holdFrac implausible for a 1-in-20 draw")
+  }
 }
