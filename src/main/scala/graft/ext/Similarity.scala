@@ -1232,7 +1232,161 @@ object Similarity {
        |SELECT sel_rank, vec_id, rel, mmr FROM s$MmrK ORDER BY sel_rank""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q_embed_pca — top principal direction of the embedding corpus by
+  // distributed power iteration, and every vector's coordinate along
+  // it: the TRAINED projection that complements q_embed_project's
+  // random one (whitening, drift monitoring, PQ pre-rotation all start
+  // here). Classic two-phase decomposition:
+  //   phase 1 (distributed): per-dim mean, then the d×d second-moment
+  //     (Gram) matrix of centered vectors as ONE partial-aggregated
+  //     shuffle keyed on (i,j) — map-side each row fans out its d²
+  //     products, so the wire carries ≤ d²·partitions cells, never
+  //     rows. O(N·d²) work, O(d²) state: the standard scalable PCA
+  //     shape for d ≪ N (64 ≪ corpus).
+  //   phase 2 (driver, bounded): T power-iteration steps on the
+  //     collected d² = 4096-cell matrix (constant-size, the PQ-codebook
+  //     collect justification), then one distributed scoring pass.
+  //
+  // Exactness (the trained-funnel discipline): every cross-row / cross-
+  // term float sum — dim sums for the mean, Gram cells, matrix-vector
+  // products, the norm, the final projection — snaps per-term to
+  // 1e-6 micro-units and sums BIGINTs, so all accumulation is order-
+  // free; the remaining double ops (subtract, divide, sqrt, the loop
+  // itself) are IEEE-deterministic and identical on both engines. The
+  // oracle unrolls the T iterations as materialized CTE stages. Sign is
+  // fixed by making the largest-|v| component (ties → lowest dim)
+  // positive — computed on bit-identical doubles on both sides.
+  // ------------------------------------------------------------------
+  val PcaIters = 8
+
+  val qEmbedPca: Q = (s, d) => embedPca(Tables.embeddings(s, d))
+
+  /** Core of q_embed_pca over any (vec_id, embedding: array<float>,
+    * label) frame — split out so specs can feed a crafted corpus with a
+    * known principal direction.
+    */
+  def embedPca(e: DataFrame): DataFrame = {
+    require(Dim == 64, "v0 literal 0.125 is 1/sqrt(Dim) for Dim = 64")
+    // phase-1a: per-dim micro-unit sums + the corpus count (one job,
+    // d-bounded collect)
+    val dimRows = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(round(col("x").cast("double") * 1e6).cast("long")).as("s_u"),
+           count(lit(1)).as("n"))
+      .collect()
+    val nVec = if (dimRows.isEmpty) 1L else dimRows.head.getLong(2)
+    val mean = Array.ofDim[Double](Dim)
+    dimRows.foreach(r =>
+      mean(r.getInt(0)) = r.getLong(1).toDouble / 1e6 / nVec)
+    val meanLit = typedLit(mean.toSeq)
+    val centered = zip_with(col("embedding"), meanLit,
+                            (x, m) => x.cast("double") - m)
+    // phase-1b: Gram cells — map-side d² fan-out, ONE shuffle on (i,j),
+    // d²-bounded collect
+    val idx = sequence(lit(0), lit(Dim - 1))
+    val cells = flatten(transform(idx, i => transform(idx, j =>
+      struct(i.as("i"), j.as("j"),
+             round(element_at(col("c"), i + 1) * element_at(col("c"), j + 1)
+                     * 1e6).cast("long").as("t")))))
+    val gramRows = e.select(centered.as("c"))
+      .select(explode(cells).as("cell"))
+      .groupBy(col("cell.i").as("i"), col("cell.j").as("j"))
+      .agg(sum(col("cell.t")).as("g_u"))
+      .collect() // bounded: d² = 4096 cells, constant in corpus size
+    val g = Array.ofDim[Double](Dim, Dim)
+    gramRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getLong(2) / 1e6)
+    // phase-2: power iteration, micro-unit-snapped like the oracle CTEs.
+    // SQL round() is half-AWAY-FROM-ZERO; Scala math.round is half-
+    // toward-+inf (differs on negative .5 terms), so snap with the same
+    // away-from-zero rule the engines use.
+    def snap(x: Double): Long =
+      (math.signum(x) * math.floor(math.abs(x) + 0.5)).toLong
+    var v = Array.fill(Dim)(0.125) // 1/sqrt(64)
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(Dim) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < Dim) {
+          acc += snap(g(i)(j) * v(j) * 1e6); j += 1
+        }
+        acc / 1e6
+      }
+      val norm2u = w.map(x => snap(x * x * 1e6)).sum
+      val norm = math.sqrt(norm2u / 1e6)
+      v = if (norm == 0.0) w else w.map(_ / norm)
+    }
+    val top = (0 until Dim).minBy(i => (-math.abs(v(i)), i))
+    if (v(top) < 0) v = v.map(-_)
+    // scoring pass: distributed, map-only over the corpus
+    val vLit = typedLit(v.toSeq)
+    e.select(col("vec_id"), col("label"), centered.as("c"))
+      .select(col("vec_id"), col("label"),
+              round(aggregate(zip_with(col("c"), vLit,
+                                       (c, vv) => round(c * vv * 1e6).cast("long")),
+                              lit(0L), (acc, t) => acc + t)
+                      / 1e6, 6).as("proj"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qEmbedPcaSql: String = {
+    // one power-iteration stage: w = snap(G·v), v' = w / ||w||
+    def iter(k: Int): String = {
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS (
+         |  SELECT g.gi AS j,
+         |         CAST(SUM(CAST(round(g.g * v.v * 1000000.0, 0) AS BIGINT))
+         |              AS DOUBLE) / 1000000.0 AS w
+         |  FROM gram g JOIN $prev v ON g.gj = v.j GROUP BY 1),
+         |n$k AS (
+         |  SELECT sqrt(CAST(SUM(CAST(round(w.w * w.w * 1000000.0, 0)
+         |                            AS BIGINT)) AS DOUBLE) / 1000000.0)
+         |           AS nm
+         |  FROM w$k w),
+         |v$k AS MATERIALIZED (
+         |  SELECT w.j, CASE WHEN n.nm = 0 THEN w.w ELSE w.w / n.nm END AS v
+         |  FROM w$k w, n$k n)""".stripMargin
+    }
+    s"""WITH nn AS (SELECT CASE WHEN count(*) = 0 THEN 1
+       |                        ELSE CAST(count(*) AS BIGINT) END AS n
+       |            FROM embeddings),
+       |su AS (
+       |  SELECT i.i AS j,
+       |         SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000000.0, 0)
+       |                  AS BIGINT)) AS s_u
+       |  FROM embeddings, generate_series(1, $Dim) i(i) GROUP BY 1),
+       |mean AS MATERIALIZED (
+       |  SELECT j, CAST(s_u AS DOUBLE) / 1000000.0 / nn.n AS m
+       |  FROM su, nn),
+       |cent AS MATERIALIZED (
+       |  SELECT e.vec_id, m.j,
+       |         CAST(e.embedding[m.j] AS DOUBLE) - m.m AS c
+       |  FROM embeddings e CROSS JOIN mean m),
+       |gram AS MATERIALIZED (
+       |  SELECT a.j AS gi, b.j AS gj,
+       |         CAST(SUM(CAST(round(a.c * b.c * 1000000.0, 0) AS BIGINT))
+       |              AS DOUBLE) / 1000000.0 AS g
+       |  FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |v0 AS (SELECT i.i AS j, 0.125 AS v FROM generate_series(1, $Dim) i(i)),
+       |${(1 to PcaIters).map(iter).mkString(",\n")},
+       |sgn AS (
+       |  SELECT CASE WHEN (SELECT v FROM v$PcaIters
+       |                    ORDER BY abs(v) DESC, j LIMIT 1) < 0
+       |              THEN -1.0 ELSE 1.0 END AS s),
+       |vf AS MATERIALIZED (
+       |  SELECT v.j, v.v * s.s AS v FROM v$PcaIters v, sgn s)
+       |SELECT e.vec_id, e.label,
+       |       round(CAST(SUM(CAST(round(c.c * v.v * 1000000.0, 0) AS BIGINT))
+       |                  AS DOUBLE) / 1000000.0, 6) AS proj
+       |FROM cent c JOIN vf v ON v.j = c.j
+       |JOIN embeddings e ON e.vec_id = c.vec_id
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_pca"       -> qEmbedPca,
     "q_select_mmr"      -> qSelectMmr,
     "q_embed_project"   -> qEmbedProject,
     "q_ann_project"     -> qAnnProject,
@@ -1248,6 +1402,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_embed_pca"       -> qEmbedPcaSql,
     "q_select_mmr"      -> qSelectMmrSql,
     "q_embed_project"   -> qEmbedProjectSql,
     "q_ann_project"     -> qAnnProjectSql,

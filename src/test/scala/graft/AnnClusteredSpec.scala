@@ -129,4 +129,34 @@ class AnnClusteredSpec extends AnyFunSuite {
              s"mmr must be non-increasing, got ${a._4} then ${b._4}")
     }
   }
+
+  test("embedPca: recovers a planted principal direction") {
+    // 200 vectors t·u along one unit direction u (axes 0 and 1, equal
+    // weight), t symmetric around 0 plus a tiny fixed offset on axis 5
+    // so centering matters. Dominant eigenvector of the covariance is
+    // ±u; each vector's projection must be (t - mean t)·1 up to the
+    // micro-unit snapping, with the sign convention making the largest
+    // |v| component positive.
+    val r2 = 1.0 / math.sqrt(2.0)
+    val rows = (0 until 200).map { k =>
+      val t = (k - 100).toDouble / 10.0 // -10.0 .. 9.9
+      val emb = Array.fill(64)(0.0f)
+      emb(0) = (t * r2).toFloat
+      emb(1) = (t * r2).toFloat
+      emb(5) = 0.25f
+      (k.toLong, emb.toSeq, k % 3)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val got = Similarity.embedPca(df)
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    assert(got.length == 200)
+    val tMean = rows.map(r => (r._1 - 100).toDouble / 10.0).sum / 200.0
+    got.foreach { case (id, _, proj) =>
+      val t = (id - 100).toDouble / 10.0
+      assert(math.abs(proj - (t - tMean)) < 1e-3,
+             s"vec $id: proj $proj != centered coordinate ${t - tMean}")
+    }
+    // sign convention: the projections of increasing t must increase
+    assert(got.last._3 > got.head._3)
+  }
 }
