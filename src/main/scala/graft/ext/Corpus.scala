@@ -562,6 +562,77 @@ object Corpus {
        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_token_shards — GLOBAL token-balanced contiguous sharding: split
+  // the corpus, in canonical (source, doc_id) order, into TokenShards
+  // shards of ≈equal token mass with documents kept whole — the shard
+  // layout a training run reads. Where q_pack_sequences hash-scatters
+  // docs then packs within shards, this keeps the global order (so a
+  // shard is a contiguous corpus range — resumable, cache-friendly)
+  // and balances by the GLOBAL token prefix sum.
+  //
+  // The global running sum is the scale trap: a naive unpartitioned
+  // window funnels the corpus through one task (the Exchange
+  // SinglePartition anti-pattern PlanAudit hunts). Instead, the
+  // standard two-level decomposition:
+  //   level 1: within-source running sums — windows PARTITIONED BY
+  //     source, all sources in parallel;
+  //   level 2: per-source token totals (a bounded-cardinality agg,
+  //     ≤ |sources| rows) collected once, exclusive-prefix-summed on
+  //     the driver, and broadcast-joined back as per-source offsets.
+  //   global_prefix = source_offset + within_source_prefix.
+  // Shard id is then pure integer arithmetic (prefix·S div total,
+  // capped) — no floats, exact on both engines.
+  // -------------------------------------------------------------------
+  val TokenShards = 16
+
+  val qTokenShards: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              size(Ops.tokens(col("text"))).cast("bigint").as("n_toks"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = toks
+      .withColumn("cum_src", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+    // level-2 totals: bounded by the source count (a corpus has a
+    // handful of sources; 100 TB changes doc counts, not source counts)
+    val totals = toks.groupBy(col("source")).agg(sum(col("n_toks")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val grand = math.max(1L, totals.map(_._2).sum) // guard empty corpus
+    var acc = 0L
+    val offsets = totals.map { case (src, t) => val o = acc; acc += t; (src, o) }
+    import s.implicits._
+    val offDf = offsets.toSeq.toDF("source", "offset")
+    within.join(broadcast(offDf), Seq("source"))
+      .withColumn("gcum", col("offset") + col("cum_src"))
+      .withColumn("shard",
+        least(lit((TokenShards - 1).toLong),
+              expr(s"gcum * $TokenShards DIV $grand")))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("shard"))
+  }
+
+  val qTokenShardsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_toks,
+       |         COALESCE(SUM(n_toks) OVER (ORDER BY source, doc_id
+       |                                    ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                    AND 1 PRECEDING), 0) AS gcum
+       |  FROM t),
+       |g AS (SELECT CASE WHEN COALESCE(SUM(n_toks), 0) = 0 THEN 1
+       |                  ELSE CAST(SUM(n_toks) AS BIGINT) END AS grand
+       |      FROM t)
+       |SELECT CAST(LEAST(CAST(${TokenShards - 1} AS BIGINT),
+       |                  gcum * $TokenShards // g.grand) AS BIGINT) AS shard,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |FROM c, g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // q_contamination — benchmark decontamination: for every corpus doc,
   // its word-5-gram overlap with a deterministic "benchmark" subset
   // (doc_id % 50 == 0, so the set scales with the corpus). The classic
@@ -1867,6 +1938,7 @@ object Corpus {
     "q_repetition_score" -> qRepetitionScore,
     "q_pii_scrub"        -> qPiiScrub,
     "q_pack_sequences"   -> qPackSequences,
+    "q_token_shards"     -> qTokenShards,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1891,5 +1963,6 @@ object Corpus {
     "q_repetition_score" -> qRepetitionScoreSql,
     "q_pii_scrub"        -> qPiiScrubSql,
     "q_pack_sequences"   -> qPackSequencesSql,
+    "q_token_shards"     -> qTokenShardsSql,
   )
 }

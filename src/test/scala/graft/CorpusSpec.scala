@@ -230,4 +230,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(holdFrac > 0.005 && holdFrac < 0.25,
            s"holdout fraction $holdFrac implausible for a 1-in-20 draw")
   }
+
+  test("q_token_shards: whole docs, every shard within one doc of the ideal token mass") {
+    val shards = Corpus.qTokenShards(spark, sf)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val docs = Tables.documents(spark, sf)
+    assert(shards.map(_._2).sum == docs.count(), "every doc in exactly one shard")
+    val totalToks = shards.map(_._3).sum
+    val maxDoc = docs
+      .select(max(size(split(col("text"), " "))).cast("long")).as[Long].head()
+    val ideal = totalToks.toDouble / Corpus.TokenShards
+    shards.foreach { case (id, _, toks) =>
+      assert(toks <= ideal + maxDoc,
+             s"shard $id carries $toks tokens vs ideal $ideal + max-doc $maxDoc")
+    }
+    // contiguity of the prefix-sum cut: shard ids are dense 0..k
+    assert(shards.map(_._1).toSeq == (0L until shards.length.toLong))
+  }
 }
