@@ -755,7 +755,98 @@ object Dedup {
        |FROM toks t LEFT JOIN kept k USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_winnow_fingerprint — winnowing document fingerprints (Schleimer/
+  // Wilkerson/Aiken, the MOSS algorithm): hash every K-token gram, then
+  // keep each W-window's MINIMUM hash. Guarantees: any shared run of
+  // K+W−1 tokens between two docs yields at least one shared
+  // fingerprint, while only ~2/(W+1) of gram hashes survive — the
+  // principled density/recall trade that plain "sample every Nth gram"
+  // sampling lacks. Output: the top shared-fingerprint doc pairs (the
+  // plagiarism-detection shape).
+  //
+  // Note on the classic rightmost-tie rule: winnowing records (pos,
+  // hash) and breaks min ties by rightmost position; this operator's
+  // downstream dedups by hash VALUE per doc, under which the tie rule
+  // is unobservable — each window contributes exactly min(window)
+  // regardless of which position carried it. So selection is simply
+  // distinct-over-windows of array_min, identical on both engines.
+  //
+  // Scale shape: gram hashing + window minima + per-doc dedup are ALL
+  // map-side array ops (no shuffle until fingerprints are ~60% fewer
+  // than grams); the only shuffles are the fingerprint group-by and
+  // the capped bucket self-join (df ≤ WinnowMaxDf, the MaxGramDf
+  // discipline — a fingerprint every doc shares is evidence of
+  // boilerplate, not a pair candidate). Top pairs cut by
+  // orderBy().limit() → TakeOrderedAndProject.
+  // ------------------------------------------------------------------
+  val WinnowK = 4   // tokens per gram
+  val WinnowW = 4   // grams per window
+  val WinnowMaxDf = 64L
+  val WinnowTop = 20
+
+  val qWinnowFingerprint: Q = (s, d) => winnowPairs(Tables.documents(s, d))
+
+  /** Core of q_winnow_fingerprint over any (doc_id, text) frame — split
+    * out so specs can plant a known shared token run and exercise the
+    * winnowing guarantee directly.
+    */
+  def winnowPairs(docs: DataFrame): DataFrame = {
+    val toks = Ops.tokens(col("text"))
+    val emptyLongs = array().cast("array<bigint>")
+    val base = docs
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("ng", greatest(size(col("t")) - (WinnowK - 1), lit(0)))
+      .withColumn("g",
+        when(col("ng") >= 1, transform(sequence(lit(1), col("ng")), i =>
+          conv(substring(md5(concat(array_join(slice(col("t"), i, lit(WinnowK)), " "),
+                                    lit(":wf"))), 1, 15), 16, 10)
+            .cast("bigint"))).otherwise(emptyLongs))
+      .withColumn("nw", greatest(col("ng") - (WinnowW - 1), lit(0)))
+      .withColumn("fps",
+        when(col("nw") >= 1, array_distinct(
+          transform(sequence(lit(1), col("nw")),
+                    w => array_min(slice(col("g"), w, lit(WinnowW))))))
+          .otherwise(emptyLongs))
+    val fp = base.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val kept = fp.join(
+      fp.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+        .filter(col("c") <= WinnowMaxDf).select(col("fp")),
+      Seq("fp"))
+    kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(WinnowTop)
+  }
+
+  val qWinnowFingerprintSql: String =
+    s"""WITH garr AS (
+       |  SELECT doc_id,
+       |         list_transform(
+       |           range(greatest(len(string_split(text, ' ')) - ${WinnowK - 1}, 0)),
+       |           i -> ('0x' || substr(md5(array_to_string(
+       |                   string_split(text, ' ')[i+1:i+$WinnowK], ' ')
+       |                     || ':wf'), 1, 15))::BIGINT) AS g
+       |  FROM documents),
+       |fps AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(
+       |           range(greatest(len(g) - ${WinnowW - 1}, 0)),
+       |           s -> list_min(g[s+1:s+$WinnowW]))) AS fp
+       |  FROM garr),
+       |df AS (SELECT fp FROM fps GROUP BY 1 HAVING count(*) <= $WinnowMaxDf)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |FROM fps a
+       |JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+       |JOIN df ON df.fp = a.fp
+       |GROUP BY 1, 2
+       |ORDER BY 3 DESC, 1, 2 LIMIT $WinnowTop""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_winnow_fingerprint" -> qWinnowFingerprint,
     "q_dedup_substring" -> qDedupSubstring,
     "q_source_overlap" -> qSourceOverlap,
     "q_dup_span_mass" -> qDupSpanMass,
@@ -769,6 +860,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_winnow_fingerprint" -> qWinnowFingerprintSql,
     "q_dedup_substring" -> qDedupSubstringSql,
     "q_source_overlap" -> qSourceOverlapSql,
     "q_dup_span_mass" -> qDupSpanMassSql,

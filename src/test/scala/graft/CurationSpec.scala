@@ -367,4 +367,24 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(ratio - dup.toDouble / n) == 0.0)
     }
   }
+
+  test("winnowPairs: a shared K+W-1 token run guarantees a shared fingerprint") {
+    // Docs 1 and 2 embed the same 7-token run (= WinnowK + WinnowW - 1,
+    // the winnowing guarantee length) inside otherwise-disjoint text;
+    // doc 3 shares nothing. The guarantee: (1,2) must surface with
+    // n_shared >= 1; no pair may involve doc 3.
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"red blue green $shared yellow purple orange pink brown black"),
+      (2L, s"one two three four $shared five six seven eight nine ten"),
+      (3L, "completely different words with no overlap at all here friend " +
+           "more filler tokens keep the document long enough for windows"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1L),
+           s"planted shared run must yield a shared fingerprint, got ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+           "doc 3 shares no content and must not pair")
+  }
 }
