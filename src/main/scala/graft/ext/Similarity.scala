@@ -1283,20 +1283,18 @@ object Similarity {
     val meanLit = typedLit(mean.toSeq)
     val centered = zip_with(col("embedding"), meanLit,
                             (x, m) => x.cast("double") - m)
-    // phase-1b: Gram cells — map-side d² fan-out, ONE shuffle on (i,j),
-    // d²-bounded collect
-    val idx = sequence(lit(0), lit(Dim - 1))
-    val cells = flatten(transform(idx, i => transform(idx, j =>
-      struct(i.as("i"), j.as("j"),
-             round(element_at(col("c"), i + 1) * element_at(col("c"), j + 1)
-                     * 1e6).cast("long").as("t")))))
-    val gramRows = e.select(centered.as("c"))
-      .select(explode(cells).as("cell"))
-      .groupBy(col("cell.i").as("i"), col("cell.j").as("j"))
-      .agg(sum(col("cell.t")).as("g_u"))
-      .collect() // bounded: d² = 4096 cells, constant in corpus size
-    val g = Array.ofDim[Double](Dim, Dim)
-    gramRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getLong(2) / 1e6)
+    // phase-1b: Gram cells — the native GramMatrixAgg accumulates all d²
+    // snapped products per partition in a tight primitive loop (one
+    // 32 KiB long buffer per partition crosses the wire; the former
+    // d²-struct explode pushed 82M interpreted allocations through a
+    // shuffle at 10× for the same bit-identical cells)
+    import org.apache.spark.sql.graftshim.{GramMatrixAgg, Shim}
+    val gramFlat = e
+      .agg(Shim.column(
+        GramMatrixAgg(Shim.expression(col("embedding")), mean, Dim)
+          .toAggregateExpression()).as("g"))
+      .head().getSeq[Long](0) // bounded: d² = 4096 cells, constant
+    val g = Array.tabulate(Dim, Dim)((i, j) => gramFlat(i * Dim + j) / 1e6)
     // phase-2: power iteration, micro-unit-snapped like the oracle CTEs.
     // SQL round() is half-AWAY-FROM-ZERO; Scala math.round is half-
     // toward-+inf (differs on negative .5 terms), so snap with the same
