@@ -52,6 +52,164 @@ object Dedup {
       |FROM documents GROUP BY 1, 2, 3 HAVING count(*) > 1
       |ORDER BY canonical_id""".stripMargin
 
+  // Shared by the Jaccard and containment funnels below; declared ahead
+  // of both because eager `val` SQL strings interpolate it at object
+  // init (declaration order matters — a forward reference reads 0).
+  val MaxGramDf = 16L
+
+  // ------------------------------------------------------------------
+  // q_dedup_editdist — EDIT-DISTANCE verification of blocked candidate
+  // pairs: the third verifier in the near-dup family (Jaccard counts
+  // shared grams, MinHash approximates it, Levenshtein measures the
+  // actual character-level rewrite cost — the metric that separates
+  // "same doc, small patch" from "same template, different content").
+  // Candidates come from the same deterministic blocking signature as
+  // q_dedup_block (lang, 100-char length bucket, normalized prefix);
+  // the expensive O(len²) DP runs ONLY inside blocks, on a bounded
+  // 160-char normalized prefix, so per-pair cost is a constant.
+  //
+  // Scale shape: one scan → partial-aggregated block census → census
+  // equi-join back (drops singleton docs AND caps pathological blocks
+  // at MaxEdBlock before any pairing, the MaxGramDf discipline) → an
+  // in-block self-join whose pair count is ≤ MaxEdBlock × docs, linear
+  // in corpus size by construction. levenshtein() is a codegen'd
+  // built-in on both engines with identical unicode-codepoint DP
+  // semantics, so the distance — and therefore the ≤ MaxEditDist cut —
+  // is exact cross-engine.
+  // ------------------------------------------------------------------
+  val EdPrefixLen = 160
+  val MaxEditDist = 40L
+  val MaxEdBlock = 32L
+
+  val qDedupEditdist: Q = (s, d) => dedupEditdist(Tables.documents(s, d))
+
+  /** The blocked-pair Levenshtein verifier over any `documents`-shaped
+    * frame (doc_id, text, lang, n_chars) — factored for crafted-corpus
+    * specs.
+    */
+  def dedupEditdist(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(
+      col("doc_id"), col("lang"),
+      floor(col("n_chars") / 100.0).cast("bigint").as("len_bucket"),
+      substring(Ops.normalizeText(col("text")), 1, EdPrefixLen).as("np"))
+      .withColumn("pk", substring(col("np"), 1, 16))
+    val census = docs.groupBy(col("lang"), col("len_bucket"), col("pk"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2 && col("n_docs") <= MaxEdBlock)
+    val blocked = docs.join(census, Seq("lang", "len_bucket", "pk"))
+    val a = blocked.select(col("lang"), col("len_bucket"), col("pk"),
+                           col("doc_id").as("doc_a"), col("np").as("np_a"))
+    val b = blocked.select(col("lang"), col("len_bucket"), col("pk"),
+                           col("doc_id").as("doc_b"), col("np").as("np_b"))
+    a.join(b, Seq("lang", "len_bucket", "pk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              levenshtein(col("np_a"), col("np_b")).cast("bigint")
+                .as("edit_dist"))
+      .filter(col("edit_dist") <= MaxEditDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDedupEditdistSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_bucket,
+       |         substring(lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
+       |                   1, $EdPrefixLen) AS np
+       |  FROM documents),
+       |blocked AS (
+       |  SELECT doc_id, lang, len_bucket, np, substring(np, 1, 16) AS pk
+       |  FROM docs
+       |  QUALIFY count(*) OVER (PARTITION BY lang, len_bucket, substring(np, 1, 16))
+       |          BETWEEN 2 AND $MaxEdBlock)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(levenshtein(a.np, b.np) AS BIGINT) AS edit_dist
+       |FROM blocked a JOIN blocked b
+       |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+       | AND a.pk = b.pk AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.np, b.np) <= $MaxEditDist
+       |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_containment — asymmetric shingle CONTAINMENT (Broder's c(A,B) =
+  // |A∩B| / min(|A|,|B|)): the quote/subset detector Jaccard misses.
+  // A short document wholly quoted inside a long one scores near 1.0
+  // containment but low Jaccard (the union is dominated by the long
+  // doc), so this is the operator a curation pipeline runs to catch
+  // excerpt-level duplication across length classes — which is exactly
+  // why it does NOT block on a length bucket, only on lang.
+  //
+  // Scale shape: identical inverted-index funnel to q_ngram_jaccard —
+  // per-lang gram document-frequency cap (≤ MaxGramDf) before the
+  // self-join bounds candidate pairs at MaxGramDf × postings; df=1
+  // postings never enter the join; 5-word shingles (rarer than the
+  // Jaccard 3-grams) keep the rare-gram set discriminative. The final
+  // containment is an int/int division — bit-identical cross-engine.
+  // ------------------------------------------------------------------
+  val ContainShingleK = 5
+
+  val qContainment: Q = (s, d) => containmentPairs(Tables.documents(s, d))
+
+  /** Asymmetric shingle containment over any `documents`-shaped frame
+    * (doc_id, text, lang) — factored for crafted-corpus specs.
+    */
+  def containmentPairs(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"), col("lang"),
+              Ops.shingles(Ops.tokens(col("text")), ContainShingleK).as("grams"))
+    val inv0 = docs.select(col("lang"), col("doc_id"),
+                           explode(col("grams")).as("gram_text"))
+      .select(col("lang"), col("doc_id"), xxhash64(col("gram_text")).as("gram"))
+    val dfreq = inv0.groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("gram_df"))
+      .filter(col("gram_df") <= MaxGramDf)
+    val rare = inv0.join(dfreq, Seq("lang", "gram"))
+    val nRare = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val shared = rare.filter(col("gram_df") >= 2)
+    val a = shared.select(col("lang"), col("gram"), col("doc_id").as("doc_a"))
+    val b = shared.select(col("lang"), col("gram"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("lang", "gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(nRare.select(col("doc_id").as("doc_a"), col("n_grams").as("n_a")),
+            Seq("doc_a"))
+      .join(nRare.select(col("doc_id").as("doc_b"), col("n_grams").as("n_b")),
+            Seq("doc_b"))
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qContainmentSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, lang,
+       |         list_distinct(list_transform(
+       |           range(greatest(len(string_split(text, ' ')) - ${ContainShingleK - 1}, 1)),
+       |           i -> array_to_string(string_split(text, ' ')[i+1:i+$ContainShingleK], ' '))) AS grams
+       |  FROM documents),
+       |inv AS (
+       |  SELECT doc_id, lang, unnest(grams) AS gram FROM sh),
+       |rare AS (
+       |  SELECT doc_id, lang, gram FROM inv
+       |  QUALIFY count(*) OVER (PARTITION BY lang, gram) <= $MaxGramDf),
+       |n AS (SELECT doc_id, count(*) AS n_grams FROM rare GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM rare a JOIN rare b
+       |    ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |       CAST(p.n_common AS DOUBLE) / least(na.n_grams, nb.n_grams)
+       |         AS containment
+       |FROM pairs p
+       |JOIN n na ON p.doc_a = na.doc_id
+       |JOIN n nb ON p.doc_b = nb.doc_id
+       |WHERE CAST(p.n_common AS DOUBLE) / least(na.n_grams, nb.n_grams) >= 0.6
+       |ORDER BY 1, 2""".stripMargin
+
   // Word-3-gram Jaccard near-dup within deterministic blocks
   // (lang, n_chars/20): all-pairs only *inside* a block, so the pair count
   // stays linear-ish in corpus size as long as blocks stay bounded.
@@ -63,7 +221,7 @@ object Dedup {
   // carries no discriminative signal — and the Jaccard is computed over
   // each doc's RARE gram set. Total candidate pairs are then bounded by
   // MaxGramDf × total postings: linear in corpus size by construction.
-  val MaxGramDf = 16L
+  // (MaxGramDf itself is declared above the containment block.)
 
   val qNgramJaccard: Q = (s, d) => {
     // Inverted-index formulation: explode each doc's (distinct) grams and
@@ -839,6 +997,8 @@ object Dedup {
        |ORDER BY 3 DESC, 1, 2 LIMIT $WinnowTop""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q_dedup_editdist" -> qDedupEditdist,
+    "q_containment" -> qContainment,
     "q_winnow_fingerprint" -> qWinnowFingerprint,
     "q_dedup_substring" -> qDedupSubstring,
     "q_source_overlap" -> qSourceOverlap,
@@ -853,6 +1013,8 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_editdist" -> qDedupEditdistSql,
+    "q_containment" -> qContainmentSql,
     "q_winnow_fingerprint" -> qWinnowFingerprintSql,
     "q_dedup_substring" -> qDedupSubstringSql,
     "q_source_overlap" -> qSourceOverlapSql,

@@ -709,7 +709,72 @@ object TextOps {
        |         AS rec
        |FROM agg CROSS JOIN npos ORDER BY t""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_readability — Flesch-style reading-ease per document, the classic
+  // rule-based quality signal (Gopher's readability band, pre-neural
+  // CCNet-era filtering). Components are pure per-row counts: alphabetic
+  // words (the corpus tokenizer's ^[a-z]+$ discipline), sentence
+  // boundaries (runs of [.!?], floored at 1 so punctuation-free docs
+  // stay defined), and a syllable proxy (vowel-group runs per word,
+  // floored at 1 — the standard heuristic). The score is the Flesch
+  // formula in MILLI-units over BIGINT floor divisions — no doubles
+  // anywhere, so the oracle matches bit-for-bit at any parallelism:
+  //   flesch_milli = 206835 − 1015·words∕sentences − 84600·syll∕words.
+  //
+  // Scale shape: a single scan, zero joins, zero shuffles before the
+  // final per-doc projection — every count folds into one codegen'd
+  // per-row expression (the HOF sum is per-row, vocabulary-free).
+  // ------------------------------------------------------------------
+  val qReadability: Q = (s, d) => readability(Tables.documents(s, d))
+
+  /** Flesch-milli readability over any frame with (doc_id, text) —
+    * factored for crafted-corpus specs.
+    */
+  def readability(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w rlike '^[a-z]+$')").as("ws"),
+        greatest(lit(1),
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")))
+          .cast("bigint").as("n_sentences"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("bigint").as("n_words"),
+        col("n_sentences"),
+        expr("""aggregate(ws, 0L, (acc, w) ->
+                  acc + greatest(1L, bigint(size(
+                    regexp_extract_all(w, '[aeiouy]+', 0)))))""")
+          .as("n_syllables"))
+      .filter(col("n_words") >= 1)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+              col("n_syllables"),
+              expr("""206835L - (1015L * n_words) DIV n_sentences
+                      - (84600L * n_syllables) DIV n_words""")
+                .as("flesch_milli"))
+      .orderBy(col("doc_id"))
+
+  val qReadabilitySql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(text, ' '),
+      |                     w -> regexp_matches(w, '^[a-z]+$')) AS ws,
+      |         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+      |              AS BIGINT) AS n_sentences
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |         CAST(len(ws) AS BIGINT) AS n_words,
+      |         n_sentences,
+      |         CAST(coalesce(list_sum(list_transform(ws,
+      |                w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))),
+      |              0) AS BIGINT) AS n_syllables
+      |  FROM f)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |       206835 - (1015 * n_words) // n_sentences
+      |              - (84600 * n_syllables) // n_words AS flesch_milli
+      |FROM c WHERE n_words >= 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_readability" -> qReadability,
     "q_threshold_sweep" -> qThresholdSweep,
     "q_quality_classifier" -> qQualityClassifier,
     "q_feature_hash"   -> qFeatureHash,
@@ -724,6 +789,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_readability" -> qReadabilitySql,
     "q_threshold_sweep" -> qThresholdSweepSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_feature_hash"   -> qFeatureHashSql,

@@ -387,4 +387,69 @@ class CurationSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
            "doc 3 shares no content and must not pair")
   }
+
+  test("dedupEditdist: patched twin pairs with exact distance, stranger excluded") {
+    // Docs 1 and 2: identical 30-token text except one token patched
+    // ("alpha" -> "alphq", distance 1). Same lang, same n_chars bucket,
+    // shared 16-char normalized prefix. Doc 3 shares the block key
+    // prefix rules but exceeds MaxEditDist everywhere after its prefix.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val twin = base.replace("tok20", "tokQQ").toLowerCase
+    val far = base.take(16) + ("z" * (base.length - 16))
+    val docs = Seq(
+      (1L, base, "en", base.length.toLong),
+      (2L, twin, "en", twin.length.toLong),
+      (3L, far, "en", far.length.toLong))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = Dedup.dedupEditdist(docs).as[(Long, Long, Long)].collect()
+    // "tok20" -> "tokqq": 2 substituted chars at one site.
+    assert(got.toSeq == Seq((1L, 2L, 2L)),
+           s"expected exactly the patched twin at distance 2, got ${got.toSeq}")
+  }
+
+  test("containmentPairs: full quote scores 1.0 despite low jaccard") {
+    // Doc 1 is wholly quoted inside doc 2 (every 5-gram of doc 1 appears
+    // in doc 2), but doc 2 is 4x longer, so jaccard is far below the
+    // containment. Doc 3 is disjoint.
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val host = (1 to 30).map(i => s"h$i").mkString(" ") + " " + quote +
+      " " + (31 to 60).map(i => s"h$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote, "en"), (2L, host, "en"), (3L, other, "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.containmentPairs(docs)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L,
+           s"only the quote pair may surface, got ${got.toSeq}")
+    // All 8 of doc 1's 5-grams (12 tokens) appear in doc 2.
+    assert(got.head._3 == 8L && got.head._4 == 1.0,
+           s"full containment expected, got ${got.head}")
+  }
+
+  test("readability: hand-computed flesch components are exact") {
+    // 6 alpha words, 2 sentence-punctuation runs, 6 single-vowel-group
+    // syllables: flesch_milli = 206835 - (1015*6)/2 - (84600*6)/6.
+    val docs = Seq(
+      (1L, "the cat sat . a dog ran !"),
+      (2L, "")) // zero alpha words -> filtered out
+      .toDF("doc_id", "text")
+    val got = TextOps.readability(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 6L, 2L, 6L, 206835L - 3045L - 84600L)),
+           s"got ${got.toSeq}")
+  }
+
+  test("q_readability: one row per alpha-bearing doc, syllables >= words") {
+    val rows = TextOps.qReadability(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val expect = Tables.documents(spark, sf)
+      .filter(size(expr("filter(split(text, ' '), w -> w rlike '^[a-z]+$')")) >= 1)
+      .count()
+    assert(rows.length == expect)
+    rows.foreach { case (id, w, s, y, _) =>
+      assert(w >= 1 && s >= 1 && y >= w,
+             s"doc $id: every alpha word carries >= 1 syllable")
+    }
+  }
 }
