@@ -1261,7 +1261,14 @@ object Corpus {
     * assert exact merge tables on crafted corpora. Output:
     * (iter, left_sym, right_sym, pair_count) in learned order.
     */
-  def bpeMerges(s: SparkSession, docs: DataFrame): DataFrame = {
+  def bpeMerges(s: SparkSession, docs: DataFrame): DataFrame =
+    bpeMergesVia(s, docs, BpeDriverVocabMax)
+
+  /** [[bpeMerges]] with an explicit driver-vocab budget — `0` forces the
+    * distributed loop (specs pin local == distributed on real corpora).
+    */
+  private[graft] def bpeMergesVia(
+      s: SparkSession, docs: DataFrame, driverMax: Int): DataFrame = {
     import s.implicits._
     // The corpus is touched exactly ONCE: the word-frequency table is
     // persisted and every merge iteration runs against it (vocabulary
@@ -1275,20 +1282,85 @@ object Corpus {
                 .as("sym"),
               col("freq"))
       .persist()
-    // The merge loop is NumMerges serial micro-jobs over the (small)
-    // vocab table; AQE's per-stage materialization barriers and
-    // re-optimization dominate such jobs' wall time, contributing
-    // nothing (there is no skew or partition-size problem in a
-    // vocab-bounded aggregate). Disable it for the loop only, restoring
-    // the caller's setting afterwards. The corpus-scale work (the ONE
-    // base scan above) stays lazy and executes inside the loop's first
-    // job — but it is a single balanced aggregate, exactly the shape
-    // AQE would leave alone anyway.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeBefore = s.conf.get(aqeKey, "true")
-    s.conf.set(aqeKey, "false")
-    try bpeMergeLoop(s, base)
-    finally s.conf.set(aqeKey, aqeBefore)
+    // Merge-loop dispatch. The loop's working set is the VOCABULARY —
+    // language-bounded, not corpus-bounded — so when it fits the same
+    // bounded-driver-state budget the side-input broadcast join already
+    // assumes (TextTables' guarded collect), training runs as ONE Spark
+    // job (the vocab aggregate) plus a driver-local merge loop: 20
+    // serial cluster micro-jobs (whose wall time was pure scheduling
+    // overhead, not compute) become zero. Java's String.replace and
+    // String ordering coincide exactly with Spark's UTF8String replace
+    // and binary sort on this [a-z|]-alphabet data, so the learned
+    // table is bit-identical to the distributed loop (spec-pinned).
+    // Oversized vocabularies (a 100 TB multi-script crawl) fall back to
+    // the distributed loop unchanged.
+    val rows =
+      if (driverMax == 0) Array.empty[org.apache.spark.sql.Row]
+      else base.limit(driverMax + 1).collect()
+    if (driverMax > 0 && rows.length <= driverMax) {
+      base.unpersist()
+      bpeMergeLoopLocal(s, rows.map(r => (r.getString(0), r.getLong(1))))
+    } else {
+      // The distributed loop is NumMerges serial micro-jobs over the
+      // vocab table; AQE's per-stage materialization barriers and
+      // re-optimization dominate such jobs' wall time, contributing
+      // nothing (there is no skew or partition-size problem in a
+      // vocab-bounded aggregate). Disable it for the loop only,
+      // restoring the caller's setting afterwards.
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val aqeBefore = s.conf.get(aqeKey, "true")
+      s.conf.set(aqeKey, "false")
+      try bpeMergeLoop(s, base)
+      finally s.conf.set(aqeKey, aqeBefore)
+    }
+  }
+
+  /** Driver-vocab budget for the local merge loop: 2M symbol strings ×
+    * ~40 bytes ≈ 80 MB — the same order as a broadcast side table.
+    */
+  val BpeDriverVocabMax = 2000000
+
+  /** Driver-local twin of [[bpeMergeLoop]] over a collected vocabulary:
+    * identical pair counting (adjacent symbols weighted by word freq),
+    * identical total order (count desc, left asc, right asc — Java
+    * String.compareTo == Spark's binary string sort on this alphabet),
+    * identical merge application (String.replace == UTF8String.replace:
+    * left-to-right, non-overlapping). Spec-pinned equal to the
+    * distributed loop.
+    */
+  private def bpeMergeLoopLocal(
+      s: SparkSession, vocab0: Array[(String, Long)]): DataFrame = {
+    import s.implicits._
+    var vocab = vocab0
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= NumMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (sym, freq) =>
+        // sym = "|s1|s2|...|sn|": adjacent symbol pairs, like the
+        // distributed split('|')/sequence explode.
+        val a = sym.split("\\|", -1)
+        var i = 1
+        while (i + 1 < a.length - 1) {
+          val k = (a(i), a(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + freq
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((it.toLong, l, r, cnt))
+        val from = s"|$l|$r|"; val to = s"|$l$r|"
+        vocab = vocab.map { case (sym, freq) => (sym.replace(from, to), freq) }
+        it += 1
+      }
+    }
+    merges.toSeq
+      .toDF("iter", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("iter"))
   }
 
   private def bpeMergeLoop(s: SparkSession, base0: DataFrame): DataFrame = {

@@ -101,4 +101,15 @@ class BpeSpec extends AnyFunSuite {
     assert(got == List((1L, "a", "b", 2L), (2L, "c", "d", 2L)),
            "tie at count 2 breaks pair-asc; loop stops when no pair remains")
   }
+
+  test("driver-local merge loop == distributed loop on the real corpus") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val local = Corpus.bpeMerges(spark, docs)
+      .as[(Long, String, String, Long)].collect().toList
+    val dist = Corpus.bpeMergesVia(spark, docs, 0)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(local == dist,
+           "both merge-loop paths must learn the identical table")
+    assert(local.nonEmpty, "real corpus must yield at least one merge")
+  }
 }
