@@ -996,7 +996,179 @@ object Dedup {
        |GROUP BY 1, 2
        |ORDER BY 3 DESC, 1, 2 LIMIT $WinnowTop""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_dedup_cdc — CONTENT-DEFINED CHUNKING dedup (the rsync/LBFS/
+  // FastCDC family applied to text curation): a chunk boundary is
+  // decided by the CONTENT at the boundary — a token whose md5 digest
+  // ≡ 0 (mod CdcMod) ends its chunk — not by fixed offsets. An edit
+  // near a document's head shifts every downstream OFFSET but only the
+  // chunk containing the edit changes identity, so re-ingested
+  // near-identical crawl snapshots dedup almost fully; fixed-width
+  // segmentation (q_paragraph_dedup's unit) re-keys every later
+  // segment instead. Expected chunk length is CdcMod tokens
+  // (geometric). First-seen-wins storage semantics: each distinct
+  // chunk text is "stored" once at its first (doc_id, chunk)
+  // occurrence; later occurrences are duplicate mass.
+  //
+  // The boundary predicate uses md5Bits60 (not xxhash64) because chunk
+  // IDENTITY must be engine-portable — the oracle re-derives the same
+  // cut set in SQL. Chunk-equality keys DO ship as 8-byte xxhash64
+  // digests (never chunk text), the q_dup_span_mass discipline.
+  //
+  // Scale shape: chunk assignment is one doc_id-keyed window cumsum
+  // (doc-bounded partitions); chunk reassembly groups on (doc_id, ck)
+  // and rides the SAME doc_id clustering — no second shuffle;
+  // first-occurrence detection is one struct-min partial-agg group-by
+  // on the digest; the per-doc rollup is doc-keyed. No pair fan-out
+  // anywhere, any duplicate density.
+  // ------------------------------------------------------------------
+  val CdcMod = 16L
+
+  val qDedupCdc: Q = (s, d) => dedupCdc(Tables.documents(s, d))
+
+  /** Core of q_dedup_cdc over any (doc_id, text) frame — factored for
+    * the crafted-corpus spec (boundary-shift and full-dup pins).
+    */
+  def dedupCdc(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col("doc_id"), posexplode(Ops.tokens(col("text"))))
+      .toDF("doc_id", "pos", "term")
+      .withColumn("b",
+        when(Ops.md5Bits60(concat(col("term"), lit(":cdc"))) % CdcMod === 0L,
+             1L).otherwise(0L))
+    // Cumulative boundary count over STRICTLY PRECEDING positions: a
+    // boundary token is the LAST token of its own chunk (the cut falls
+    // after it), matching the oracle's exclusive-window cumsum.
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = tok
+      .withColumn("ck", coalesce(sum(col("b")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("ck"))
+      .agg(count(lit(1)).as("n_toks"),
+           array_join(
+             transform(array_sort(collect_list(struct(col("pos"),
+                                                      col("term")))),
+                       x => x.getField("term")), " ").as("ctext"))
+      .select(col("doc_id"), col("ck"), col("n_toks"),
+              xxhash64(col("ctext")).as("ch"))
+    val firsts = chunks.groupBy(col("ch"))
+      .agg(min(struct(col("doc_id"), col("ck"))).as("w"))
+      .select(col("ch"), col("w.doc_id").as("wdoc"), col("w.ck").as("wck"))
+    chunks.join(firsts, Seq("ch"))
+      .withColumn("stored",
+        when(col("doc_id") === col("wdoc") && col("ck") === col("wck"), 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(col("stored")).as("n_stored"),
+           sum(when(col("stored") === 0L, col("n_toks")).otherwise(0L))
+             .as("dup_tok_mass"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupCdcSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, i, t[i] AS term,
+       |         CASE WHEN ('0x' || substr(md5(t[i] || ':cdc'), 1, 15))::BIGINT
+       |                   % $CdcMod = 0 THEN 1 ELSE 0 END AS b
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+       |              FROM documents))),
+       |chunked AS (
+       |  SELECT doc_id, i, term,
+       |         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |                  0) AS ck
+       |  FROM tok),
+       |chunks AS (
+       |  SELECT doc_id, ck, COUNT(*) AS n_toks,
+       |         string_agg(term, ' ' ORDER BY i) AS ctext
+       |  FROM chunked GROUP BY 1, 2),
+       |firsts AS (
+       |  SELECT doc_id, ck, n_toks,
+       |         row_number() OVER (PARTITION BY ctext
+       |                            ORDER BY doc_id, ck) AS occ
+       |  FROM chunks)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |       CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_stored,
+       |       CAST(SUM(CASE WHEN occ > 1 THEN n_toks ELSE 0 END) AS BIGINT)
+       |         AS dup_tok_mass
+       |FROM firsts GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_ngram_novelty — per-document n-gram NOVELTY against the rest of
+  // the corpus: the fraction of a doc's NovK-gram occurrences whose
+  // gram text first appears in THIS doc (corpus-wide min doc_id ==
+  // doc_id). The curation signal behind "how much new text does each
+  // shard actually add" and the doc-granular complement of
+  // q_dup_span_mass (which ranks the hot grams; this scores the docs).
+  // First-seen is by doc_id only: an in-doc repeat of a gram first
+  // seen in the same doc still counts novel; a gram inherited from an
+  // earlier doc never does.
+  //
+  // Scale shape: gram occurrences ship as 8-byte xxhash64 digests
+  // (never gram text — the q_dup_span_mass discipline); one
+  // partial-aggregated shuffle builds per-(gram, doc) counts; the
+  // gram-keyed min-doc reduction and the join-back reuse that same
+  // exchange (ReuseExchange — one gram-keyed shuffle total); the
+  // per-doc rollup is doc-keyed. No pair fan-out — novelty is
+  // per-occurrence, not per-pair, so duplicate density never squares.
+  // ------------------------------------------------------------------
+  val NovK = 5
+
+  val qNgramNovelty: Q = (s, d) => ngramNovelty(Tables.documents(s, d))
+
+  /** Core of q_ngram_novelty over any (doc_id, text) frame — factored
+    * for the crafted-corpus spec (exact-copy and partial-overlap pins).
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"),
+              explode(Ops.shinglesAll(Ops.tokens(col("text")), NovK))
+                .as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+      .groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val firstSeen = occ.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    occ.join(firstSeen, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+           sum(when(col("first_doc") === col("doc_id"), col("cnt"))
+                 .otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+              round(col("n_novel").cast("double")
+                      / col("n_grams").cast("double"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Gram generation mirrors WordShingles(keepDuplicates = true): one
+  // gram per start position i ∈ [1, max(len−K, 0)+1], slice clipped at
+  // the end — a doc shorter than K tokens contributes its whole text
+  // as one gram (so n_grams ≥ 1 and the ratio never divides by zero).
+  val qNgramNoveltySql: String =
+    s"""WITH occ AS (
+       |  SELECT doc_id, array_to_string(t[i:i + ${NovK - 1}], ' ') AS gram
+       |  FROM (SELECT doc_id, t,
+       |               unnest(range(1, greatest(len(t) - $NovK, 0) + 2)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+       |              FROM documents))),
+       |pg AS (
+       |  SELECT gram, doc_id, COUNT(*) AS cnt FROM occ GROUP BY 1, 2),
+       |fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM pg GROUP BY 1)
+       |SELECT pg.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       |       CAST(SUM(CASE WHEN fs.first_doc = pg.doc_id THEN cnt ELSE 0
+       |                END) AS BIGINT) AS n_novel,
+       |       round(CAST(SUM(CASE WHEN fs.first_doc = pg.doc_id THEN cnt
+       |                      ELSE 0 END) AS DOUBLE)
+       |               / CAST(SUM(cnt) AS DOUBLE), 6) AS novelty
+       |FROM pg JOIN fs USING (gram)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_cdc" -> qDedupCdc,
+    "q_ngram_novelty" -> qNgramNovelty,
     "q_dedup_editdist" -> qDedupEditdist,
     "q_containment" -> qContainment,
     "q_winnow_fingerprint" -> qWinnowFingerprint,
@@ -1013,6 +1185,8 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_cdc" -> qDedupCdcSql,
+    "q_ngram_novelty" -> qNgramNoveltySql,
     "q_dedup_editdist" -> qDedupEditdistSql,
     "q_containment" -> qContainmentSql,
     "q_winnow_fingerprint" -> qWinnowFingerprintSql,

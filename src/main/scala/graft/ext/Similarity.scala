@@ -1383,7 +1383,109 @@ object Similarity {
        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q_kcenter_coreset — greedy farthest-point traversal (Gonzalez
+  // 1985, the classic 2-approximation to k-center): seed at the
+  // minimum vec_id, then KcK−1 times select the vector FARTHEST from
+  // the already-selected set (max over points of min over selected of
+  // squared L2), vec_id-ascending tiebreak. The diversity/coreset
+  // selection a curation pipeline runs to pick maximally-spread
+  // exemplars (prototype sets, eval probes, annotation batches) — the
+  // geometric complement of q_select_mmr's relevance–diversity blend,
+  // with a coverage guarantee instead of a tuned trade-off.
+  //
+  // Exactness: components quantize to integer micro-units first
+  // (round(x·1e6) BIGINT — the q_embed_project discipline), so every
+  // squared distance is an exact order-free integer (≤ 64·(2·10⁶)² ≈
+  // 2.6·10¹³ per pair, comfortably int64) and every argmax/tiebreak is
+  // an integer comparison on both engines. The oracle unrolls the
+  // KcK−1 selection stages as CTEs (the Lloyd-funnel discipline).
+  //
+  // Scale shape: each round is one scan → TakeOrderedAndProject(1) →
+  // bounded 1-row collect (the trainCodebook pattern); the selected
+  // set rides the next round's plan as ≤ KcK·64 literals (broadcast
+  // for free inside codegen). KcK bounded jobs total, zero unbounded
+  // driver state, no pairwise materialization — the n·k distance work
+  // is recomputed per round rather than cached, the right trade when
+  // n is corpus-scale and k is a constant.
+  // ------------------------------------------------------------------
+  val KcK = 8
+
+  val qKcenterCoreset: Q = (s, d) =>
+    kcenterCoreset(s, Tables.embeddings(s, d))
+
+  /** Core of q_kcenter_coreset over any (vec_id, embedding) frame —
+    * factored for the crafted-geometry spec (known-sequence and
+    * radius-monotonicity pins).
+    */
+  def kcenterCoreset(s: SparkSession, emb: DataFrame): DataFrame = {
+    val q = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)" +
+             " * 1000000.0, 0) AS BIGINT))").as("qv"))
+      .persist()
+    try {
+      val seed = q.orderBy(col("vec_id")).limit(1).collect()
+      if (seed.isEmpty) {
+        import s.implicits._
+        return Seq.empty[(Long, Long, Long)]
+          .toDF("sel_rank", "vec_id", "d2_u")
+      }
+      // (rank, vec_id, quantized vector, distance-to-prior-set)
+      var sel = Vector((1L, seed(0).getLong(0),
+                        seed(0).getSeq[Long](1).toArray, 0L))
+      for (r <- 2 to KcK) {
+        val minD = sel.map { case (_, _, v, _) =>
+          val arr = v.map(x => s"${x}L").mkString("array(", ", ", ")")
+          expr(s"aggregate(zip_with(qv, $arr, (a, b) -> (a - b) * (a - b))," +
+               " 0L, (acc, x) -> acc + x)")
+        }.reduce(least(_, _))
+        val picked = q
+          .filter(!col("vec_id").isInCollection(sel.map(_._2)))
+          .select(col("vec_id"), col("qv"), minD.as("d2"))
+          .orderBy(col("d2").desc, col("vec_id")).limit(1).collect()
+        if (picked.nonEmpty)
+          sel = sel :+ ((r.toLong, picked(0).getLong(0),
+                         picked(0).getSeq[Long](1).toArray,
+                         picked(0).getLong(2)))
+      }
+      import s.implicits._
+      sel.map { case (r, id, _, d2) => (r, id, d2) }
+        .toDF("sel_rank", "vec_id", "d2_u")
+        .orderBy(col("sel_rank"))
+    } finally q.unpersist()
+  }
+
+  val qKcenterCoresetSql: String = {
+    def stage(k: Int): String =
+      s"""mind$k AS (
+         |  SELECT q.vec_id,
+         |         MIN(CAST(list_sum(list_transform(range(len(q.v)),
+         |               i -> (q.v[i+1] - s.v[i+1]) * (q.v[i+1] - s.v[i+1])))
+         |             AS BIGINT)) AS d2
+         |  FROM kq q CROSS JOIN sel${k - 1} s
+         |  WHERE q.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+         |  GROUP BY 1),
+         |pick$k AS (SELECT vec_id, d2 FROM mind$k
+         |           ORDER BY d2 DESC, vec_id LIMIT 1),
+         |sel$k AS MATERIALIZED (
+         |  SELECT r, vec_id, d2, v FROM sel${k - 1}
+         |  UNION ALL
+         |  SELECT $k AS r, p.vec_id, p.d2, q.v
+         |  FROM pick$k p JOIN kq q ON q.vec_id = p.vec_id)""".stripMargin
+    s"""WITH kq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)
+       |             * 1000000.0, 0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |s1 AS (SELECT vec_id, v FROM kq ORDER BY vec_id LIMIT 1),
+       |sel1 AS (SELECT 1 AS r, vec_id, CAST(0 AS BIGINT) AS d2, v FROM s1),
+       |${(2 to KcK).map(stage).mkString(",\n")}
+       |SELECT CAST(r AS BIGINT) AS sel_rank, vec_id, d2 AS d2_u
+       |FROM sel$KcK ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_kcenter_coreset" -> qKcenterCoreset,
     "q_embed_pca"       -> qEmbedPca,
     "q_select_mmr"      -> qSelectMmr,
     "q_embed_project"   -> qEmbedProject,
@@ -1400,6 +1502,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_kcenter_coreset" -> qKcenterCoresetSql,
     "q_embed_pca"       -> qEmbedPcaSql,
     "q_select_mmr"      -> qSelectMmrSql,
     "q_embed_project"   -> qEmbedProjectSql,

@@ -452,4 +452,75 @@ class CurationSpec extends AnyFunSuite {
              s"doc $id: every alpha word carries >= 1 syllable")
     }
   }
+
+  // CDC dedup: the spec derives the boundary set from the operator's own
+  // predicate (md5 is fixed, so this is deterministic), then pins the
+  // content-defined property: a PREFIX insertion changes only the chunk
+  // containing the edit — every chunk after the next boundary dedups
+  // against the original.
+  test("dedupCdc: exact copy fully dedups; prefix insertion costs one chunk") {
+    val cand = (0 until 200).map(i => s"w$i")
+    val isB = cand.toDF("t")
+      .select(col("t"),
+              (ops.Ops.md5Bits60(concat(col("t"), lit(":cdc")))
+                 % Dedup.CdcMod === 0L).as("b"))
+      .as[(String, Boolean)].collect().toMap
+    val bTok = cand.find(isB(_)).get
+    val plain = cand.filterNot(isB(_))
+    // doc 1: [p0..p4 B][p5..p9] — two chunks (B ends its chunk)
+    val d1 = (plain.take(5) :+ bTok) ++ plain.slice(5, 10)
+    val d3 = plain(10) +: d1 // prefix insertion: chunk 1 differs, chunk 2 dedups
+    val docs = Seq((1L, d1.mkString(" ")), (2L, d1.mkString(" ")),
+                   (3L, d3.mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.dedupCdc(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 0L),   // first copy stores both chunks
+                      (2L, 2L, 0L, 11L),  // exact copy: all 11 tokens dup
+                      (3L, 2L, 1L, 5L)),  // only the edited chunk re-stores
+           s"got $got")
+  }
+
+  test("ngramNovelty: copy scores 0, fresh doc 1, half-overlap 5/6") {
+    val t = (1 to 10).map(i => s"a$i")
+    val docs = Seq(
+      (1L, t.mkString(" ")),                                // all novel
+      (2L, t.mkString(" ")),                                // exact copy
+      (3L, (t.drop(5) ++ (1 to 5).map(i => s"b$i")).mkString(" ")),
+      (4L, "c1 c2 c3")                                      // short: 1 gram
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(docs)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 3's first 5-gram IS doc 1's last 5-gram; the other 5 carry a
+    // b-token each. A doc shorter than K contributes its whole text.
+    assert(got == Seq((1L, 6L, 6L, 1.0), (2L, 6L, 0L, 0.0),
+                      (3L, 6L, 5L, 0.833333), (4L, 1L, 1L, 1.0)),
+           s"got $got")
+  }
+
+  test("kcenterCoreset: farthest-first picks the known sequence on a line") {
+    def v(x: Float): Array[Float] = Array.fill(64)(0.0f).updated(0, x)
+    val emb = Seq((0L, v(0.0f)), (1L, v(10.0f)), (2L, v(1.0f)),
+                  (3L, v(5.0f)), (4L, v(9.0f)))
+      .toDF("vec_id", "embedding")
+    val got = ext.Similarity.kcenterCoreset(spark, emb)
+      .as[(Long, Long, Long)].collect().toSeq
+    // seed 0 (min id), then x=10 (d²=(10·10⁶)²), then the midpoint x=5,
+    // then the d²=1e12 tie between x=1 and x=9 broken by vec_id; with
+    // only 5 points, rounds 6-8 select nothing.
+    assert(got == Seq((1L, 0L, 0L), (2L, 1L, 100000000000000L),
+                      (3L, 3L, 25000000000000L), (4L, 2L, 1000000000000L),
+                      (5L, 4L, 1000000000000L)),
+           s"got $got")
+  }
+
+  test("q_kcenter_coreset: ranks distinct, coverage radius non-increasing") {
+    val rows = ext.Similarity.qKcenterCoreset(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == ext.Similarity.KcK)
+    assert(rows.map(_._2).distinct.length == rows.length,
+           "selected vectors must be distinct")
+    val radii = rows.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b },
+           s"greedy coverage radius must be non-increasing: ${radii.toSeq}")
+  }
 }
