@@ -474,8 +474,12 @@ object Dedup {
   // fingerprint (Ops.rollingHash).
   val SimhashBits = 60
 
-  val qDedupSimhash: Q = (s, d) => {
-    val tok = Tables.documents(s, d)
+  /** The 60-bit SimHash signature of every document: (doc_id, simhash).
+    * Shared by q_dedup_simhash (signature dump + fingerprint) and
+    * q_simhash_hamming (banded near-dup retrieval over the signatures).
+    */
+  def simhashSig(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), Ops.md5Bits60(col("tok")).as("h"))
     val bitSums = (0 until SimhashBits).map { i =>
@@ -486,20 +490,23 @@ object Dedup {
     val simhash = (0 until SimhashBits)
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  val qDedupSimhash: Q = (s, d) => {
     val fp = Tables.documents(s, d)
       .select(col("doc_id"),
               Ops.rollingHash(Ops.normalizeText(col("text"))).as("fingerprint"))
-    sums.select(col("doc_id"), simhash.as("simhash"))
+    simhashSig(Tables.documents(s, d))
       .join(fp, Seq("doc_id"))
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB oracle for SimHash: same 60-bit md5 digests; the rolling-hash
-    * fingerprint folds with list_reduce (its implicit first-element seed
-    * equals the (0·31 + c₁) first step of the Spark aggregate).
+  /** The tok → bits → sh CTE chain deriving every doc's 60-bit SimHash
+    * signature — shared by the simhash-dump and hamming-pair oracles.
     */
-  val qDedupSimhashSql: String =
-    s"""WITH tok AS (
+  private val simhashCtes: String =
+    s"""tok AS (
        |  SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t),
        |bits AS (
@@ -510,7 +517,14 @@ object Dedup {
        |sh AS (
        |  SELECT doc_id,
        |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-       |  FROM bits GROUP BY 1),
+       |  FROM bits GROUP BY 1)""".stripMargin
+
+  /** DuckDB oracle for SimHash: same 60-bit md5 digests; the rolling-hash
+    * fingerprint folds with list_reduce (its implicit first-element seed
+    * equals the (0·31 + c₁) first step of the Spark aggregate).
+    */
+  val qDedupSimhashSql: String =
+    s"""WITH $simhashCtes,
        |fp AS (
        |  SELECT doc_id,
        |         CASE WHEN length(nt) = 0 THEN 0 ELSE
@@ -522,6 +536,89 @@ object Dedup {
        |SELECT s.doc_id, s.simhash, CAST(f.fingerprint AS BIGINT) AS fingerprint
        |FROM sh s JOIN fp f ON s.doc_id = f.doc_id
        |ORDER BY s.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_simhash_hamming — SimHash near-dup RETRIEVAL by Hamming distance
+  // (Manku/Jain/Sarma WWW'07, the web-scale dedup Google ran on
+  // crawl snapshots): split the 60-bit signature into SimBands bands
+  // of SimBandBits bits; by pigeonhole, any pair within Hamming
+  // distance HamT ≤ SimBands−1 matches at least one band EXACTLY, so
+  // candidate generation is an equi-join on (band_id, band_val) — no
+  // pairwise scan — and verification is one bit_count(xor) per
+  // candidate. Complements q_dedup_simhash (which dumps signatures)
+  // with the retrieval step that makes them useful, and q_dedup_minhash
+  // (set-overlap similarity) with the bit-vector metric.
+  //
+  // Hot-band cap (the MaxGramDf discipline): a band value shared by
+  // more than SimBandMaxDf docs is template/boilerplate evidence, not
+  // a candidate bucket — it is dropped BEFORE pairing, bounding any
+  // bucket's fan-out at SimBandMaxDf² instead of corpus². An
+  // intentional recall trade, mirrored exactly in the oracle.
+  //
+  // Scale shape: signatures are one partial-agg shuffle (shared
+  // simhashSig); banding is a ×SimBands map; the census + self-join
+  // key on 8-byte (band_id, band_val); verified output is pair-sparse.
+  // ------------------------------------------------------------------
+  val SimBands = 4
+  val SimBandBits = 15
+  val HamT = 3L
+  val SimBandMaxDf = 64L
+
+  val qSimhashHamming: Q = (s, d) => simhashHamming(Tables.documents(s, d))
+
+  /** Core of q_simhash_hamming over any (doc_id, text) frame — factored
+    * for the crafted-corpus spec (pigeonhole-guarantee pin).
+    */
+  def simhashHamming(docs: DataFrame): DataFrame = {
+    val sig = simhashSig(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimBands).map { j =>
+          shiftright(col("simhash"), j * SimBandBits)
+            .bitwiseAND(lit((1L << SimBandBits) - 1))
+        }: _*)))
+      .toDF("doc_id", "simhash", "band_id", "band_val")
+    val cool = banded.groupBy(col("band_id"), col("band_val"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") <= SimBandMaxDf)
+      .select(col("band_id"), col("band_val"))
+    val kept = banded.join(cool, Seq("band_id", "band_val"))
+    kept.select(col("band_id"), col("band_val"),
+                col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      .join(kept.select(col("band_id"), col("band_val"),
+                        col("doc_id").as("doc_b"), col("simhash").as("sig_b")),
+            Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("bigint"))
+      .filter(col("hamming") <= HamT)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qSimhashHammingSql: String =
+    s"""WITH $simhashCtes,
+       |banded AS (
+       |  SELECT doc_id, simhash, j.j AS band_id,
+       |         (simhash >> (j.j * $SimBandBits))
+       |           & ${(1L << SimBandBits) - 1} AS band_val
+       |  FROM sh CROSS JOIN generate_series(0, ${SimBands - 1}) j(j)),
+       |cool AS (
+       |  SELECT band_id, band_val FROM banded
+       |  GROUP BY 1, 2 HAVING count(*) <= $SimBandMaxDf),
+       |kept AS (
+       |  SELECT b.doc_id, b.simhash, b.band_id, b.band_val
+       |  FROM banded b JOIN cool USING (band_id, band_val)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS sig_a, b.simhash AS sig_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= $HamT
+       |ORDER BY 1, 2""".stripMargin
 
   // Embedding-cosine near-dup: pairwise cosine within deterministic
   // blocks (label = the natural partition; at scale the LSH sign-bucket
@@ -1169,6 +1266,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "q_dedup_cdc" -> qDedupCdc,
     "q_ngram_novelty" -> qNgramNovelty,
+    "q_simhash_hamming" -> qSimhashHamming,
     "q_dedup_editdist" -> qDedupEditdist,
     "q_containment" -> qContainment,
     "q_winnow_fingerprint" -> qWinnowFingerprint,
@@ -1187,6 +1285,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q_dedup_cdc" -> qDedupCdcSql,
     "q_ngram_novelty" -> qNgramNoveltySql,
+    "q_simhash_hamming" -> qSimhashHammingSql,
     "q_dedup_editdist" -> qDedupEditdistSql,
     "q_containment" -> qContainmentSql,
     "q_winnow_fingerprint" -> qWinnowFingerprintSql,

@@ -167,14 +167,95 @@ object Pipeline {
        |SELECT lang, rn, doc_id FROM r WHERE rn <= $GroupSampleK
        |ORDER BY lang, rn""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_source_caps — per-source TOKEN-BUDGET allocation (the domain-cap
+  // stage of crawl curation: no single domain/source may contribute
+  // more than CapTokens tokens to the mix, the anti-over-representation
+  // rule behind C4's and Gopher/MassiveWeb's per-domain limits). Docs
+  // are admitted in a deterministic content-free priority order (md5 of
+  // doc_id — a uniform shuffle that is identical cross-engine) until
+  // the source's running token total would exceed the cap; a document
+  // is kept only if it fits WHOLLY within the remaining budget (no
+  // partial docs). Emits the per-source admission report: docs/tokens
+  // kept vs offered, and the realized budget utilization.
+  //
+  // Scale shape: one window cumsum per source (source-keyed partitions
+  // — the group-sample discipline; a pathologically hot source is
+  // still one partition's sort, which is why the priority hash and
+  // n_toks ride a SLIM projection, never text) + one source-keyed
+  // rollup. Zero joins, zero pair work.
+  // ------------------------------------------------------------------
+  val CapTokens = 5000L
+
+  val qSourceCaps: Q = (s, d) => sourceCaps(Tables.documents(s, d))
+
+  /** Core of q_source_caps over any (doc_id, source, text) frame —
+    * factored for the crafted-corpus spec (exact greedy-fit pins).
+    */
+  def sourceCaps(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("source"), col("doc_id"),
+              size(Ops.tokens(col("text"))).cast("bigint").as("n_toks"),
+              Ops.md5Bits60(concat(col("doc_id").cast("string"), lit(":cap")))
+                .as("h"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      // Greedy prefix admission: kept iff the running total INCLUDING
+      // this doc fits the cap. Later (lower-priority) docs may still
+      // fit a smaller remainder — greedy-prefix (not best-fit) is the
+      // published domain-cap rule and keeps the pass one window.
+      .withColumn("kept", when(col("cum") <= CapTokens, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_toks")).as("n_toks_offered"),
+           sum(col("kept")).as("n_docs_kept"),
+           sum(col("kept") * col("n_toks")).as("n_toks_kept"))
+      .select(col("source"), col("n_docs"), col("n_toks_offered"),
+              col("n_docs_kept"), col("n_toks_kept"),
+              round(col("n_toks_kept").cast("double") / CapTokens.toDouble, 6)
+                .as("budget_used"))
+      .orderBy(col("source"))
+  }
+
+  val qSourceCapsSql: String =
+    s"""WITH slim AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'),
+       |                         1, 15))::BIGINT AS h
+       |  FROM documents),
+       |cum AS (
+       |  SELECT source, doc_id, n_toks,
+       |         SUM(n_toks) OVER (PARTITION BY source
+       |                           ORDER BY h ASC, doc_id ASC
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING
+       |                           AND CURRENT ROW) AS cum
+       |  FROM slim),
+       |adm AS (
+       |  SELECT source, doc_id, n_toks,
+       |         CASE WHEN cum <= $CapTokens THEN 1 ELSE 0 END AS kept
+       |  FROM cum)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_toks) AS BIGINT) AS n_toks_offered,
+       |       CAST(SUM(kept) AS BIGINT) AS n_docs_kept,
+       |       CAST(SUM(kept * n_toks) AS BIGINT) AS n_toks_kept,
+       |       round(CAST(SUM(kept * n_toks) AS DOUBLE) / $CapTokens.0, 6)
+       |         AS budget_used
+       |FROM adm GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_training_pipeline" -> qTrainingPipeline,
     "q_stratified_sample" -> qStratifiedSample,
     "q_group_sample"      -> qGroupSample,
+    "q_source_caps"       -> qSourceCaps,
   )
   val oracles: Map[String, String] = Map(
     "q_training_pipeline" -> qTrainingPipelineSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
     "q_group_sample"      -> qGroupSampleSql,
+    "q_source_caps"       -> qSourceCapsSql,
   )
 }

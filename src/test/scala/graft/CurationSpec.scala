@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Corpus, Dedup, TextOps}
+import graft.ext.{Corpus, Dedup, Pipeline, TextOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -511,6 +511,59 @@ class CurationSpec extends AnyFunSuite {
                       (3L, 3L, 25000000000000L), (4L, 2L, 1000000000000L),
                       (5L, 4L, 1000000000000L)),
            s"got $got")
+  }
+
+  test("simhashHamming: banded retrieval == brute force at the threshold") {
+    // 12 docs over drifting token sets + one exact-copy pair. The banded
+    // operator must return EXACTLY the brute-force Hamming<=HamT pairs
+    // (pigeonhole: <=3 differing bits can't touch all 4 bands), with the
+    // copy pair at distance 0.
+    val docs = ((1 to 11).map { i =>
+      (i.toLong, (0 until 20).map(j => s"tok${i / 3}_${(i + j) % 25}")
+                   .mkString(" "))
+    } :+ (12L, (0 until 20).map(j => s"tok0_${(1 + j) % 25}")
+                 .mkString(" "))) // doc 12 == doc 1's token stream
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSig(docs)
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+      if h <= Dedup.HamT
+    } yield (a, b, h.toLong)).toSeq.sorted
+    val got = Dedup.simhashHamming(docs)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got == brute, s"banded $got vs brute $brute")
+    assert(got.contains((1L, 12L, 0L)),
+           "an exact copy must surface at Hamming distance 0")
+  }
+
+  test("sourceCaps: greedy prefix admission matches a local replay") {
+    val docs = (1 to 12).map { i =>
+      (i.toLong, s"s${i % 2}", Seq.fill(1500)(s"w$i").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val prio = docs
+      .select(col("doc_id"), col("source"),
+              ops.Ops.md5Bits60(concat(col("doc_id").cast("string"),
+                                       lit(":cap"))).as("h"))
+      .as[(Long, String, Long)].collect()
+    val expect = prio.groupBy(_._2).map { case (src, rows) =>
+      val order = rows.sortBy(r => (r._3, r._1))
+      var cum = 0L; var kd = 0L; var kt = 0L
+      order.foreach { _ =>
+        cum += 1500L
+        if (cum <= Pipeline.CapTokens) { kd += 1; kt += 1500L }
+      }
+      (src, rows.length.toLong, rows.length * 1500L, kd, kt,
+       BigDecimal(kt.toDouble / Pipeline.CapTokens)
+         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = Pipeline.sourceCaps(docs)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    // 6 docs x 1500 tokens per source, cap 5000 -> exactly 3 admitted.
+    assert(got == expect, s"got $got vs $expect")
+    assert(got.forall(_._5 <= Pipeline.CapTokens))
+    assert(got.forall(_._4 == 3L))
   }
 
   test("q_kcenter_coreset: ranks distinct, coverage radius non-increasing") {
