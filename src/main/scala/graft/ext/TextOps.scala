@@ -773,7 +773,69 @@ object TextOps {
       |              - (84600 * n_syllables) // n_words AS flesch_milli
       |FROM c WHERE n_words >= 1 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_token_entropy — per-document Shannon entropy of the unigram
+  // distribution: H = ln n − (1/n)·Σ_type cnt·ln cnt. The classic
+  // repetitiveness/diversity quality signal (templated or looping text
+  // scores far below its length class; complements q_repetition_score's
+  // gram-level view with the distributional one).
+  //
+  // Exactness (the bigram-logprob ln discipline): each per-TYPE ln cnt
+  // snaps to integer micro-units — so the cross-row sum is an
+  // order-free BIGINT at any parallelism — and ln n snaps the same
+  // way; the emitted entropy is then one identical (u_n − sum_u/n)/1e6
+  // double expression over identical integers on both engines.
+  // cnt = 1 types contribute exactly 0 (ln 1 = 0), so single-use words
+  // cost nothing in either engine — no rounding asymmetry.
+  //
+  // Scale shape: one (doc, token-digest) partial-agg shuffle (8-byte
+  // xxhash64 keys, never token text) + a doc-keyed rollup. No joins.
+  // ------------------------------------------------------------------
+  val qTokenEntropy: Q = (s, d) => tokenEntropy(Tables.documents(s, d))
+
+  /** Core of q_token_entropy over any (doc_id, text) frame. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val types = docs
+      .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("hw"))
+      .groupBy(col("doc_id"), col("hw")).agg(count(lit(1)).as("cnt"))
+    types
+      .select(col("doc_id"), col("cnt"),
+              round(log(col("cnt").cast("double")) * 1e6).cast("long")
+                .as("u"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_toks"), count(lit(1)).as("n_types"),
+           sum(col("cnt") * col("u")).as("sum_u"))
+      .select(col("doc_id"), col("n_toks"), col("n_types"),
+              ((round(log(col("n_toks").cast("double")) * 1e6).cast("long")
+                  .cast("double")
+                - col("sum_u").cast("double") / col("n_toks").cast("double"))
+               / 1e6).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTokenEntropySql: String =
+    """WITH types AS (
+      |  SELECT doc_id, w, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+      |         CAST(COUNT(*) AS BIGINT) AS n_types,
+      |         CAST(SUM(cnt * CAST(round(ln(CAST(cnt AS DOUBLE))
+      |                                   * 1000000.0, 0) AS BIGINT))
+      |              AS BIGINT) AS sum_u
+      |  FROM types GROUP BY 1)
+      |SELECT doc_id, n_toks, n_types,
+      |       (CAST(CAST(round(ln(CAST(n_toks AS DOUBLE)) * 1000000.0, 0)
+      |                  AS BIGINT) AS DOUBLE)
+      |        - CAST(sum_u AS DOUBLE) / CAST(n_toks AS DOUBLE))
+      |         / 1000000.0 AS entropy
+      |FROM perdoc ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_token_entropy" -> qTokenEntropy,
     "q_readability" -> qReadability,
     "q_threshold_sweep" -> qThresholdSweep,
     "q_quality_classifier" -> qQualityClassifier,
@@ -789,6 +851,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_token_entropy" -> qTokenEntropySql,
     "q_readability" -> qReadabilitySql,
     "q_threshold_sweep" -> qThresholdSweepSql,
     "q_quality_classifier" -> qQualityClassifierSql,

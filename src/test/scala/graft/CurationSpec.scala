@@ -566,6 +566,18 @@ class CurationSpec extends AnyFunSuite {
     assert(got.forall(_._4 == 3L))
   }
 
+  test("tokenEntropy: uniform = ln n, constant = 0, half-half = ln 2") {
+    val docs = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.tokenEntropy(docs)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // Micro-unit arithmetic: round(ln 4 * 1e6) = 1386294,
+    // round(ln 2 * 1e6) = 693147 — the assertions are the exact
+    // integer-snapped values, not the reals.
+    assert(got == Seq((1L, 4L, 4L, 1.386294), (2L, 4L, 1L, 0.0),
+                      (3L, 4L, 2L, 0.693147)), s"got $got")
+  }
+
   test("q_kcenter_coreset: ranks distinct, coverage radius non-increasing") {
     val rows = ext.Similarity.qKcenterCoreset(spark, sf)
       .as[(Long, Long, Long)].collect()
