@@ -667,7 +667,81 @@ object Sessions {
        |                 % $CmsWidth
        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_ewma_daily — exponentially-weighted moving average of the daily
+  // value series per event type (half-life decay, the monitoring-layer
+  // smoother behind trend lines and drift alerts; complements
+  // q_anomaly_days' z-score with the estimator real dashboards chart).
+  // A bounded EwmaN-term window form, not the recursive form: ewma_t =
+  // Σ_{k<EwmaN} x_{t−k}·2^{−k} / Σ_{k present} 2^{−k} — at the head of
+  // a series the window renormalizes over the terms that exist.
+  //
+  // Exactness: daily sums are exact DECIMAL(18,2) (the house value-sum
+  // rule) cast to double; every weight is a POWER OF TWO, so each
+  // x_k·2^{−k} is an exact IEEE scaling (no rounding anywhere in the
+  // numerator terms); both engines evaluate the same left-associated
+  // chain over the same lag values, so the emitted double is
+  // bit-identical without any snapping.
+  //
+  // Scale shape: one (type, day) partial-agg shuffle, then a
+  // type-keyed window over the BOUNDED daily series (days per type,
+  // not events). Nothing corpus-cardinality anywhere.
+  // ------------------------------------------------------------------
+  val EwmaN = 8
+
+  val qEwmaDaily: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+             .as("value_sum"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val withLags = (1 until EwmaN).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"x$k", lag(col("value_sum"), k).over(w))
+    }
+    val xs = col("value_sum") +: (1 until EwmaN).map(k => col(s"x$k"))
+    val num = xs.zipWithIndex.map { case (x, k) =>
+      when(x.isNotNull, x * lit(math.pow(0.5, k))).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    val den = xs.zipWithIndex.map { case (x, k) =>
+      when(x.isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    withLags
+      .select(col("event_type"), col("day"), col("value_sum"),
+              (num / den).as("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qEwmaDailySql: String = {
+    val lagDefs = (1 until EwmaN)
+      .map(k => s"lag(value_sum, $k) OVER tw AS x$k").mkString(",\n       |         ")
+    def pow(k: Int): String = s"${math.pow(0.5, k)}"
+    val num = (0 until EwmaN).map { k =>
+      val x = if (k == 0) "value_sum" else s"x$k"
+      s"CASE WHEN $x IS NOT NULL THEN $x * ${pow(k)} ELSE 0.0 END"
+    }.reduceLeft((a, b) => s"($a + $b)")
+    val den = (0 until EwmaN).map { k =>
+      val x = if (k == 0) "value_sum" else s"x$k"
+      s"CASE WHEN $x IS NOT NULL THEN ${pow(k)} ELSE 0.0 END"
+    }.reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+       |           AS value_sum
+       |  FROM events GROUP BY 1, 2),
+       |l AS (
+       |  SELECT event_type, day, value_sum,
+       |         $lagDefs
+       |  FROM daily
+       |  WINDOW tw AS (PARTITION BY event_type ORDER BY day))
+       |SELECT event_type, day, value_sum,
+       |       $num
+       |         / $den AS ewma
+       |FROM l ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ewma_daily"      -> qEwmaDaily,
     "q_count_min"       -> qCountMin,
     "q_hopping_window"  -> qHoppingWindow,
     "q_share_growth"    -> qShareGrowth,
@@ -684,6 +758,7 @@ object Sessions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ewma_daily"      -> qEwmaDailySql,
     "q_count_min"       -> qCountMinSql,
     "q_hopping_window"  -> qHoppingWindowSql,
     "q_share_growth"    -> qShareGrowthSql,

@@ -347,4 +347,32 @@ class QueriesSpec extends AnyFunSuite {
       .select($"n_preceding").as[Long].collect()
     assert(rj.forall(_ > 0), "inner range join emits only matched errors")
   }
+
+  test("ewma daily: local replay of the half-life chain is bit-exact") {
+    import graft.ext.Sessions
+    val rows = Sessions.qEwmaDaily(spark, sf)
+      .select($"event_type", $"day".cast("string"), $"value_sum", $"ewma")
+      .as[(String, String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // Replay the exact left-associated bounded chain per type: weights
+    // are powers of two, so any divergence is a real semantics bug,
+    // not float noise — assert bit equality. The i=0 case doubles as
+    // the head pin: a one-term chain renormalizes to the plain sum.
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val s = series.sortBy(_._2)
+      s.indices.foreach { i =>
+        var num = 0.0; var den = 0.0
+        (0 until Sessions.EwmaN).foreach { k =>
+          val (nt, dt) =
+            if (i - k >= 0) (s(i - k)._3 * math.pow(0.5, k), math.pow(0.5, k))
+            else (0.0, 0.0)
+          num += nt; den += dt
+        }
+        assert(s(i)._4 == num / den,
+               s"ewma mismatch at ${s(i)._1}/${s(i)._2}")
+      }
+      assert(s.head._4 == s.head._3,
+             "first day's ewma must equal its value_sum")
+    }
+  }
 }
