@@ -1019,6 +1019,92 @@ object Corpus {
       |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_ks_test — two-sample Kolmogorov–Smirnov statistic between every
+  // source pair over the per-document token-length distribution:
+  // D = max_x |F_a(x) − F_b(x)|, the NONPARAMETRIC distribution-shift
+  // test next to q_source_divergence's model-based KL (KL needs a
+  // vocabulary; KS works on any ordered doc metric and is what a
+  // pipeline health check runs on length/quality-score drift between
+  // crawls).
+  //
+  // Exactness: the empirical CDFs are integer rationals cum/n of
+  // identical BIGINTs, so every |F_a−F_b| is the same IEEE double on
+  // both engines and the max is exact — no snapping needed (the
+  // ewma-daily rule: identical inputs + identical expression ⇒
+  // identical bits).
+  //
+  // Scale shape: doc lengths collapse to (source, x) counts in one
+  // partial-agg shuffle; the CDF grid is distinct-lengths × sources
+  // (support-bounded, like the KL's vocab × sources — for a CONTINUOUS
+  // metric at 100 TB you'd quantile-bucket x first, the q_histogram
+  // funnel); the pair fan-out is grid × sources² into a
+  // partial-aggregated sources²-row max. Never corpus-bounded past
+  // the first aggregate.
+  // ------------------------------------------------------------------
+  val qKsTest: Q = (s, d) => ksTest(Tables.documents(s, d))
+
+  /** Core of q_ks_test over any (source, text) frame. */
+  def ksTest(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs
+      .select(col("source"), size(Ops.tokens(col("text"))).cast("bigint")
+                .as("x"))
+      .groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
+    val grid = lens.select(col("x")).distinct()
+    val totals = lens.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    // Every (source, grid-point) cell, absent → c = 0, so both CDFs
+    // are evaluated at the UNION of observed values — where the sup is
+    // attained for step functions.
+    val cells = grid.crossJoin(totals)
+      .join(lens, Seq("source", "x"), "left")
+      .select(col("source"), col("x"), col("n"),
+              coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = cells.withColumn("cum", sum(col("c")).over(w))
+    val a = cdf.select(col("x"), col("source").as("src_a"),
+                       col("cum").as("cum_a"), col("n").as("n_a"))
+    val b = cdf.select(col("x"), col("source").as("src_b"),
+                       col("cum").as("cum_b"), col("n").as("n_b"))
+    a.join(b, Seq("x"))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+              abs(col("cum_a").cast("double") / col("n_a").cast("double")
+                  - col("cum_b").cast("double") / col("n_b").cast("double"))
+                .as("dx"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+           max(col("dx")).as("d_stat"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val qKsTestSql: String =
+    """WITH lens AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+      |         count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (SELECT DISTINCT x FROM lens),
+      |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+      |           FROM lens GROUP BY 1),
+      |cells AS (
+      |  SELECT t.source, g.x, t.n, COALESCE(l.c, 0) AS c
+      |  FROM grid g CROSS JOIN totals t
+      |  LEFT JOIN lens l ON l.source = t.source AND l.x = g.x),
+      |cdf AS (
+      |  SELECT source, x, n,
+      |         SUM(c) OVER (PARTITION BY source ORDER BY x
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING
+      |                      AND CURRENT ROW) AS cum
+      |  FROM cells)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |       CAST(MAX(a.n) AS BIGINT) AS n_a, CAST(MAX(b.n) AS BIGINT) AS n_b,
+      |       MAX(abs(CAST(a.cum AS DOUBLE) / CAST(a.n AS DOUBLE)
+      |               - CAST(b.cum AS DOUBLE) / CAST(b.n AS DOUBLE)))
+      |         AS d_stat
+      |FROM cdf a JOIN cdf b ON a.x = b.x AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
   // q_bigram_logprob — interpolated BIGRAM language-model scoring, the
   // model-based quality filter of CCNet-style pipelines (their KenLM
   // perplexity gate, at bigram order): every document's mean
@@ -1998,6 +2084,7 @@ object Corpus {
     "q_boilerplate"      -> qBoilerplate,
     "q_unigram_logprob"  -> qUnigramLogprob,
     "q_source_divergence" -> qSourceDivergence,
+    "q_ks_test"          -> qKsTest,
     "q_bigram_logprob"   -> qBigramLogprob,
     "q_contamination"    -> qContamination,
     "q_mixture_sample"   -> qMixtureSample,
@@ -2023,6 +2110,7 @@ object Corpus {
     "q_boilerplate"      -> qBoilerplateSql,
     "q_unigram_logprob"  -> qUnigramLogprobSql,
     "q_source_divergence" -> qSourceDivergenceSql,
+    "q_ks_test"          -> qKsTestSql,
     "q_bigram_logprob"   -> qBigramLogprobSql,
     "q_contamination"    -> qContaminationSql,
     "q_mixture_sample"   -> qMixtureSampleSql,

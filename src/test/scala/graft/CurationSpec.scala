@@ -578,6 +578,21 @@ class CurationSpec extends AnyFunSuite {
                       (3L, 4L, 2L, 0.693147)), s"got $got")
   }
 
+  test("ksTest: hand-computed two-sample D, identical sources score 0") {
+    // s1 lengths {2,2,4}; s2 lengths {4,6}; s3 == s1's lengths.
+    // F1(2)=2/3 F1(4)=1; F2(2)=0 F2(4)=1/2 F2(6)=1 -> D(1,2) = 2/3.
+    val docs = Seq(
+      (1L, "s1", "a b"), (2L, "s1", "c d"), (3L, "s1", "e f g h"),
+      (4L, "s2", "p q r s"), (5L, "s2", "u v w x y z"),
+      (6L, "s3", "h i"), (7L, "s3", "j k"), (8L, "s3", "l m n o")
+    ).toDF("doc_id", "source", "text")
+    val got = Corpus.ksTest(docs)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("s1", "s2", 3L, 2L, 2.0 / 3.0),
+                      ("s1", "s3", 3L, 3L, 0.0),
+                      ("s2", "s3", 2L, 3L, 2.0 / 3.0)), s"got $got")
+  }
+
   test("q_kcenter_coreset: ranks distinct, coverage radius non-increasing") {
     val rows = ext.Similarity.qKcenterCoreset(spark, sf)
       .as[(Long, Long, Long)].collect()
