@@ -834,7 +834,72 @@ object TextOps {
       |         / 1000000.0 AS entropy
       |FROM perdoc ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_lexical_diversity — per-document lexical-richness panel: type-
+  // token ratio (distinct words / words), hapax rate (share of types
+  // used exactly once), and Yule's K = 10⁴·(Σ cnt² − n)/n² — the
+  // length-robust repeated-use constant. The vocabulary-side quality
+  // signal next to q_token_entropy's distributional one: templated
+  // or keyword-stuffed text shows low TTR and high K at any length
+  // class, and hapax rate is the classic OCR-noise / gibberish tell
+  // (noisy text mints endless one-off "types").
+  //
+  // Exactness: every emitted ratio is ONE IEEE division of identical
+  // BIGINTs on both engines (the ks-test rule: identical inputs +
+  // identical expression ⇒ identical bits) — no transcendentals, so
+  // no snapping at all.
+  //
+  // Scale shape: identical to q_token_entropy — one (doc, token-
+  // digest) partial-agg shuffle (8-byte xxhash64 keys, never token
+  // text) + a doc-keyed rollup. No joins, nothing corpus-bounded
+  // past the first aggregate.
+  // ------------------------------------------------------------------
+  val qLexicalDiversity: Q = (s, d) => lexicalDiversity(Tables.documents(s, d))
+
+  /** Core of q_lexical_diversity over any (doc_id, text) frame. */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val types = docs
+      .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("hw"))
+      .groupBy(col("doc_id"), col("hw")).agg(count(lit(1)).as("cnt"))
+    types
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_toks"), count(lit(1)).as("n_types"),
+           sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+           sum(col("cnt") * col("cnt")).as("s2"))
+      .select(col("doc_id"), col("n_toks"), col("n_types"), col("n_hapax"),
+              (col("n_types").cast("double") / col("n_toks").cast("double"))
+                .as("ttr"),
+              (col("n_hapax").cast("double") / col("n_types").cast("double"))
+                .as("hapax_rate"),
+              (lit(10000.0) * (col("s2") - col("n_toks")).cast("double")
+                 / (col("n_toks") * col("n_toks")).cast("double"))
+                .as("yule_k"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLexicalDiversitySql: String =
+    """WITH types AS (
+      |  SELECT doc_id, w, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+      |         CAST(COUNT(*) AS BIGINT) AS n_types,
+      |         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_hapax,
+      |         CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+      |  FROM types GROUP BY 1)
+      |SELECT doc_id, n_toks, n_types, n_hapax,
+      |       CAST(n_types AS DOUBLE) / CAST(n_toks AS DOUBLE) AS ttr,
+      |       CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_rate,
+      |       10000.0 * CAST(s2 - n_toks AS DOUBLE)
+      |         / CAST(n_toks * n_toks AS DOUBLE) AS yule_k
+      |FROM perdoc ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_lexical_diversity" -> qLexicalDiversity,
     "q_token_entropy" -> qTokenEntropy,
     "q_readability" -> qReadability,
     "q_threshold_sweep" -> qThresholdSweep,
@@ -851,6 +916,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_lexical_diversity" -> qLexicalDiversitySql,
     "q_token_entropy" -> qTokenEntropySql,
     "q_readability" -> qReadabilitySql,
     "q_threshold_sweep" -> qThresholdSweepSql,

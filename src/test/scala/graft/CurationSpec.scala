@@ -578,6 +578,19 @@ class CurationSpec extends AnyFunSuite {
                       (3L, 4L, 2L, 0.693147)), s"got $got")
   }
 
+  test("lexicalDiversity: hand-computed TTR, hapax rate, Yule's K") {
+    val docs = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.lexicalDiversity(docs)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    // doc1: all hapax -> TTR 1, K 0.  doc2: one type used 4x ->
+    // s2=16, K = 1e4*(16-4)/16 = 7500.  doc3: two types 2x ->
+    // s2=8, K = 1e4*(8-4)/16 = 2500, hapax rate 0.
+    assert(got == Seq((1L, 4L, 4L, 4L, 1.0, 1.0, 0.0),
+                      (2L, 4L, 1L, 0L, 0.25, 0.0, 7500.0),
+                      (3L, 4L, 2L, 0L, 0.5, 0.0, 2500.0)), s"got $got")
+  }
+
   test("ksTest: hand-computed two-sample D, identical sources score 0") {
     // s1 lengths {2,2,4}; s2 lengths {4,6}; s3 == s1's lengths.
     // F1(2)=2/3 F1(4)=1; F2(2)=0 F2(4)=1/2 F2(6)=1 -> D(1,2) = 2/3.
