@@ -1078,6 +1078,98 @@ object Corpus {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  // ------------------------------------------------------------------
+  // q_mann_whitney — Mann–Whitney U (with the exact tie convention)
+  // between every source pair over the per-document token-length
+  // distribution, emitted as the common-language effect size
+  // AUC = U/(n_a·n_b) = P(len_a < len_b) + ½P(len_a = len_b)
+  // (AUC > ½ ⇒ src_b runs longer). The
+  // rank-based LOCATION-shift companion to q_ks_test's sup-distance:
+  // KS asks "are these distributions different anywhere", U asks
+  // "which source runs longer, and by how much" — the pair every
+  // drift dashboard shows together.
+  //
+  // Exactness: U is computed from counts on the shared support, not
+  // per-row ranks — 2U_ab = Σ_x c_b(x)·(2·below_a(x) + c_a(x)) with
+  // below_a(x) = cum_a(x) − c_a(x) — so 2U is an exact BIGINT (the ½
+  // tie credit stays integral) and AUC is one IEEE division of
+  // identical integers on both engines. No snapping.
+  //
+  // Scale shape: the q_ks_test funnel verbatim — one (source, x)
+  // partial-agg shuffle, a support-bounded CDF grid, pair fan-out
+  // grid × sources² into a sources²-row aggregate. For a continuous
+  // metric at 100 TB you'd quantile-bucket x first.
+  // ------------------------------------------------------------------
+  val qMannWhitney: Q = (s, d) => mannWhitney(Tables.documents(s, d))
+
+  /** Core of q_mann_whitney over any (source, text) frame. */
+  def mannWhitney(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs
+      .select(col("source"), size(Ops.tokens(col("text"))).cast("bigint")
+                .as("x"))
+      .groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
+    val grid = lens.select(col("x")).distinct()
+    val totals = lens.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val cells = grid.crossJoin(totals)
+      .join(lens, Seq("source", "x"), "left")
+      .select(col("source"), col("x"), col("n"),
+              coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = cells.withColumn("cum", sum(col("c")).over(w))
+    val a = cdf.select(col("x"), col("source").as("src_a"),
+                       col("c").as("c_a"), col("cum").as("cum_a"),
+                       col("n").as("n_a"))
+    val b = cdf.select(col("x"), col("source").as("src_b"),
+                       col("c").as("c_b"), col("n").as("n_b"))
+    a.join(b, Seq("x"))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+              (col("c_b") * (lit(2L) * (col("cum_a") - col("c_a"))
+                               + col("c_a"))).as("t"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+           sum(col("t")).as("u2"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+              col("u2"),
+              (col("u2").cast("double")
+                 / (lit(2L) * col("n_a") * col("n_b")).cast("double"))
+                .as("auc"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val qMannWhitneySql: String =
+    """WITH lens AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+      |         count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (SELECT DISTINCT x FROM lens),
+      |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+      |           FROM lens GROUP BY 1),
+      |cells AS (
+      |  SELECT t.source, g.x, t.n, COALESCE(l.c, 0) AS c
+      |  FROM grid g CROSS JOIN totals t
+      |  LEFT JOIN lens l ON l.source = t.source AND l.x = g.x),
+      |cdf AS (
+      |  SELECT source, x, n, c,
+      |         SUM(c) OVER (PARTITION BY source ORDER BY x
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING
+      |                      AND CURRENT ROW) AS cum
+      |  FROM cells),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |         a.n AS n_a, b.n AS n_b,
+      |         b.c * (2 * (a.cum - a.c) + a.c) AS t
+      |  FROM cdf a JOIN cdf b ON a.x = b.x AND a.source < b.source)
+      |SELECT src_a, src_b,
+      |       CAST(MAX(n_a) AS BIGINT) AS n_a,
+      |       CAST(MAX(n_b) AS BIGINT) AS n_b,
+      |       CAST(SUM(t) AS BIGINT) AS u2,
+      |       CAST(SUM(t) AS DOUBLE)
+      |         / CAST(2 * MAX(n_a) * MAX(n_b) AS DOUBLE) AS auc
+      |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val qKsTestSql: String =
     """WITH lens AS (
       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
@@ -2085,6 +2177,7 @@ object Corpus {
     "q_unigram_logprob"  -> qUnigramLogprob,
     "q_source_divergence" -> qSourceDivergence,
     "q_ks_test"          -> qKsTest,
+    "q_mann_whitney"     -> qMannWhitney,
     "q_bigram_logprob"   -> qBigramLogprob,
     "q_contamination"    -> qContamination,
     "q_mixture_sample"   -> qMixtureSample,
@@ -2111,6 +2204,7 @@ object Corpus {
     "q_unigram_logprob"  -> qUnigramLogprobSql,
     "q_source_divergence" -> qSourceDivergenceSql,
     "q_ks_test"          -> qKsTestSql,
+    "q_mann_whitney"     -> qMannWhitneySql,
     "q_bigram_logprob"   -> qBigramLogprobSql,
     "q_contamination"    -> qContaminationSql,
     "q_mixture_sample"   -> qMixtureSampleSql,

@@ -246,13 +246,81 @@ object Pipeline {
        |         AS budget_used
        |FROM adm GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_gini_concentration — per-source Gini coefficient of document
+  // token mass: how much of a source's token budget is concentrated
+  // in a few giant documents. The mixture-design diagnostic next to
+  // q_source_caps' admission view — a high-Gini source hits the
+  // domain cap with a handful of docs (poor diversity per token),
+  // while a low-Gini source spreads its budget. Uses the standard
+  // rank formula over ascending sizes:
+  //   G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)
+  // which is tie-invariant (swapping equal x between adjacent ranks
+  // leaves Σ rank·x unchanged), so no tiebreak can flip the result.
+  //
+  // Exactness: numerator and denominator are exact BIGINTs; the
+  // emitted Gini is one IEEE division of identical integers on both
+  // engines — no snapping (the lexical-diversity rule).
+  //
+  // Scale shape: the slim (source, doc_id, n_toks) projection through
+  // ONE source-keyed window sort (text never enters the shuffle; the
+  // q_source_caps shape), then a source-keyed rollup. At 100 TB the
+  // window sorts each source's doc-size list — rows are 24 bytes, so
+  // a billion-doc source sorts ~24 GB spread over its partitions.
+  // ------------------------------------------------------------------
+  val qGiniConcentration: Q = (s, d) => giniConcentration(Tables.documents(s, d))
+
+  /** Core of q_gini_concentration over any (doc_id, source, text) frame. */
+  def giniConcentration(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_toks").asc, col("doc_id").asc)
+    docs
+      .select(col("source"), col("doc_id"),
+              size(Ops.tokens(col("text"))).cast("bigint").as("n_toks"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_toks"),
+           sum(col("rk") * col("n_toks")).as("srx"))
+      .select(col("source"), col("n_docs"), col("total_toks"),
+              ((lit(2L) * col("srx")
+                  - (col("n_docs") + lit(1L)) * col("total_toks"))
+                 .cast("double")
+               / (col("n_docs") * col("total_toks")).cast("double"))
+                .as("gini"))
+      .orderBy(col("source"))
+  }
+
+  val qGiniConcentrationSql: String =
+    """WITH slim AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source, n_toks,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |                                 ORDER BY n_toks ASC, doc_id ASC)
+      |              AS BIGINT) AS rk
+      |  FROM slim),
+      |agg AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+      |         CAST(SUM(rk * n_toks) AS BIGINT) AS srx
+      |  FROM ranked GROUP BY 1)
+      |SELECT source, n_docs, total_toks,
+      |       CAST(2 * srx - (n_docs + 1) * total_toks AS DOUBLE)
+      |         / CAST(n_docs * total_toks AS DOUBLE) AS gini
+      |FROM agg ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_gini_concentration" -> qGiniConcentration,
     "q_training_pipeline" -> qTrainingPipeline,
     "q_stratified_sample" -> qStratifiedSample,
     "q_group_sample"      -> qGroupSample,
     "q_source_caps"       -> qSourceCaps,
   )
   val oracles: Map[String, String] = Map(
+    "q_gini_concentration" -> qGiniConcentrationSql,
     "q_training_pipeline" -> qTrainingPipelineSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
     "q_group_sample"      -> qGroupSampleSql,

@@ -740,7 +740,74 @@ object Sessions {
        |FROM l ORDER BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q_burstiness — per-event-type Fano factor (index of dispersion)
+  // of the DAILY count series over the full observed day grid:
+  // D = Var/Mean = (n·Σx² − (Σx)²) / (n·Σx), with absent (type, day)
+  // cells counted as 0 — a Poisson-like arrival stream scores ≈ 1,
+  // campaign-driven or batchy types score ≫ 1. The dispersion
+  // companion to q_ewma_daily's trend line and q_anomaly_days'
+  // z-score: the monitoring panel that tells load balancing whether
+  // an event type arrives smoothly or in bursts.
+  //
+  // Exactness: daily counts, n, Σx, Σx² are exact BIGINTs; mean and
+  // fano are each ONE IEEE division of identical integers on both
+  // engines — no snapping (the ks-test rule).
+  //
+  // Scale shape: events collapse to (type, day) counts in one
+  // partial-agg shuffle; the zero-filled grid is days × types
+  // (calendar-bounded — centuries of days fit one task) and the
+  // rollup is type-keyed. Never event-cardinality past the first
+  // aggregate.
+  // ------------------------------------------------------------------
+  val qBurstiness: Q = (s, d) => burstiness(Tables.events(s, d))
+
+  /** Core of q_burstiness over any (event_type, ts) frame. */
+  def burstiness(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val grid = daily.select(col("day")).distinct()
+    val types = daily.select(col("event_type")).distinct()
+    grid.crossJoin(types)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n_events"),
+           sum(col("c") * col("c")).as("s2"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+              (col("n_events").cast("double") / col("n_days").cast("double"))
+                .as("mean_daily"),
+              ((col("n_days") * col("s2")
+                  - col("n_events") * col("n_events")).cast("double")
+                 / (col("n_days") * col("n_events")).cast("double"))
+                .as("fano"))
+      .orderBy(col("event_type"))
+  }
+
+  val qBurstinessSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (SELECT DISTINCT day FROM daily),
+      |types AS (SELECT DISTINCT event_type FROM daily),
+      |cells AS (
+      |  SELECT t.event_type, COALESCE(d.c, 0) AS c
+      |  FROM grid g CROSS JOIN types t
+      |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day),
+      |agg AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |         CAST(SUM(c) AS BIGINT) AS n_events,
+      |         CAST(SUM(c * c) AS BIGINT) AS s2
+      |  FROM cells GROUP BY 1)
+      |SELECT event_type, n_days, n_events,
+      |       CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+      |       CAST(n_days * s2 - n_events * n_events AS DOUBLE)
+      |         / CAST(n_days * n_events AS DOUBLE) AS fano
+      |FROM agg ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_burstiness"      -> qBurstiness,
     "q_ewma_daily"      -> qEwmaDaily,
     "q_count_min"       -> qCountMin,
     "q_hopping_window"  -> qHoppingWindow,
@@ -758,6 +825,7 @@ object Sessions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_burstiness"      -> qBurstinessSql,
     "q_ewma_daily"      -> qEwmaDailySql,
     "q_count_min"       -> qCountMinSql,
     "q_hopping_window"  -> qHoppingWindowSql,

@@ -578,6 +578,21 @@ class CurationSpec extends AnyFunSuite {
                       (3L, 4L, 2L, 0.693147)), s"got $got")
   }
 
+  test("giniConcentration: equal sizes score 0, hand-computed skew") {
+    // sA: four 1-token docs -> G = 0 exactly.
+    // sB: sizes [1,1,1,5]: sum=8, srx = 1+2+3+20 = 26,
+    //     G = (52 - 5*8)/(4*8) = 12/32 = 0.375.
+    val docs = Seq(
+      (1L, "sA", "a"), (2L, "sA", "b"), (3L, "sA", "c"), (4L, "sA", "d"),
+      (5L, "sB", "a"), (6L, "sB", "b"), (7L, "sB", "c"),
+      (8L, "sB", "p q r s t")
+    ).toDF("doc_id", "source", "text")
+    val got = Pipeline.giniConcentration(docs)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("sA", 4L, 4L, 0.0), ("sB", 4L, 8L, 0.375)),
+           s"got $got")
+  }
+
   test("lexicalDiversity: hand-computed TTR, hapax rate, Yule's K") {
     val docs = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b"))
       .toDF("doc_id", "text")
@@ -604,6 +619,23 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq(("s1", "s2", 3L, 2L, 2.0 / 3.0),
                       ("s1", "s3", 3L, 3L, 0.0),
                       ("s2", "s3", 2L, 3L, 2.0 / 3.0)), s"got $got")
+  }
+
+  test("mannWhitney: hand-computed U with ties, disjoint supports hit 1") {
+    // AUC = P(a < b) + half-tie credit. sA lengths {1,2}, sB {2,3}:
+    // pairs (1<2) (1<3) (2<3) plus the (2,2) tie -> U = 3.5,
+    // 2U = 7, AUC = 7/8. sC {4,5} sits wholly above sA and sB ->
+    // AUC = 1 exactly for both pairs.
+    val docs = Seq(
+      (1L, "sA", "a"), (2L, "sA", "b c"),
+      (3L, "sB", "d e"), (4L, "sB", "f g h"),
+      (5L, "sC", "i j k l"), (6L, "sC", "m n o p q")
+    ).toDF("doc_id", "source", "text")
+    val got = Corpus.mannWhitney(docs)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("sA", "sB", 2L, 2L, 7L, 0.875),
+                      ("sA", "sC", 2L, 2L, 8L, 1.0),
+                      ("sB", "sC", 2L, 2L, 8L, 1.0)), s"got $got")
   }
 
   test("q_kcenter_coreset: ranks distinct, coverage radius non-increasing") {

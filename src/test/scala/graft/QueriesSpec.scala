@@ -348,6 +348,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(rj.forall(_ > 0), "inner range join emits only matched errors")
   }
 
+  test("burstiness: constant stream scores 0, crafted burst hits Fano") {
+    import graft.ext.Sessions
+    // smooth: 2 events every day over 4 days -> Var 0 -> fano 0.
+    // bursty: 8 events on one day, 0 on the other three ->
+    //   n=4, sum=8, s2=64: fano = (4*64 - 64)/(4*8) = 6.
+    val ts = (day: Int, k: Int) =>
+      java.sql.Timestamp.valueOf(f"2026-01-0$day 0$k:00:00")
+    val rows =
+      (1 to 4).flatMap(d => Seq(("smooth", ts(d, 1)), ("smooth", ts(d, 2)))) ++
+        (1 to 8).map(k => ("bursty", ts(2, k)))
+    val got = Sessions.burstiness(rows.toDF("event_type", "ts"))
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("bursty", 4L, 8L, 2.0, 6.0),
+                      ("smooth", 4L, 8L, 2.0, 0.0)), s"got $got")
+  }
+
   test("ewma daily: local replay of the half-life chain is bit-exact") {
     import graft.ext.Sessions
     val rows = Sessions.qEwmaDaily(spark, sf)
