@@ -1079,6 +1079,110 @@ object Corpus {
   }
 
   // ------------------------------------------------------------------
+  // q_log_odds — "Fightin' Words" (Monroe/Colaresi/Quinn 2008)
+  // one-vs-rest log-odds keyness with an add-one Dirichlet prior: for
+  // each source, the top-10 terms whose usage odds most exceed the
+  // rest of the corpus, ranked by the variance-normalized
+  //   z_w = [ln((c_i+1)/(n_i+V−c_i−1)) − ln((c_r+1)/(n_r+V−c_r−1))]
+  //         / sqrt(1/(c_i+1) + 1/(c_r+1)).
+  // The per-source "characteristic vocabulary" panel — what a corpus
+  // report shows next to q_source_divergence's scalar KL (KL says HOW
+  // different a source is; log-odds says WHICH words make it so,
+  // without raw-frequency's large-corpus bias or PMI's rare-word
+  // bias).
+  //
+  // Exactness: rest counts come from global-minus-source integer
+  // arithmetic (no pair join); z is ONE double expression over
+  // identical BIGINTs on both engines, snapped to micro-units (the
+  // ln discipline — sqrt joins ln under the snap), and ranked on the
+  // snapped integer with term text as the tiebreak, so the top-10
+  // cut is deterministic cross-engine. Emitted z is the exact
+  // integer-scaled value.
+  //
+  // Scale shape: one (source, term) partial-agg shuffle; per-term
+  // global counts join back on the term (vocab-bounded, the
+  // source_divergence funnel minus its sources² pair fan-out — only
+  // OBSERVED (source, term) cells are scored, since an unobserved
+  // term can never rank top-positive); the top-10 cut is a
+  // source-keyed window over the vocab-bounded score table.
+  // ------------------------------------------------------------------
+  val qLogOdds: Q = (s, d) => logOdds(Tables.documents(s, d))
+
+  /** Core of q_log_odds over any (source, text) frame. Assumes the
+    * corpus vocabulary has ≥ 2 types (the smoothed rest-denominator is
+    * then always positive). */
+  def logOdds(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs
+      .select(col("source"), explode(Ops.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val srcTotals = cnt.groupBy(col("source")).agg(sum(col("c")).as("n_i"))
+    val termTotals = cnt.groupBy(col("term")).agg(sum(col("c")).as("c_all"))
+    val globals = cnt.agg(sum(col("c")).as("n_all"),
+                          count_distinct(col("term")).as("v"))
+    val scored = cnt
+      .join(termTotals, Seq("term"))
+      .join(srcTotals, Seq("source"))
+      .crossJoin(globals)
+      .select(col("source"), col("term"), col("c").as("c_i"),
+              (col("c_all") - col("c")).as("c_r"),
+              col("n_i"), (col("n_all") - col("n_i")).as("n_r"), col("v"))
+      .select(col("source"), col("term"), col("c_i"), col("n_i"),
+              round((log((col("c_i") + 1L).cast("double"))
+                       - log((col("n_i") + col("v") - col("c_i") - 1L)
+                               .cast("double"))
+                       - log((col("c_r") + 1L).cast("double"))
+                       + log((col("n_r") + col("v") - col("c_r") - 1L)
+                               .cast("double")))
+                      / sqrt(lit(1.0) / (col("c_i") + 1L).cast("double")
+                               + lit(1.0) / (col("c_r") + 1L).cast("double"))
+                      * 1e6).cast("long").as("z_micro"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("z_micro").desc, col("term").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 10)
+      .select(col("source"), col("rk"), col("term"), col("c_i"),
+              (col("z_micro").cast("double") / 1e6).as("z"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val qLogOddsSql: String =
+    """WITH cnt AS (
+      |  SELECT source, term, count(*) AS c
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_i
+      |       FROM cnt GROUP BY 1),
+      |tt AS (SELECT term, CAST(SUM(c) AS BIGINT) AS c_all
+      |       FROM cnt GROUP BY 1),
+      |g AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all,
+      |             CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM cnt),
+      |scored AS (
+      |  SELECT cnt.source, cnt.term, cnt.c AS c_i, st.n_i,
+      |         CAST(round(
+      |           (ln(CAST(cnt.c + 1 AS DOUBLE))
+      |            - ln(CAST(st.n_i + g.v - cnt.c - 1 AS DOUBLE))
+      |            - ln(CAST(tt.c_all - cnt.c + 1 AS DOUBLE))
+      |            + ln(CAST(g.n_all - st.n_i + g.v
+      |                      - (tt.c_all - cnt.c) - 1 AS DOUBLE)))
+      |           / sqrt(1.0 / CAST(cnt.c + 1 AS DOUBLE)
+      |                  + 1.0 / CAST(tt.c_all - cnt.c + 1 AS DOUBLE))
+      |           * 1000000.0, 0) AS BIGINT) AS z_micro
+      |  FROM cnt JOIN tt ON tt.term = cnt.term
+      |  JOIN st ON st.source = cnt.source CROSS JOIN g),
+      |ranked AS (
+      |  SELECT source, term, c_i, z_micro,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |                                 ORDER BY z_micro DESC, term ASC)
+      |              AS BIGINT) AS rk
+      |  FROM scored)
+      |SELECT source, rk, term, c_i,
+      |       CAST(z_micro AS DOUBLE) / 1000000.0 AS z
+      |FROM ranked WHERE rk <= 10 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
   // q_mann_whitney — Mann–Whitney U (with the exact tie convention)
   // between every source pair over the per-document token-length
   // distribution, emitted as the common-language effect size
@@ -2178,6 +2282,7 @@ object Corpus {
     "q_source_divergence" -> qSourceDivergence,
     "q_ks_test"          -> qKsTest,
     "q_mann_whitney"     -> qMannWhitney,
+    "q_log_odds"         -> qLogOdds,
     "q_bigram_logprob"   -> qBigramLogprob,
     "q_contamination"    -> qContamination,
     "q_mixture_sample"   -> qMixtureSample,
@@ -2205,6 +2310,7 @@ object Corpus {
     "q_source_divergence" -> qSourceDivergenceSql,
     "q_ks_test"          -> qKsTestSql,
     "q_mann_whitney"     -> qMannWhitneySql,
+    "q_log_odds"         -> qLogOddsSql,
     "q_bigram_logprob"   -> qBigramLogprobSql,
     "q_contamination"    -> qContaminationSql,
     "q_mixture_sample"   -> qMixtureSampleSql,

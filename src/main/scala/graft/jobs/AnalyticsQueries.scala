@@ -897,7 +897,91 @@ object AnalyticsQueries {
       |FROM nxt WHERE to_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_benford — first-significant-digit census of lineitem extended
+  // prices against Benford's law (expected share log10(1+1/d)): the
+  // standard data-quality / fraud screen for any monetary or count
+  // column entering the warehouse — fabricated or truncated feeds
+  // bend the leading-digit curve long before totals look wrong.
+  //
+  // Exactness: prices are 2-dp decimals carried as doubles, so
+  // round(x·100) recovers exact integer CENTS identically on both
+  // engines; the leading digit falls out of a pure-integer binary
+  // power-of-ten division cascade (no log10 on data — floor(log10 x)
+  // at an exact power boundary is libm-dependent). Observed shares
+  // are IEEE divisions of identical BIGINTs; the Benford expectation
+  // snaps log10(1+1/d) to micro-units (d = 1..9 are fixed constants
+  // nowhere near a half boundary), and the deviation is the same
+  // subtraction of identical doubles on both engines.
+  //
+  // Scale shape: a 1-column scan collapsing to ≤9 groups in one
+  // partial-agg shuffle — map-side combine does all the work; the
+  // digit grid is a 9-row literal join. Nothing is row-bounded past
+  // the scan.
+  // ------------------------------------------------------------------
+  val qBenford: Q = (s, d) => benford(
+    Tables.lineitem(s, d).select(col("l_extendedprice").as("x")), s)
+
+  /** Core of q_benford over any positive numeric column named x. */
+  def benford(vals: DataFrame, s: SparkSession): DataFrame = {
+    // Leading digit of integer cents via truncating division by the
+    // largest power of ten ≤ c — a branch cascade over binary
+    // power-of-ten steps (8, 4, 2, 1) covers magnitudes to 10^16.
+    // `div` (not `/`) keeps every step in exact integer arithmetic.
+    val cents = vals.select(
+      round(col("x") * 100.0).cast("long").as("c"))
+    val digits = Seq(8, 4, 2, 1).foldLeft(cents) { (df, k) =>
+      val p = math.pow(10, k).toLong
+      df.withColumn("c",
+        when(col("c") >= p, expr(s"c div ${p}L")).otherwise(col("c")))
+    }
+    val obs = digits.select(col("c").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = obs.agg(sum(col("n_obs")).as("n_total"))
+    val grid = s.range(1, 10).select(col("id").as("digit"))
+    grid.join(obs, Seq("digit"), "left").crossJoin(total)
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+              col("n_total"))
+      .select(col("digit"), col("n_obs"),
+              (col("n_obs").cast("double") / col("n_total").cast("double"))
+                .as("obs_share"),
+              (round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+                       * 1e6).cast("long").cast("double") / 1e6)
+                .as("exp_share"))
+      .withColumn("dev", col("obs_share") - col("exp_share"))
+      .orderBy(col("digit"))
+  }
+
+  val qBenfordSql: String =
+    """WITH cents AS (
+      |  SELECT CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS c
+      |  FROM lineitem),
+      |d8 AS (SELECT CASE WHEN c >= 100000000 THEN c // 100000000
+      |                   ELSE c END AS c FROM cents),
+      |d4 AS (SELECT CASE WHEN c >= 10000 THEN c // 10000
+      |                   ELSE c END AS c FROM d8),
+      |d2 AS (SELECT CASE WHEN c >= 100 THEN c // 100
+      |                   ELSE c END AS c FROM d4),
+      |d1 AS (SELECT CASE WHEN c >= 10 THEN c // 10
+      |                   ELSE c END AS digit FROM d2),
+      |obs AS (SELECT digit, count(*) AS n_obs FROM d1 GROUP BY 1),
+      |total AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM obs),
+      |grid AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit)
+      |SELECT g.digit, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+      |       CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+      |         AS obs_share,
+      |       CAST(CAST(round(log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE))
+      |                       * 1000000.0, 0) AS BIGINT) AS DOUBLE)
+      |         / 1000000.0 AS exp_share,
+      |       CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+      |         - CAST(CAST(round(log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE))
+      |                           * 1000000.0, 0) AS BIGINT) AS DOUBLE)
+      |           / 1000000.0 AS dev
+      |FROM grid g LEFT JOIN obs o ON o.digit = g.digit
+      |CROSS JOIN total t ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_benford"        -> qBenford,
     "q_cooccurrence"   -> qCooccurrence,
     "q_transition_matrix" -> qTransitionMatrix,
     "q_linear_fit"     -> qLinearFit,
@@ -924,6 +1008,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_benford"        -> qBenfordSql,
     "q_cooccurrence"   -> qCooccurrenceSql,
     "q_transition_matrix" -> qTransitionMatrixSql,
     "q_linear_fit"     -> qLinearFitSql,

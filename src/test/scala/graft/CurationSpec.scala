@@ -621,6 +621,26 @@ class CurationSpec extends AnyFunSuite {
                       ("s2", "s3", 2L, 3L, 2.0 / 3.0)), s"got $got")
   }
 
+  test("logOdds: exclusive terms top their source, shared terms score 0") {
+    val docs = Seq(
+      (1L, "sA", "apple apple apple common common"),
+      (2L, "sB", "banana banana banana common common")
+    ).toDF("doc_id", "source", "text")
+    val got = Corpus.logOdds(docs)
+      .as[(String, Long, String, Long, Double)].collect().toSeq
+    val bySrc = got.groupBy(_._1)
+    // Each source's characteristic term ranks first with positive z;
+    // the perfectly-shared term has an exactly-zero numerator, so its
+    // snapped z is exactly 0.0; the symmetric construction forces
+    // both exclusive terms to the same snapped z.
+    assert(bySrc("sA").head._3 == "apple" && bySrc("sB").head._3 == "banana")
+    assert(bySrc("sA").head._5 > 1.0)
+    assert(bySrc("sA").head._5 == bySrc("sB").head._5)
+    assert(got.filter(_._3 == "common").forall(_._5 == 0.0))
+    // Only observed (source, term) cells are scored: 2 rows per source.
+    assert(got.length == 4 && got.map(_._2).toSet == Set(1L, 2L))
+  }
+
   test("mannWhitney: hand-computed U with ties, disjoint supports hit 1") {
     // AUC = P(a < b) + half-tie credit. sA lengths {1,2}, sB {2,3}:
     // pairs (1<2) (1<3) (2<3) plus the (2,2) tie -> U = 3.5,

@@ -348,6 +348,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(rj.forall(_ > 0), "inner range join emits only matched errors")
   }
 
+  test("benford: integer-cascade leading digit, zero-filled grid") {
+    import graft.jobs.AnalyticsQueries
+    // cents 123 -> 1, 5 -> 5, 98765432 -> 9 (exercises the 4/2/1
+    // steps), 10 -> 1, 99999999 -> 9 (all-nines boundary).
+    val vals = Seq(1.23, 0.05, 987654.32, 0.10, 999999.99).toDF("x")
+    val got = AnalyticsQueries.benford(vals, spark)
+      .select($"digit", $"n_obs").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 1L),
+                      (6L, 0L), (7L, 0L), (8L, 0L), (9L, 2L)), s"got $got")
+    val shares = AnalyticsQueries.benford(vals, spark)
+      .select($"exp_share").as[Double].collect()
+    assert(math.abs(shares.sum - 1.0) < 1e-5,
+           "Benford expectations must sum to ~1")
+    assert(shares.head == 0.30103, "snapped log10(2)")
+  }
+
   test("burstiness: constant stream scores 0, crafted burst hits Fano") {
     import graft.ext.Sessions
     // smooth: 2 events every day over 4 days -> Var 0 -> fano 0.
