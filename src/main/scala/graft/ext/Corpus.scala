@@ -1079,6 +1079,182 @@ object Corpus {
   }
 
   // ------------------------------------------------------------------
+  // q_pmi — pointwise-mutual-information collocations over adjacent
+  // token bigrams: top-20 pairs by PMI = ln(c₁₂·N / (c₁·c₂)) under a
+  // min-support floor (c₁₂ ≥ 5 — the Church & Hanks 1990 guard
+  // against PMI's rare-pair explosion). Marginals are the bigram
+  // table's own position sums, so the whole statistic derives from
+  // ONE counts table. The collocation-mining classic: multiword
+  // expressions for tokenizer vocab design and boilerplate phrase
+  // discovery.
+  //
+  // Exactness: c₁₂, c₁, c₂, N are exact BIGINTs; PMI snaps the one
+  // ln expression to micro-units and the top-20 cut ranks on the
+  // snapped integer with (w1, w2) text tiebreak — deterministic
+  // cross-engine (the log-odds discipline).
+  //
+  // Scale shape: bigrams are generated MAP-SIDE (zip of the token
+  // array with its own tail — no self-join, no shuffle to form
+  // pairs); one (w1, w2) partial-agg shuffle, two vocab-bounded
+  // marginal rollups joined back, and a TakeOrderedAndProject cut
+  // (≤20 rows per partition cross the wire).
+  // ------------------------------------------------------------------
+  val qPmi: Q = (s, d) => pmi(Tables.documents(s, d))
+
+  /** Core of q_pmi over any (text) frame. */
+  def pmi(docs: DataFrame): DataFrame = {
+    val toks = Ops.tokens(col("text"))
+    val big = docs
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("w1"),
+        slice(toks, lit(2), size(toks) - 1).as("w2"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val m1 = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val m2 = big.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = big.agg(sum(col("c12")).as("n"))
+    big.filter(col("c12") >= 5L)
+      .join(m1, Seq("w1")).join(m2, Seq("w2")).crossJoin(n)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+              round(log(col("c12").cast("double") * col("n").cast("double")
+                          / (col("c1").cast("double")
+                               * col("c2").cast("double"))) * 1e6)
+                .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+              (col("pmi_micro").cast("double") / 1e6).as("pmi"))
+  }
+
+  val qPmiSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |big AS (
+      |  SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS c12
+      |  FROM toks, unnest(range(1, len(ws))) AS t(i)
+      |  GROUP BY 1, 2),
+      |m1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+      |m2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM big GROUP BY 1),
+      |n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM big),
+      |scored AS (
+      |  SELECT b.w1, b.w2, b.c12, m1.c1, m2.c2,
+      |         CAST(round(ln(CAST(b.c12 AS DOUBLE) * CAST(n.n AS DOUBLE)
+      |                       / (CAST(m1.c1 AS DOUBLE)
+      |                          * CAST(m2.c2 AS DOUBLE)))
+      |                    * 1000000.0, 0) AS BIGINT) AS pmi_micro
+      |  FROM big b JOIN m1 ON m1.w1 = b.w1 JOIN m2 ON m2.w2 = b.w2
+      |  CROSS JOIN n WHERE b.c12 >= 5)
+      |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, c1, c2,
+      |       CAST(pmi_micro AS DOUBLE) / 1000000.0 AS pmi
+      |FROM scored ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_jsd — pairwise Jensen–Shannon divergence between per-source
+  // unigram MLE distributions over the union support: JSD(P,Q) =
+  // ½Σ p·ln(p/m) + ½Σ q·ln(q/m) with m = (p+q)/2. The BOUNDED
+  // (≤ ln 2), symmetric companion to q_source_divergence's KL — the
+  // scalar data-mixture papers actually plot, and it needs NO
+  // smoothing: a term absent from one source contributes ½q·ln 2
+  // through the other side, and 0·ln(0/m) is identically dropped.
+  //
+  // Exactness: p, q, m are IEEE divisions of identical BIGINTs; each
+  // per-term contribution is one identical double expression snapped
+  // to nano-units and summed as BIGINT (order-free at any
+  // parallelism); the final JSD is the raw scaling of the integer
+  // sum (the source_divergence discipline).
+  //
+  // Scale shape: the KL funnel verbatim — one (source, term)
+  // partial-agg shuffle, vocab × sources smoothed-free cells, pair
+  // fan-out vocab × sources² into a sources²-row aggregate.
+  // ------------------------------------------------------------------
+  val qJsd: Q = (s, d) => jsd(Tables.documents(s, d))
+
+  /** Core of q_jsd over any (source, text) frame. */
+  def jsd(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("source"), explode(Ops.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val totals = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    // Dense (term, src_a, src_b) grid over the union support: a term
+    // absent from one side carries c = 0 there (p = 0 drops its own
+    // ln term; the other side still contributes through m). Cells
+    // where BOTH sides are 0 are filtered — they contribute nothing.
+    val ta = totals.select(col("source").as("src_a"), col("n").as("n_a2"))
+    val tb = totals.select(col("source").as("src_b"), col("n").as("n_b2"))
+    val support = cnt.select(col("term")).distinct()
+    val grid = support.crossJoin(ta).crossJoin(tb)
+      .filter(col("src_a") < col("src_b"))
+    val cA = cnt.select(col("term"), col("source").as("src_a"),
+                        col("c").as("c_a"))
+    val cB = cnt.select(col("term"), col("source").as("src_b"),
+                        col("c").as("c_b"))
+    val p = col("c_a").cast("double") / col("n_a2").cast("double")
+    val q = col("c_b").cast("double") / col("n_b2").cast("double")
+    val m = (p + q) / 2.0
+    val term =
+      when(col("c_a") > 0L, p / 2.0 * log(p / m)).otherwise(lit(0.0)) +
+        when(col("c_b") > 0L, q / 2.0 * log(q / m)).otherwise(lit(0.0))
+    grid
+      .join(cA, Seq("term", "src_a"), "left")
+      .join(cB, Seq("term", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+              coalesce(col("c_a"), lit(0L)).as("c_a"),
+              coalesce(col("c_b"), lit(0L)).as("c_b"),
+              col("n_a2"), col("n_b2"))
+      .filter(col("c_a") > 0L || col("c_b") > 0L)
+      .select(col("src_a"), col("src_b"),
+              round(term * 1e9).cast("long").as("u"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_terms"),
+           (sum(col("u")).cast("double") / 1e9).as("jsd"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val qJsdSql: String =
+    """WITH cnt AS (
+      |  SELECT source, term, count(*) AS c
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+      |           FROM cnt GROUP BY 1),
+      |support AS (SELECT DISTINCT term FROM cnt),
+      |grid AS (
+      |  SELECT s.term, ta.source AS src_a, ta.n AS n_a,
+      |         tb.source AS src_b, tb.n AS n_b
+      |  FROM support s CROSS JOIN totals ta CROSS JOIN totals tb
+      |  WHERE ta.source < tb.source),
+      |cells AS (
+      |  SELECT g.src_a, g.src_b,
+      |         COALESCE(ca.c, 0) AS c_a, COALESCE(cb.c, 0) AS c_b,
+      |         g.n_a, g.n_b
+      |  FROM grid g
+      |  LEFT JOIN cnt ca ON ca.source = g.src_a AND ca.term = g.term
+      |  LEFT JOIN cnt cb ON cb.source = g.src_b AND cb.term = g.term
+      |  WHERE COALESCE(ca.c, 0) > 0 OR COALESCE(cb.c, 0) > 0),
+      |terms AS (
+      |  SELECT src_a, src_b,
+      |         CAST(round((
+      |           CASE WHEN c_a > 0 THEN
+      |             CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 2.0
+      |               * ln((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |                    / ((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |                        + CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |                       / 2.0))
+      |           ELSE 0.0 END
+      |           + CASE WHEN c_b > 0 THEN
+      |               CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 2.0
+      |                 * ln((CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |                      / ((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |                          + CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |                         / 2.0))
+      |             ELSE 0.0 END) * 1000000000.0, 0) AS BIGINT) AS u
+      |  FROM cells)
+      |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_terms,
+      |       CAST(SUM(u) AS DOUBLE) / 1000000000.0 AS jsd
+      |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
   // q_log_odds — "Fightin' Words" (Monroe/Colaresi/Quinn 2008)
   // one-vs-rest log-odds keyness with an add-one Dirichlet prior: for
   // each source, the top-10 terms whose usage odds most exceed the
@@ -2283,6 +2459,8 @@ object Corpus {
     "q_ks_test"          -> qKsTest,
     "q_mann_whitney"     -> qMannWhitney,
     "q_log_odds"         -> qLogOdds,
+    "q_pmi"              -> qPmi,
+    "q_jsd"              -> qJsd,
     "q_bigram_logprob"   -> qBigramLogprob,
     "q_contamination"    -> qContamination,
     "q_mixture_sample"   -> qMixtureSample,
@@ -2311,6 +2489,8 @@ object Corpus {
     "q_ks_test"          -> qKsTestSql,
     "q_mann_whitney"     -> qMannWhitneySql,
     "q_log_odds"         -> qLogOddsSql,
+    "q_pmi"              -> qPmiSql,
+    "q_jsd"              -> qJsdSql,
     "q_bigram_logprob"   -> qBigramLogprobSql,
     "q_contamination"    -> qContaminationSql,
     "q_mixture_sample"   -> qMixtureSampleSql,

@@ -621,6 +621,34 @@ class CurationSpec extends AnyFunSuite {
                       ("s2", "s3", 2L, 3L, 2.0 / 3.0)), s"got $got")
   }
 
+  test("pmi: hand-computed collocation above the support floor") {
+    // "new york" x5 then 6 filler singletons: 16 tokens, 15 bigrams.
+    // Only (new, york) clears c12 >= 5: PMI = ln(5*15/(5*5)) = ln 3,
+    // micro-snapped to 1.098612.
+    val docs = Seq((1L, ("new york " * 5) + "a b c d e f"))
+      .toDF("doc_id", "text")
+    val got = Corpus.pmi(docs)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("new", "york", 5L, 5L, 5L, 1.098612)), s"got $got")
+  }
+
+  test("jsd: identical sources score exactly 0, disjoint ~ ln 2") {
+    val docs = Seq(
+      (1L, "sA", "a a b"), (2L, "sB", "c c d"), (3L, "sC", "a a b")
+    ).toDF("doc_id", "source", "text")
+    val got = Corpus.jsd(docs)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val byPair = got.map(r => ((r._1, r._2), r._4)).toMap
+    // Clone pair: p = q at every term -> ln(p/m) = ln 1 = 0 exactly,
+    // so the snapped sum is exactly 0. Disjoint pairs: JSD = ln 2 up
+    // to nano-snapping of the 4 per-term contributions.
+    assert(byPair(("sA", "sC")) == 0.0, s"got $got")
+    assert(math.abs(byPair(("sA", "sB")) - math.log(2.0)) < 1e-6)
+    assert(math.abs(byPair(("sB", "sC")) - math.log(2.0)) < 1e-6)
+    // Union-support cell count: disjoint pairs see all 4 terms.
+    assert(got.filter(r => r._1 == "sA" && r._2 == "sB").head._3 == 4L)
+  }
+
   test("logOdds: exclusive terms top their source, shared terms score 0") {
     val docs = Seq(
       (1L, "sA", "apple apple apple common common"),
