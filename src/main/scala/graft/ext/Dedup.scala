@@ -596,8 +596,12 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val qSimhashHammingSql: String =
-    s"""WITH $simhashCtes,
+  /** Full banded-retrieval CTE chain ending in `ham_edges(doc_a, doc_b,
+    * hamming)` — the verified Hamming ≤ HamT near-dup edge list, shared
+    * by the hamming-pair and triangle-count oracles.
+    */
+  private val simhashEdgeCtes: String =
+    s"""$simhashCtes,
        |banded AS (
        |  SELECT doc_id, simhash, j.j AS band_id,
        |         (simhash >> (j.j * $SimBandBits))
@@ -609,16 +613,101 @@ object Dedup {
        |kept AS (
        |  SELECT b.doc_id, b.simhash, b.band_id, b.band_val
        |  FROM banded b JOIN cool USING (band_id, band_val)),
-       |pairs AS (
+       |sim_pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         a.simhash AS sig_a, b.simhash AS sig_b
        |  FROM kept a JOIN kept b
        |    ON a.band_id = b.band_id AND a.band_val = b.band_val
-       |   AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b,
-       |       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-       |FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= $HamT
+       |   AND a.doc_id < b.doc_id),
+       |ham_edges AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |  FROM sim_pairs WHERE bit_count(xor(sig_a, sig_b)) <= $HamT)""".stripMargin
+
+  val qSimhashHammingSql: String =
+    s"""WITH $simhashEdgeCtes
+       |SELECT doc_a, doc_b, hamming FROM ham_edges
        |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_triangle_count — triangle census of the verified SimHash
+  // near-dup graph: nodes with ≥ 1 edge, edge count, wedge count
+  // Σ_v C(deg v, 2), triangle count, and the global transitivity
+  // 3T / wedges. The CLUSTER-QUALITY diagnostic over the same edges
+  // q_dedup_cluster unions: transitivity ≈ 1 means near-dup
+  // neighborhoods are cliquish (true duplicate groups — safe to
+  // collapse to one representative); low transitivity means chains,
+  // the signature of false transitive merges where A~B~C but A≁C —
+  // exactly what you check before trusting connected-component dedup
+  // at 100 TB.
+  //
+  // Exactness: every count is an exact BIGINT (the standard ordered-
+  // wedge enumeration: edges oriented a<b, wedge join on the middle
+  // vertex, close with a semi-join — each triangle a<b<c closes
+  // exactly one ordered wedge); transitivity is one IEEE division of
+  // identical integers (3T stays integral).
+  //
+  // Scale shape: the edge list is already pair-sparse (banded LSH
+  // with the hot-band cap, so deg(v) ≤ SimBands·SimBandMaxDf); the
+  // wedge join keys on the shared vertex and fans out Σ C(deg, 2) ≤
+  // |E|·capped-degree — the standard distributed triangle recipe
+  // (node-iterator++ à la Suri/Vassilvitskii) where the cap is what
+  // keeps the hottest vertex from quadratic blowup.
+  // ------------------------------------------------------------------
+  val qTriangleCount: Q = (s, d) => triangleCount(Tables.documents(s, d))
+
+  /** Core of q_triangle_count over any (doc_id, text) frame. */
+  def triangleCount(docs: DataFrame): DataFrame = {
+    val e = simhashHamming(docs).select(col("doc_a").as("a"),
+                                        col("doc_b").as("b"))
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val nodeStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("dg * (dg - 1) div 2")), lit(0L)).as("n_wedges"))
+    val edgeStats = e.agg(count(lit(1)).as("n_edges"))
+    val wedges = e.alias("e1")
+      .join(e.alias("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e2.b").as("wc"))
+    val triStats = wedges
+      .join(e.alias("e3"),
+            col("wa") === col("e3.a") && col("wc") === col("e3.b"),
+            "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    nodeStats.crossJoin(edgeStats).crossJoin(triStats)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+              col("n_triangles"),
+              when(col("n_wedges") > 0L,
+                   (lit(3L) * col("n_triangles")).cast("double")
+                     / col("n_wedges").cast("double"))
+                .otherwise(lit(0.0)).as("transitivity"))
+  }
+
+  val qTriangleCountSql: String =
+    s"""WITH $simhashEdgeCtes,
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM ham_edges),
+       |deg AS (
+       |  SELECT v, count(*) AS dg
+       |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+       |  GROUP BY 1),
+       |ns AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |         CAST(COALESCE(SUM(dg * (dg - 1) // 2), 0) AS BIGINT)
+       |           AS n_wedges
+       |  FROM deg),
+       |es AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+       |wed AS (
+       |  SELECT e1.a AS wa, e2.b AS wc
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b),
+       |ts AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM wed w WHERE EXISTS (
+       |    SELECT 1 FROM e WHERE e.a = w.wa AND e.b = w.wc))
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |       CASE WHEN n_wedges > 0 THEN
+       |         CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+       |       ELSE 0.0 END AS transitivity
+       |FROM ns CROSS JOIN es CROSS JOIN ts""".stripMargin
 
   // Embedding-cosine near-dup: pairwise cosine within deterministic
   // blocks (label = the natural partition; at scale the LSH sign-bucket
@@ -1267,6 +1356,7 @@ object Dedup {
     "q_dedup_cdc" -> qDedupCdc,
     "q_ngram_novelty" -> qNgramNovelty,
     "q_simhash_hamming" -> qSimhashHamming,
+    "q_triangle_count" -> qTriangleCount,
     "q_dedup_editdist" -> qDedupEditdist,
     "q_containment" -> qContainment,
     "q_winnow_fingerprint" -> qWinnowFingerprint,
@@ -1286,6 +1376,7 @@ object Dedup {
     "q_dedup_cdc" -> qDedupCdcSql,
     "q_ngram_novelty" -> qNgramNoveltySql,
     "q_simhash_hamming" -> qSimhashHammingSql,
+    "q_triangle_count" -> qTriangleCountSql,
     "q_dedup_editdist" -> qDedupEditdistSql,
     "q_containment" -> qContainmentSql,
     "q_winnow_fingerprint" -> qWinnowFingerprintSql,

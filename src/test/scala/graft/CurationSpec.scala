@@ -621,6 +621,21 @@ class CurationSpec extends AnyFunSuite {
                       ("s2", "s3", 2L, 3L, 2.0 / 3.0)), s"got $got")
   }
 
+  test("triangleCount: identical-doc clique closes, lone pair does not") {
+    // Docs 1-3 share a text (Hamming-0 clique = 1 triangle); docs 4-5
+    // share a different text (one edge, no wedge); doc 6 is isolated.
+    // Degrees 2,2,2,1,1 -> wedges 3, triangles 1, transitivity 1.0.
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, a), (2L, a), (3L, a), (4L, b), (5L, b),
+      (6L, "completely different standalone text body here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.triangleCount(docs)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((5L, 4L, 3L, 1L, 1.0)), s"got $got")
+  }
+
   test("pmi: hand-computed collocation above the support floor") {
     // "new york" x5 then 6 filler singletons: 16 tokens, 15 bigrams.
     // Only (new, york) clears c12 >= 5: PMI = ln(5*15/(5*5)) = ln 3,
