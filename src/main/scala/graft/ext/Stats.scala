@@ -1,0 +1,437 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Ops
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 distributional-statistics operators: the rank-based and
+  * change-detection panel a corpus/telemetry pipeline runs on top of the
+  * drift tests already in [[Corpus]] (KS, Mann–Whitney, JSD) and the
+  * monitoring smoothers in [[Sessions]] (EWMA, Fano).
+  *
+  * House disciplines carried over:
+  *  - ranks/medians NEVER go through a corpus-cardinality window: every
+  *    rank is derived from a value HISTOGRAM (support-bounded) with a
+  *    group-keyed cumulative sum, then joined back — the q_ks_test /
+  *    q_perplexity_buckets funnel;
+  *  - exactness by integer carriers: average ranks in half-units
+  *    (2·rank is always integral under the tie convention), medians in
+  *    half-units, MADs in quarter-units, money in cents — doubles appear
+  *    only in a final expression over identical BIGINTs on both engines;
+  *  - daily-series work is calendar-bounded after one partial-agg
+  *    shuffle (the q_burstiness shape).
+  */
+object Stats {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------------
+  // q_spearman — per-source Spearman rank correlation (average-rank tie
+  // convention) between a document's token count and its DISTINCT token
+  // count: the monotone-association audit between raw length and
+  // vocabulary breadth that complements q_corr_stats' Pearson (Spearman
+  // is what a pipeline health check wants on heavy-tailed doc metrics —
+  // outlier-robust, scale-free).
+  //
+  // Average ranks without a global sort: within a source, a value v
+  // with count c and F predecessors has average rank F + (c+1)/2, so
+  // 2·rank = 2F + c + 1 is ALWAYS integral — ranks are carried in
+  // half-units as BIGINTs end-to-end. ρ is then the Pearson formula
+  // over the half-unit ranks (invariant to the common ×2 scaling),
+  // assembled in ONE double expression over identical BIGINTs on both
+  // engines — bit-identical, no snapping.
+  //
+  // Scale shape: docs collapse to (source, value) histograms in one
+  // partial-agg shuffle per axis; cumulative counts run source-keyed
+  // over the support-bounded histogram; ranks join back on
+  // (source, value); the moment rollup is source-keyed. Nothing
+  // corpus-cardinality past the first aggregate.
+  // ------------------------------------------------------------------
+  val qSpearman: Q = (s, d) => spearman(Tables.documents(s, d))
+
+  /** Core of q_spearman over any (source, text) frame. */
+  def spearman(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Ops.tokens(col("text"))
+    val perDoc = docs.select(
+      col("source"), col("doc_id"),
+      size(toks).cast("bigint").as("x"),
+      size(array_distinct(toks)).cast("bigint").as("y"))
+    // Half-unit average rank of one axis: (source, value, rank2).
+    def ranks2(axis: String): DataFrame = {
+      val hist = perDoc.groupBy(col("source"), col(axis).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum(col("c")).over(w))
+        .select(col("source"), col("v").as(axis),
+                (lit(2L) * (col("cum") - col("c")) + col("c") + 1L)
+                  .as(s"r$axis"))
+    }
+    val ranked = perDoc
+      .join(ranks2("x"), Seq("source", "x"))
+      .join(ranks2("y"), Seq("source", "y"))
+    val m = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+           sum(col("rx") * col("rx")).as("sxx"),
+           sum(col("ry") * col("ry")).as("syy"),
+           sum(col("rx") * col("ry")).as("sxy"))
+    def dbl(c: String) = col(c).cast("double")
+    m.select(col("source"), col("n_docs"),
+        ((dbl("n_docs") * dbl("sxy") - dbl("sx") * dbl("sy"))
+           / sqrt((dbl("n_docs") * dbl("sxx") - dbl("sx") * dbl("sx"))
+                    * (dbl("n_docs") * dbl("syy") - dbl("sy") * dbl("sy"))))
+          .as("rho"))
+      .orderBy(col("source"))
+  }
+
+  val qSpearmanSql: String =
+    """WITH perdoc AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |           AS y
+      |  FROM documents),
+      |hx AS (SELECT source, x AS v, count(*) AS c FROM perdoc GROUP BY 1, 2),
+      |rx AS (
+      |  SELECT source, v AS x,
+      |         2 * (SUM(c) OVER (PARTITION BY source ORDER BY v
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+      |           + c + 1 AS rx
+      |  FROM hx),
+      |hy AS (SELECT source, y AS v, count(*) AS c FROM perdoc GROUP BY 1, 2),
+      |ry AS (
+      |  SELECT source, v AS y,
+      |         2 * (SUM(c) OVER (PARTITION BY source ORDER BY v
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+      |           + c + 1 AS ry
+      |  FROM hy),
+      |m AS (
+      |  SELECT p.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+      |         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+      |         CAST(SUM(ry * ry) AS BIGINT) AS syy,
+      |         CAST(SUM(rx * ry) AS BIGINT) AS sxy
+      |  FROM perdoc p
+      |  JOIN rx ON rx.source = p.source AND rx.x = p.x
+      |  JOIN ry ON ry.source = p.source AND ry.y = p.y
+      |  GROUP BY 1)
+      |SELECT source, n_docs,
+      |       (CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / sqrt((CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                * (CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |         AS rho
+      |FROM m ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_robust_zscore — per-source median / MAD location-scale summary of
+  // the per-document token count, with a |z| > 3 outlier census under
+  // the Gaussian-consistent MAD scaling (1.4826·MAD ≈ σ). The
+  // robust-statistics companion to q_anomaly_days' mean/stddev z-score:
+  // median/MAD don't move when the tail does, which is exactly what a
+  // corpus-quality length filter needs.
+  //
+  // Exactness: median in HALF-units (m2 = v⌈n/2⌉ + v⌈(n+1)/2⌉ over the
+  // cumulative histogram — both order statistics integral), absolute
+  // deviations in half-units, their median (the MAD) in QUARTER-units —
+  // all BIGINT. The published doubles divide those integers by 2/4; the
+  // outlier predicate |2·(2x − m2)| > 3·1.4826·mad4 is evaluated in
+  // identical double arithmetic on both engines.
+  //
+  // Scale shape: two histogram funnels (values, then deviations), each
+  // source-keyed cumulative over support-bounded rows; the cut ranks
+  // come from a per-source conditional-min aggregate (1 row per
+  // source); the census joins docs back on source. Never
+  // corpus-cardinality past the first aggregate.
+  // ------------------------------------------------------------------
+  val qRobustZscore: Q = (s, d) => robustZscore(Tables.documents(s, d))
+
+  /** Median in CARRIER×2 units of `v` grouped by source, via the
+    * cumulative-histogram funnel: returns (source, m2).
+    */
+  private def median2(perSrc: DataFrame, v: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = perSrc.groupBy(col("source"), col(v).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+    val tot = perSrc.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    cum.join(tot, Seq("source"))
+      .groupBy(col("source"))
+      // expr(... div ...): Column./ is DOUBLE division in Spark — the
+      // rank cuts must be integer (the oracle's `//`).
+      .agg((min(when(col("cum") >= expr("(n + 1) div 2"), col("v")))
+              + min(when(col("cum") >= expr("(n + 2) div 2"), col("v"))))
+             .as("m2"))
+  }
+
+  /** Core of q_robust_zscore over any (source, text) frame. */
+  def robustZscore(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(
+      col("source"),
+      size(Ops.tokens(col("text"))).cast("bigint").as("x"))
+    val med = median2(perDoc, "x")
+    // Deviations in half-units; their median is the MAD in quarter-units.
+    val dev = perDoc.join(med, Seq("source"))
+      .select(col("source"), abs(lit(2L) * col("x") - col("m2")).as("d2"))
+    val mad = median2(dev, "d2").withColumnRenamed("m2", "mad4")
+    val z = perDoc.join(med, Seq("source")).join(mad, Seq("source"))
+      .select(col("source"), col("m2"), col("mad4"),
+              // z in identical double arithmetic: (x − med)/(1.4826·MAD)
+              // = 2·(2x − m2) / (1.4826·mad4).
+              (lit(2.0) * (lit(2L) * col("x") - col("m2")).cast("double")
+                 / (lit(1.4826) * col("mad4").cast("double"))).as("z"))
+    z.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           (max(col("m2")).cast("double") / 2.0).as("median_toks"),
+           (max(col("mad4")).cast("double") / 4.0).as("mad_toks"),
+           sum(when(col("mad4") > 0L && abs(col("z")) > 3.0, 1L)
+                 .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("source"))
+  }
+
+  val qRobustZscoreSql: String = {
+    def med2(src: String, vcol: String): String =
+      s"""(WITH hist AS (SELECT source, $vcol AS v, count(*) AS c
+         |               FROM $src GROUP BY 1, 2),
+         |     cum AS (SELECT source, v, c,
+         |                    SUM(c) OVER (PARTITION BY source ORDER BY v
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING
+         |                      AND CURRENT ROW) AS cum
+         |             FROM hist),
+         |     tot AS (SELECT source, count(*) AS n FROM $src GROUP BY 1)
+         | SELECT cum.source,
+         |        MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+         |          + MIN(CASE WHEN cum >= (n + 2) // 2 THEN v END) AS m2
+         | FROM cum JOIN tot ON tot.source = cum.source
+         | GROUP BY 1)""".stripMargin
+    s"""WITH perdoc AS (
+       |  SELECT source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+       |  FROM documents),
+       |med AS ${med2("perdoc", "x")},
+       |dev AS (
+       |  SELECT p.source, abs(2 * p.x - m.m2) AS d2
+       |  FROM perdoc p JOIN med m ON m.source = p.source),
+       |mad AS (SELECT source, m2 AS mad4 FROM ${med2("dev", "d2")} q)
+       |SELECT p.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(MAX(m.m2) AS DOUBLE) / 2.0 AS median_toks,
+       |       CAST(MAX(a.mad4) AS DOUBLE) / 4.0 AS mad_toks,
+       |       CAST(SUM(CASE WHEN a.mad4 > 0 AND
+       |                abs(2.0 * CAST(2 * p.x - m.m2 AS DOUBLE)
+       |                    / (1.4826 * CAST(a.mad4 AS DOUBLE))) > 3.0
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM perdoc p
+       |JOIN med m ON m.source = p.source
+       |JOIN mad a ON a.source = p.source
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q_cusum — CUSUM changepoint detection on the per-event-type daily
+  // count series over the zero-filled day grid: the split day t*
+  // maximizing |S_t| where S_t = Σ_{i≤t}(c_i − c̄), plus the level on
+  // each side. The classic offline single-changepoint locator (Page's
+  // CUSUM / binary-segmentation step 1) — the monitoring question
+  // "did this event stream shift, and when?" that q_ewma_daily's
+  // smoother and q_anomaly_days' pointwise z-score don't answer.
+  //
+  // Exactness: S_t is carried SCALED BY n — S'_t = n·cum_t − t·T is
+  // pure BIGINT (c̄ = T/n never materializes as a double); the argmax
+  // runs on integers with earliest-day tie-break; published side means
+  // are one double division of identical integers each.
+  //
+  // Scale shape: events collapse to (type, day) counts in one
+  // partial-agg shuffle; everything after runs on the calendar-bounded
+  // grid (type-keyed windows, a type-keyed max, a bounded join-back).
+  // ------------------------------------------------------------------
+  val qCusum: Q = (s, d) => cusum(Tables.events(s, d))
+
+  /** Core of q_cusum over any (event_type, ts) frame. */
+  def cusum(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val grid = daily.select(col("day")).distinct()
+    val types = daily.select(col("event_type")).distinct()
+    val cells = grid.crossJoin(types)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+              coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val tw = Window.partitionBy(col("event_type"))
+    val scored = cells
+      .withColumn("t", row_number().over(w).cast("bigint"))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(tw).cast("bigint"))
+      .withColumn("total", sum(col("c")).over(tw))
+      .withColumn("s", col("n") * col("cum") - col("t") * col("total"))
+    val best = scored.groupBy(col("event_type"))
+      .agg(max(abs(col("s"))).as("s_abs"))
+    scored.join(best, Seq("event_type"))
+      .filter(abs(col("s")) === col("s_abs"))
+      .groupBy(col("event_type"))
+      .agg(min(col("day")).as("cp_day"),
+           max(col("n")).as("n_days"), max(col("total")).as("n_events"),
+           (max(col("s_abs")).cast("double")
+              / max(col("n")).cast("double")).as("cusum_max"),
+           min(struct(col("day"), col("t"), col("cum"))).as("at"))
+      .select(col("event_type"), col("cp_day"), col("n_days"),
+              col("n_events"), col("cusum_max"),
+              (col("at.cum").cast("double") / col("at.t").cast("double"))
+                .as("mean_before"),
+              coalesce(
+                (col("n_events") - col("at.cum")).cast("double")
+                  / nullif((col("n_days") - col("at.t")).cast("double"),
+                           lit(0.0)),
+                lit(0.0)).as("mean_after"))
+      .orderBy(col("event_type"))
+  }
+
+  val qCusumSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (SELECT DISTINCT day FROM daily),
+      |types AS (SELECT DISTINCT event_type FROM daily),
+      |cells AS (
+      |  SELECT t.event_type, g.day, COALESCE(d.c, 0) AS c
+      |  FROM grid g CROSS JOIN types t
+      |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day),
+      |scored AS (
+      |  SELECT event_type, day, c,
+      |         CAST(row_number() OVER tw AS BIGINT) AS t,
+      |         SUM(c) OVER (PARTITION BY event_type ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         CAST(COUNT(*) OVER p AS BIGINT) AS n,
+      |         CAST(SUM(c) OVER p AS BIGINT) AS total
+      |  FROM cells
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY day),
+      |         p AS (PARTITION BY event_type)),
+      |s AS (SELECT *, n * cum - t * total AS s FROM scored),
+      |best AS (SELECT event_type, MAX(abs(s)) AS s_abs FROM s GROUP BY 1),
+      |hit AS (
+      |  SELECT s.event_type, s.day, s.t, s.cum, s.n, s.total, b.s_abs,
+      |         row_number() OVER (PARTITION BY s.event_type
+      |                            ORDER BY s.day) AS rk
+      |  FROM s JOIN best b ON b.event_type = s.event_type
+      |     AND abs(s.s) = b.s_abs)
+      |SELECT event_type, day AS cp_day, n AS n_days, total AS n_events,
+      |       CAST(s_abs AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_max,
+      |       CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS mean_before,
+      |       COALESCE(CAST(total - cum AS DOUBLE)
+      |                  / nullif(CAST(n - t AS DOUBLE), 0.0), 0.0)
+      |         AS mean_after
+      |FROM hit WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_sax_motifs — symbolic-aggregate-approximation motif census of the
+  // per-event-type daily value series: each day's value sum maps to a
+  // tertile symbol (a = bottom third, b = middle, c = top — cuts at the
+  // per-type empirical tertiles, the q_perplexity_buckets rank recipe),
+  // and every 3-day sliding window becomes a motif string whose
+  // frequencies are counted per type. The SAX/motif-mining primitive
+  // (Lin et al. 2003): recurring shapes ("ccc" plateaus, "cac" spikes)
+  // in a form a dashboard can group by.
+  //
+  // Exactness: daily sums are DECIMAL(18,2) carried as integer CENTS
+  // (BIGINT); tertile cuts are conditional maxes over the descending
+  // cumulative histogram — integers end-to-end; symbols and motifs are
+  // strings. Nothing floating anywhere.
+  //
+  // Scale shape: one (type, day) partial-agg shuffle, then
+  // calendar-bounded work: type-keyed cumulative over the per-type
+  // daily histogram, a types-cardinality cut table joined back, lead()
+  // windows over the bounded series, and a (type, motif) rollup.
+  // ------------------------------------------------------------------
+  val qSaxMotifs: Q = (s, d) => saxMotifs(Tables.events(s, d))
+
+  /** Core of q_sax_motifs over any (event_type, ts, value) frame. */
+  def saxMotifs(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+             .cast("bigint").as("cents"))
+    val hist = daily.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("hn"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("hn")).over(w))
+    val tot = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val cuts = cum.join(tot, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("cum") >= expr("(n + 2) div 3"), col("cents")))
+             .as("t1"),
+           max(when(col("cum") >= expr("(2 * n + 2) div 3"),
+                    col("cents"))).as("t2"))
+    val sw = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily.join(cuts, Seq("event_type"))
+      .withColumn("sym",
+        when(col("cents") >= col("t1"), lit("c"))
+          .when(col("cents") >= col("t2"), lit("b"))
+          .otherwise(lit("a")))
+      .withColumn("motif",
+        concat(col("sym"), lead(col("sym"), 1).over(sw),
+               lead(col("sym"), 2).over(sw)))
+      .filter(col("motif").isNotNull)
+      .groupBy(col("event_type"), col("motif"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("event_type"), col("motif"))
+  }
+
+  val qSaxMotifsSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |           AS cents
+      |  FROM events GROUP BY 1, 2),
+      |hist AS (SELECT event_type, cents, count(*) AS hn
+      |         FROM daily GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, cents, hn,
+      |         SUM(hn) OVER (PARTITION BY event_type ORDER BY cents DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM hist),
+      |tot AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+      |cuts AS (
+      |  SELECT c.event_type,
+      |         MAX(CASE WHEN cum >= (n + 2) // 3 THEN cents END) AS t1,
+      |         MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN cents END) AS t2
+      |  FROM cum c JOIN tot t ON t.event_type = c.event_type
+      |  GROUP BY 1),
+      |sym AS (
+      |  SELECT d.event_type, d.day,
+      |         CASE WHEN d.cents >= c.t1 THEN 'c'
+      |              WHEN d.cents >= c.t2 THEN 'b'
+      |              ELSE 'a' END AS sym
+      |  FROM daily d JOIN cuts c ON c.event_type = d.event_type),
+      |mot AS (
+      |  SELECT event_type,
+      |         sym || lead(sym, 1) OVER sw || lead(sym, 2) OVER sw AS motif
+      |  FROM sym WINDOW sw AS (PARTITION BY event_type ORDER BY day))
+      |SELECT event_type, motif, count(*) AS n_windows
+      |FROM mot WHERE motif IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_spearman"      -> qSpearman,
+    "q_robust_zscore" -> qRobustZscore,
+    "q_cusum"         -> qCusum,
+    "q_sax_motifs"    -> qSaxMotifs,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_spearman"      -> qSpearmanSql,
+    "q_robust_zscore" -> qRobustZscoreSql,
+    "q_cusum"         -> qCusumSql,
+    "q_sax_motifs"    -> qSaxMotifsSql,
+  )
+}
