@@ -75,16 +75,28 @@ object Corpus {
     var prevSum = labelSum(labels)
     val spent = scala.collection.mutable.ArrayBuffer(labels)
     var converged = false
+    var round = 0
     while (!converged) {
       val nbrMin = e
         .join(labels, e("dst") === labels("doc_id"))
         .groupBy(e("src")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.alias("l")
+      val raw = labels.alias("l")
         .join(nbrMin, col("l.doc_id") === nbrMin("src"), "left")
         .select(col("l.doc_id").as("doc_id"),
                 least(col("l.label"),
                       coalesce(col("nbr_label"), col("l.label"))).as("label"))
-        .persist()
+      // Each round's plan references the previous round's TWICE (join +
+      // neighbor-min), so lineage doubles per round. The star graphs of
+      // the dedup callers converge in ~3 rounds and never notice; a
+      // raw ε-neighbor graph (q_dbscan) has real diameter, and by round
+      // ~15 even stringifying the plan for the cache name OOMs the
+      // driver. Truncate lineage once past the star-graph regime —
+      // after materialization the blocks are the same either way, and
+      // plan audits (tiny fixtures, ≤3 rounds) still see deep plans.
+      round += 1
+      val next =
+        if (round > 3 && !graft.PlanMode.auditing) raw.localCheckpoint(false)
+        else raw.persist()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

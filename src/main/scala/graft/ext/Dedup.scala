@@ -1352,7 +1352,92 @@ object Dedup {
        |FROM pg JOIN fs USING (gram)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_pagerank — damped PageRank centrality over the verified SimHash
+  // near-dup graph (same ham_edges as q_triangle_count): which
+  // documents sit at the CENTER of duplication neighborhoods. The
+  // canonical-pick signal a curation pass wants beyond component
+  // membership: inside a big near-dup cluster the highest-rank doc is
+  // the best "representative", and rank mass per component measures
+  // how template-like the cluster is.
+  //
+  // The iteration is q_textrank's INTEGER power method verbatim on an
+  // unweighted graph: ranks in micro-units (r0 = 1e6), each neighbor
+  // contributes r_u div deg_u (exact BIGINT division), damping is
+  // 150000 + (85·sum) div 100 — bit-exact at any parallelism, oracle
+  // = PrIters unrolled MATERIALIZED CTEs.
+  //
+  // Scale shape: the graph is pair-sparse (banded retrieval with the
+  // hot-band cap — never corpus²); each iteration is one equi-join +
+  // partial-agg sum over the edge list; the top-PrTopK cut is
+  // orderBy().limit() → TakeOrderedAndProject. Fixed iteration count:
+  // one lazy plan, zero driver round-trips.
+  // ------------------------------------------------------------------
+  val PrIters = 3
+  val PrTopK = 25
+
+  val qPagerank: Q = (s, d) => pagerank(Tables.documents(s, d))
+
+  /** Core of q_pagerank over any (doc_id, text) frame. */
+  def pagerank(docs: DataFrame): DataFrame = {
+    val e = simhashHamming(docs).select(col("doc_a"), col("doc_b"))
+    val sym = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val adj = sym.join(deg, Seq("u")).persist()
+    var r = deg.select(col("u"), lit(1000000L).as("r"))
+    for (_ <- 1 to PrIters) {
+      r = adj.join(r, Seq("u"))
+        .select(col("v"), expr("r div deg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("sc"))
+        .select(col("v").as("u"),
+                expr("CAST(150000 + (85 * sc) div 100 AS BIGINT)").as("r"))
+    }
+    // Bounded post-limit ranking with the non-foldable empty partition
+    // key — the q_textrank tail pattern (and the same WindowExec-warning
+    // avoidance).
+    val top = r.orderBy((-col("r")).asc, col("u").asc).limit(PrTopK)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring(col("u").cast("string"), 1, 0))
+      .orderBy((-col("r")).asc, col("u").asc)
+    val ranked = top.join(deg, Seq("u"))
+      .withColumn("rn", row_number().over(rankW).cast("bigint"))
+      .select(col("rn"), col("u").as("doc_id"), col("deg"),
+              col("r").as("rank_u"))
+      .orderBy(col("rn"))
+    adj.unpersist()
+    ranked
+  }
+
+  val qPagerankSql: String = {
+    def iter(prev: String, next: String): String =
+      s"""$next AS MATERIALIZED (
+         |  SELECT a.v AS u,
+         |         CAST(150000 + (85 * SUM(r.r // a.deg)) // 100
+         |              AS BIGINT) AS r
+         |  FROM adj a JOIN $prev r ON r.u = a.u GROUP BY 1)""".stripMargin
+    s"""WITH $simhashEdgeCtes,
+       |sym AS (SELECT doc_a AS u, doc_b AS v FROM ham_edges
+       |        UNION ALL SELECT doc_b AS u, doc_a AS v FROM ham_edges),
+       |deg AS MATERIALIZED (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+       |adj AS MATERIALIZED (
+       |  SELECT s.u, s.v, d.deg FROM sym s JOIN deg d ON d.u = s.u),
+       |r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")},
+       |ranked AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY r.r DESC, r.u) AS BIGINT)
+       |           AS rn,
+       |         r.u AS doc_id, d.deg, r.r AS rank_u
+       |  FROM r3 r JOIN deg d ON d.u = r.u)
+       |SELECT rn, doc_id, deg, rank_u FROM ranked WHERE rn <= $PrTopK
+       |ORDER BY rn""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pagerank"  -> qPagerank,
     "q_dedup_cdc" -> qDedupCdc,
     "q_ngram_novelty" -> qNgramNovelty,
     "q_simhash_hamming" -> qSimhashHamming,
@@ -1373,6 +1458,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pagerank"  -> qPagerankSql,
     "q_dedup_cdc" -> qDedupCdcSql,
     "q_ngram_novelty" -> qNgramNoveltySql,
     "q_simhash_hamming" -> qSimhashHammingSql,

@@ -421,7 +421,130 @@ object Stats {
       |FROM mot WHERE motif IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_dbscan — density-based clustering (DBSCAN, Ester et al. 1996)
+  // over the embedding space: ε-neighbor graph at cosine ≥ DbEps within
+  // the deterministic label block (the q_dedup_embedding candidate
+  // recipe — at scale the LSH sign-bucket generator from ext.Similarity
+  // replaces the block), core points = ≥ DbMinPts neighbors, clusters =
+  // connected components of the core-core subgraph (min-label
+  // propagation, the q_dedup_cluster engine), border points adopt the
+  // smallest adjacent core cluster, the rest is noise. The clustering
+  // family k-means can't cover: arbitrary-shape clusters plus an
+  // explicit noise verdict — what an embedding-space curation pass
+  // uses to find coherent pockets without fixing k.
+  //
+  // Exactness: cosines snap to 1e-6 before the ε test (the
+  // q_dedup_embedding discipline); everything after is integer graph
+  // work — degrees, component minima, min-adoption — deterministic on
+  // both engines. Oracle CC is a recursive CTE; engine CC is the
+  // shared minLabelPropagate fixpoint (identical component minima).
+  //
+  // Scale shape: candidates never leave a block/bucket; the ε-graph is
+  // edge-keyed from there on (degree partial-agg, star-bounded CC
+  // rounds, one min-adoption join). The deterministic sample
+  // (vec_id % 4, label < 5) keeps the oracle's correlated-subquery
+  // cosine affordable, exactly as q_dedup_embedding documents.
+  // ------------------------------------------------------------------
+  val DbEps = 0.2
+  val DbMinPts = 2
+
+  val qDbscan: Q = (s, d) => dbscan(Tables.embeddings(s, d))
+
+  /** Core of q_dbscan over any (vec_id, label, embedding) frame. */
+  def dbscan(emb: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions
+    val e = emb.filter(col("vec_id") % 4 === 0 && col("label") < 5)
+      .select(col("label"), col("vec_id"), col("embedding"),
+              VectorFunctions.vecNorm(col("embedding")).as("nrm"))
+    val a = e.select(col("label"), col("vec_id").as("va"),
+                     col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("vb"),
+                     col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("label"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cos",
+        round(VectorFunctions.vecDot(col("ea"), col("eb")) /
+                (col("na") * col("nb")), 6))
+      .filter(col("cos") >= DbEps)
+      .select(col("va"), col("vb"))
+    val sym = pairs
+      .unionByName(pairs.select(col("vb").as("va"), col("va").as("vb")))
+      .persist()
+    val core = sym.groupBy(col("va").as("vec_id"))
+      .agg(count(lit(1)).as("n_nbrs"))
+      .filter(col("n_nbrs") >= DbMinPts)
+      .select(col("vec_id"))
+    val cce = sym
+      .join(core.withColumnRenamed("vec_id", "va"), Seq("va"), "left_semi")
+      .join(core.withColumnRenamed("vec_id", "vb"), Seq("vb"), "left_semi")
+      .select(col("va").as("src"), col("vb").as("dst"))
+    val comp = Corpus.minLabelPropagate(
+      core.withColumnRenamed("vec_id", "doc_id"), cce)
+      .select(col("doc_id").as("vec_id"), col("label").as("cluster"))
+    val border = sym
+      .join(core.withColumnRenamed("vec_id", "va"), Seq("va"), "left_anti")
+      .join(comp.withColumnRenamed("vec_id", "vb"), Seq("vb"))
+      .groupBy(col("va").as("vec_id"))
+      .agg(min(col("cluster")).as("b_cluster"))
+    val out = e.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .join(border, Seq("vec_id"), "left")
+    sym.unpersist()
+    out.select(col("vec_id"),
+        when(col("cluster").isNotNull, lit("core"))
+          .when(col("b_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("cluster"), col("b_cluster"), lit(-1L)).as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qDbscanSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT label, vec_id, embedding
+       |  FROM embeddings WHERE vec_id % 4 = 0 AND label < 5),
+       |edges0 AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE round(
+       |    (SELECT SUM(CAST(a.embedding[i.i] AS DOUBLE)
+       |                * CAST(b.embedding[i.i] AS DOUBLE))
+       |     FROM generate_series(1, 64) i(i)) /
+       |    (sqrt((SELECT SUM(CAST(a.embedding[i.i] AS DOUBLE) ** 2)
+       |           FROM generate_series(1, 64) i(i))) *
+       |     sqrt((SELECT SUM(CAST(b.embedding[i.i] AS DOUBLE) ** 2)
+       |           FROM generate_series(1, 64) i(i)))), 6) >= $DbEps),
+       |sym AS (SELECT va, vb FROM edges0
+       |        UNION ALL SELECT vb, va FROM edges0),
+       |core AS (
+       |  SELECT va AS vec_id FROM sym GROUP BY 1
+       |  HAVING count(*) >= $DbMinPts),
+       |cce AS (
+       |  SELECT s.va AS src, s.vb AS dst FROM sym s
+       |  WHERE s.va IN (SELECT vec_id FROM core)
+       |    AND s.vb IN (SELECT vec_id FROM core)),
+       |reach(v, l) AS (
+       |  SELECT vec_id, vec_id FROM core
+       |  UNION
+       |  SELECT c.dst, r.l FROM reach r JOIN cce c ON c.src = r.v),
+       |comp AS (SELECT v AS vec_id, min(l) AS cluster FROM reach GROUP BY 1),
+       |border AS (
+       |  SELECT s.va AS vec_id, min(c.cluster) AS b_cluster
+       |  FROM sym s JOIN comp c ON c.vec_id = s.vb
+       |  WHERE s.va NOT IN (SELECT vec_id FROM core)
+       |  GROUP BY 1)
+       |SELECT e.vec_id,
+       |       CASE WHEN m.cluster IS NOT NULL THEN 'core'
+       |            WHEN b.b_cluster IS NOT NULL THEN 'border'
+       |            ELSE 'noise' END AS role,
+       |       COALESCE(m.cluster, b.b_cluster, -1) AS cluster
+       |FROM e
+       |LEFT JOIN comp m ON m.vec_id = e.vec_id
+       |LEFT JOIN border b ON b.vec_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_dbscan"        -> qDbscan,
     "q_spearman"      -> qSpearman,
     "q_robust_zscore" -> qRobustZscore,
     "q_cusum"         -> qCusum,
@@ -429,6 +552,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dbscan"        -> qDbscanSql,
     "q_spearman"      -> qSpearmanSql,
     "q_robust_zscore" -> qRobustZscoreSql,
     "q_cusum"         -> qCusumSql,

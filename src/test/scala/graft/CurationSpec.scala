@@ -636,6 +636,25 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq((5L, 4L, 3L, 1L, 1.0)), s"got $got")
   }
 
+  test("pagerank: regular components sit at the 1e6 fixed point") {
+    // Same crafted graph as the triangle test: a K3 clique (docs 1-3)
+    // and a lone pair (4-5). Both are REGULAR graphs, so the uniform
+    // rank is the exact fixed point of the integer iteration:
+    // each node receives deg · (1e6 div deg) = 1e6 and
+    // 150000 + (85 · 1e6) div 100 = 1e6 again — pinning the damping
+    // arithmetic and the (rank desc, doc_id asc) tie order.
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, a), (2L, a), (3L, a), (4L, b), (5L, b))
+      .toDF("doc_id", "text")
+    val got = Dedup.pagerank(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, 1000000L), (2L, 2L, 2L, 1000000L),
+      (3L, 3L, 2L, 1000000L), (4L, 4L, 1L, 1000000L),
+      (5L, 5L, 1L, 1000000L)), s"got $got")
+  }
+
   test("pmi: hand-computed collocation above the support floor") {
     // "new york" x5 then 6 filler singletons: 16 tokens, 15 bigrams.
     // Only (new, york) clears c12 >= 5: PMI = ln(5*15/(5*5)) = ln 3,

@@ -127,6 +127,44 @@ class StatsSpec extends AnyFunSuite {
                     "bbc" -> 1L, "bcc" -> 1L, "ccc" -> 1L))
   }
 
+  test("dbscan: crafted geometry splits core/border/noise correctly") {
+    // Unit vectors in a 2-D subspace at angle θ: cosine similarity =
+    // cos(Δθ), so ε = 0.2 admits Δθ ≲ 78°. Hub at 0° with spokes at
+    // ±60° (edges only to the hub) → hub core (deg 2), spokes border;
+    // an isolated pair at 150°/215° (Δθ = 65°, one edge) sits below
+    // MinPts = 2 on both ends → DBSCAN calls tight-but-tiny groups
+    // noise, which k-means never can.
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array.tabulate(64)(i =>
+        if (i == 0) math.cos(r).toFloat
+        else if (i == 1) math.sin(r).toFloat else 0f)
+    }
+    val emb = Seq(
+      (0L, 0, v(0)), (4L, 0, v(60)), (8L, 0, v(300)),
+      (12L, 0, v(150)), (16L, 0, v(215)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Stats.dbscan(emb).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (0L, "core", 0L), (4L, "border", 0L), (8L, "border", 0L),
+      (12L, "noise", -1L), (16L, "noise", -1L)))
+  }
+
+  test("min-label propagation survives a high-diameter path graph") {
+    // A 24-node path needs ~23 propagation rounds; before the round-4
+    // lineage truncation in Corpus.minLabelPropagate the per-round plan
+    // DOUBLED and stringifying it for the cache name OOM'd the driver
+    // (found by q_dbscan's ε-graph, which has real diameter unlike the
+    // dedup callers' star graphs).
+    val n = 24
+    val verts = (1 to n).map(_.toLong).toDF("doc_id")
+    val edges = (1 until n).flatMap(i =>
+      Seq((i.toLong, i + 1L), (i + 1L, i.toLong))).toDF("src", "dst")
+    val labels = ext.Corpus.minLabelPropagate(verts, edges).collect()
+    assert(labels.length == n && labels.forall(_.getLong(1) == 1L))
+  }
+
   test("sax motifs: threshold ties land on the high side, like buckets") {
     // Sums 1,1,1,1,1,9: t1 = 9 (top-third rank cuts at ceil(6/3)=2 →
     // the 9 and one 1... rank logic: cum desc ≥ 2 first reaches a 1),
