@@ -543,7 +543,308 @@ object Stats {
        |LEFT JOIN border b ON b.vec_id = e.vec_id
        |ORDER BY e.vec_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_knn_classify — leave-one-out k-NN label prediction over the
+  // embedding table: a deterministic query sample (vec_id % 16 = 0) is
+  // classified by the majority label of its KnnK exact-cosine nearest
+  // neighbors (self excluded), and the output is the (label, predicted)
+  // confusion census — the standard "are these embeddings any good"
+  // probe a pipeline runs before trusting them for semantic dedup or
+  // curation. Brute-force scoring is the evaluation baseline (exactly
+  // q_similarity_topk's discipline); production retrieval at 100 TB
+  // swaps in the IVF/PQ funnel from ext.Similarity unchanged.
+  //
+  // Exactness: cosines snap to 1e-6 before ranking (vec_id tie-break);
+  // majority voting is integer counts with (count desc, label asc)
+  // tie-break — argmax deterministic on both engines.
+  //
+  // Scale shape: the query set is broadcast (bounded sample fraction);
+  // scoring is map-side against the broadcast; the top-K cut is the
+  // bounded per-group heap (Ops.topKPerGroup); voting and the census
+  // are K-bounded aggregates.
+  // ------------------------------------------------------------------
+  val KnnK = 5
+
+  val qKnnClassify: Q = (s, d) => knnClassify(Tables.embeddings(s, d))
+
+  /** Core of q_knn_classify over any (vec_id, label, embedding) frame. */
+  def knnClassify(emb: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"),
+                       VectorFunctions.vecNorm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") % 16 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+              col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("score",
+        round(VectorFunctions.vecDot(col("qe"), col("embedding")) /
+                (col("qnrm") * col("nrm")), 6))
+    val top = Ops.topKPerGroup(cand, Seq("qid"), -col("score"),
+                               col("vec_id"), KnnK)
+    val votes = top.groupBy(col("qid"), col("qlabel"), col("label"))
+      .agg(count(lit(1)).as("v"))
+    val pred = Ops.topKPerGroup(votes, Seq("qid"), -col("v"),
+                                col("label"), 1)
+      .select(col("qid"), col("qlabel").as("label"),
+              col("label").as("predicted"))
+    pred.groupBy(col("label"), col("predicted"))
+      .agg(count(lit(1)).as("n_queries"))
+      .orderBy(col("label"), col("predicted"))
+  }
+
+  val qKnnClassifySql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+       |  FROM embeddings WHERE vec_id % 16 = 0),
+       |cand AS (
+       |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+       |         round(
+       |           (SELECT SUM(CAST(qe[i.i] AS DOUBLE)
+       |                       * CAST(e.embedding[i.i] AS DOUBLE))
+       |            FROM generate_series(1, 64) i(i)) /
+       |           (sqrt((SELECT SUM(CAST(qe[i.i] AS DOUBLE) ** 2)
+       |                  FROM generate_series(1, 64) i(i))) *
+       |            sqrt((SELECT SUM(CAST(e.embedding[i.i] AS DOUBLE) ** 2)
+       |                  FROM generate_series(1, 64) i(i)))), 6) AS score
+       |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+       |top AS (
+       |  SELECT qid, qlabel, label FROM (
+       |    SELECT qid, qlabel, label,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY score DESC, vec_id) AS rn
+       |    FROM cand) WHERE rn <= $KnnK),
+       |votes AS (
+       |  SELECT qid, qlabel, label, count(*) AS v
+       |  FROM top GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT qid, qlabel AS label, label AS predicted FROM (
+       |    SELECT qid, qlabel, label,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY v DESC, label) AS rn
+       |    FROM votes) WHERE rn = 1)
+       |SELECT label, predicted, count(*) AS n_queries
+       |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_ab_test — two-proportion z-test on the event stream: users split
+  // into variants by user_id parity (the deterministic stand-in for an
+  // assignment column), conversion = purchase events, and the output is
+  // the full experiment readout — counts, rates, pooled z, and the
+  // |z| > 1.96 verdict. The experimentation primitive every analytics
+  // engine ships; its null result on hash-split synthetic data is
+  // itself the A/A sanity check real platforms run first.
+  //
+  // Exactness: four BIGINT counts; rates and z are each one double
+  // expression over identical integers (the ks-test rule, no
+  // snapping).
+  //
+  // Scale shape: one partial-agg over the events scan (conditional
+  // sums, no shuffle wider than the 1-row rollup). Nothing else.
+  // ------------------------------------------------------------------
+  val qAbTest: Q = (s, d) => abTest(Tables.events(s, d))
+
+  /** Core of q_ab_test over any (user_id, event_type) frame. */
+  def abTest(events: DataFrame): DataFrame = {
+    val agg = events.agg(
+      sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("user_id") % 2 === 0 && col("event_type") === "purchase",
+               1L).otherwise(0L)).as("s_a"),
+      sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("user_id") % 2 === 1 && col("event_type") === "purchase",
+               1L).otherwise(0L)).as("s_b"))
+    def dbl(c: String) = col(c).cast("double")
+    agg.select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+        (dbl("s_a") / dbl("n_a")).as("p_a"),
+        (dbl("s_b") / dbl("n_b")).as("p_b"))
+      .withColumn("z",
+        (col("p_a") - col("p_b")) /
+          sqrt(((dbl("s_a") + dbl("s_b")) / (dbl("n_a") + dbl("n_b")))
+                 * (lit(1.0) - (dbl("s_a") + dbl("s_b"))
+                                 / (dbl("n_a") + dbl("n_b")))
+                 * (lit(1.0) / dbl("n_a") + lit(1.0) / dbl("n_b"))))
+      .withColumn("significant", abs(col("z")) > 1.96)
+  }
+
+  val qAbTestSql: String =
+    """WITH agg AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_a,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_b,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS s_b
+      |  FROM events),
+      |rates AS (
+      |  SELECT *, CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+      |            CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b
+      |  FROM agg),
+      |zed AS (
+      |  SELECT *,
+      |    (p_a - p_b) / sqrt(
+      |      ((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE))
+      |         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+      |      * (1.0 - (CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE))
+      |                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+      |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+      |      AS z
+      |  FROM rates)
+      |SELECT n_a, s_a, n_b, s_b, p_a, p_b, z, abs(z) > 1.96 AS significant
+      |FROM zed""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_decile_lift — the quality-score decile table: every document
+  // ranked into 10 global quality bands (cuts at the empirical decile
+  // ranks over the snapped-score histogram — the q_perplexity_buckets
+  // recipe widened from tertiles), reporting per-decile doc count,
+  // mean quality, and mean token count. The monotone lift table is how
+  // a pipeline VALIDATES a quality score before filtering on it: if
+  // mean length doesn't move across deciles, the score is noise.
+  //
+  // Exactness: scores snap to 1e-3 quanta (BIGINT qs — quality lives
+  // in [0,1], so the histogram support is ≤ ~1000 rows at ANY corpus
+  // size); cut ranks are integer `div` arithmetic; the published means
+  // divide identical BIGINT sums. A doc equal to a cut value lands in
+  // the LOWER decile on both engines (ties never straddle).
+  //
+  // Scale shape: one quality scan → bounded histogram partial-agg; the
+  // cumulative runs over the bounded histogram (non-foldable constant
+  // partition key, the house pattern); the 9 cuts come back as one
+  // 1-row crossJoin; the decile rollup is 10-row.
+  // ------------------------------------------------------------------
+  val qDecileLift: Q = (s, d) => decileLift(Tables.documents(s, d))
+
+  /** Core of q_decile_lift over any documents-shaped frame. */
+  def decileLift(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(
+      round(TextOps.qualityColumn * 1000.0, 0).cast("long").as("qs"),
+      size(Ops.tokens(col("text"))).cast("bigint").as("toks"))
+    val hist = scored.groupBy(col("qs")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(substring(col("qs").cast("string"), 1, 0))
+      .orderBy(col("qs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+    val tot = hist.agg(sum(col("c")).as("n"))
+    val cutCols = (1 to 9).map(k =>
+      min(when(col("cum") >= expr(s"($k * n + 9) div 10"), col("qs")))
+        .as(s"t$k"))
+    val cuts = cum.crossJoin(tot).agg(cutCols.head, cutCols.tail: _*)
+    val decile = (1 to 9).foldLeft(lit(1L)) { (acc, k) =>
+      acc + when(col("qs") > col(s"t$k"), 1L).otherwise(0L)
+    }
+    scored.crossJoin(cuts)
+      .withColumn("decile", decile)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+           (sum(col("qs")).cast("double") / 1000.0
+              / count(lit(1)).cast("double")).as("mean_quality"),
+           (sum(col("toks")).cast("double")
+              / count(lit(1)).cast("double")).as("mean_toks"))
+      .orderBy(col("decile"))
+  }
+
+  val qDecileLiftSql: String = {
+    val cutDefs = (1 to 9).map(k =>
+      s"MIN(CASE WHEN cum >= ($k * n + 9) // 10 THEN qs END) AS t$k")
+      .mkString(",\n       |         ")
+    val decileExpr = (1 to 9).map(k =>
+      s"CASE WHEN s.qs > c.t$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH scored AS (
+       |  SELECT CAST(round(${TextOps.qualitySqlExpr} * 1000.0, 0) AS BIGINT)
+       |           AS qs,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents),
+       |hist AS (SELECT qs, count(*) AS c FROM scored GROUP BY 1),
+       |cum AS (
+       |  SELECT qs, c, SUM(c) OVER (ORDER BY qs
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+       |cuts AS (
+       |  SELECT $cutDefs
+       |  FROM cum CROSS JOIN tot)
+       |SELECT CAST(1 + $decileExpr AS BIGINT) AS decile,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(s.qs) AS DOUBLE) / 1000.0
+       |         / CAST(count(*) AS DOUBLE) AS mean_quality,
+       |       CAST(SUM(s.toks) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS mean_toks
+       |FROM scored s CROSS JOIN cuts c
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q_entropy_rate — per-source conditional bigram entropy
+  // H(cur | prev) = −Σ p(prev,cur) ln p(cur | prev): the entropy-RATE
+  // estimate that says how predictable each source's text is one token
+  // ahead — boilerplate-heavy sources score low, diverse prose scores
+  // near the unigram entropy ceiling (q_token_entropy), and the gap is
+  // the redundancy a tokenizer/compressor can exploit. The sequence
+  // companion to q_jsd's bag-of-words divergence.
+  //
+  // Exactness: p(cur|prev) = c12/c1 of exact BIGINTs; the one ln per
+  // observed bigram type snaps to micro-units, the mass-weighted sum
+  // Σ c12·u is BIGINT, and the published rate divides identical
+  // integers (the log-odds discipline).
+  //
+  // Scale shape: bigrams generate MAP-SIDE (token-array zip, no
+  // self-join); one (source, w1, w2) partial-agg shuffle; marginals
+  // roll up vocab-bounded and join back on (source, w1).
+  // ------------------------------------------------------------------
+  val qEntropyRate: Q = (s, d) => entropyRate(Tables.documents(s, d))
+
+  /** Core of q_entropy_rate over any (source, text) frame. */
+  def entropyRate(docs: DataFrame): DataFrame = {
+    val toks = Ops.tokens(col("text"))
+    val big = docs
+      .select(col("source"), explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("w1"),
+        slice(toks, lit(2), size(toks) - 1).as("w2"))).as("b"))
+      .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val m1 = big.groupBy(col("source"), col("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    big.join(m1, Seq("source", "w1"))
+      .select(col("source"), col("c12"),
+              (col("c12") * round(log(col("c12").cast("double")
+                                        / col("c1").cast("double")) * 1e6)
+                              .cast("long")).as("mass_u"))
+      .groupBy(col("source"))
+      .agg(sum(col("c12")).as("n_bigrams"),
+           (-(sum(col("mass_u")).cast("double") / 1e6)
+              / sum(col("c12")).cast("double")).as("h_cond"))
+      .orderBy(col("source"))
+  }
+
+  val qEntropyRateSql: String =
+    """WITH toks AS (
+      |  SELECT source, string_split(text, ' ') AS ws FROM documents),
+      |big AS (
+      |  SELECT source, ws[i] AS w1, ws[i + 1] AS w2, count(*) AS c12
+      |  FROM toks, unnest(range(1, len(ws))) AS t(i)
+      |  GROUP BY 1, 2, 3),
+      |m1 AS (SELECT source, w1, CAST(SUM(c12) AS BIGINT) AS c1
+      |       FROM big GROUP BY 1, 2),
+      |mass AS (
+      |  SELECT b.source, b.c12,
+      |         b.c12 * CAST(round(ln(CAST(b.c12 AS DOUBLE)
+      |                               / CAST(m.c1 AS DOUBLE)) * 1000000.0, 0)
+      |                      AS BIGINT) AS mass_u
+      |  FROM big b JOIN m1 m ON m.source = b.source AND m.w1 = b.w1)
+      |SELECT source, CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+      |       -(CAST(SUM(mass_u) AS DOUBLE) / 1000000.0)
+      |         / CAST(SUM(c12) AS DOUBLE) AS h_cond
+      |FROM mass GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_knn_classify"  -> qKnnClassify,
+    "q_ab_test"       -> qAbTest,
+    "q_decile_lift"   -> qDecileLift,
+    "q_entropy_rate"  -> qEntropyRate,
     "q_dbscan"        -> qDbscan,
     "q_spearman"      -> qSpearman,
     "q_robust_zscore" -> qRobustZscore,
@@ -552,6 +853,10 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_knn_classify"  -> qKnnClassifySql,
+    "q_ab_test"       -> qAbTestSql,
+    "q_decile_lift"   -> qDecileLiftSql,
+    "q_entropy_rate"  -> qEntropyRateSql,
     "q_dbscan"        -> qDbscanSql,
     "q_spearman"      -> qSpearmanSql,
     "q_robust_zscore" -> qRobustZscoreSql,

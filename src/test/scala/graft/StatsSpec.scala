@@ -151,6 +151,66 @@ class StatsSpec extends AnyFunSuite {
       (12L, "noise", -1L), (16L, "noise", -1L)))
   }
 
+  test("knn classify: majority vote with deterministic tie order") {
+    // Query vec 0 (selected by % 16). Five nearest: ids 1-3 identical
+    // to the query (cos 1.0), ids 4-5 at 10° (cos ≈ .985). Labels
+    // 2,2,3,3,3 → majority 3 beats the query's true label 1 →
+    // confusion row (1, 3, 1).
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array.tabulate(64)(i =>
+        if (i == 0) math.cos(r).toFloat
+        else if (i == 1) math.sin(r).toFloat else 0f)
+    }
+    val emb = Seq(
+      (0L, 1, v(0)), (1L, 2, v(0)), (2L, 2, v(0)), (3L, 3, v(0)),
+      (4L, 3, v(10)), (5L, 3, v(10)), (6L, 9, v(90)), (7L, 9, v(90)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Stats.knnClassify(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, 3, 1L)), s"got $got")
+  }
+
+  test("ab test: hand-computed two-proportion z on a crafted split") {
+    // Variant A (even user): 10 events, 5 purchases; B (odd): 10
+    // events, 2 purchases. Pooled p = 0.35 → z = 0.3 /
+    // sqrt(0.35·0.65·0.2) ≈ 1.4066 — NOT significant at 1.96: the
+    // readout must resist a 2.5x rate ratio on tiny n.
+    val rows =
+      (1 to 10).map(i => (if (i <= 5) "purchase" else "view", 0L)) ++
+      (1 to 10).map(i => (if (i <= 2) "purchase" else "view", 1L))
+    val ev = rows.zipWithIndex.map { case ((t, u), i) =>
+      (i.toLong, Timestamp.valueOf("2024-01-01 12:00:00"), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Stats.abTest(ev).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+           ((10L, 5L, 10L, 2L)))
+    assert(math.abs(r.getDouble(6) -
+      0.3 / math.sqrt(0.35 * 0.65 * 0.2)) < 1e-12)
+    assert(!r.getBoolean(7))
+  }
+
+  test("decile lift: deciles partition the corpus and quality rises") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val rows = Stats.decileLift(docs).collect()
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    val mq = rows.map(_.getDouble(2))
+    assert(mq.zip(mq.tail).forall { case (a, b) => a <= b },
+           s"mean_quality not monotone: ${mq.mkString(",")}")
+  }
+
+  test("entropy rate: deterministic chain scores exactly zero") {
+    // "a b a b …" has p(b|a) = p(a|b) = 1 → H(cur|prev) = 0 exactly
+    // (every snapped ln 1 = 0). A branching source must score > 0.
+    val d = docs(
+      (1L, "det", ("a b " * 10).trim),
+      (2L, "mix", "a a a b b b a b b a"))
+    val r = Stats.entropyRate(d).collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r("det") == 0.0)
+    assert(r("mix") > 0.1)
+  }
+
   test("min-label propagation survives a high-diameter path graph") {
     // A 24-node path needs ~23 propagation rounds; before the round-4
     // lineage truncation in Corpus.minLabelPropagate the per-round plan
