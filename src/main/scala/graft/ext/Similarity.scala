@@ -1484,7 +1484,83 @@ object Similarity {
        |FROM sel$KcK ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q_cluster_margin — assignment-margin audit of the trained k-means
+  // codebook: for every vector, the gap between its dot product with
+  // its OWN centroid and the best OTHER centroid (the simplified
+  // silhouette under the codebook's own max-dot assignment rule).
+  // Per-cell mean margin and the count of negative-margin vectors —
+  // the clustering-quality readout that says whether cells are real
+  // structure or arbitrary Voronoi noise (a negative margin means the
+  // snapped dots disagree with the raw assignment by more than the
+  // 1e-6 quantum — a boundary vector).
+  //
+  // Exactness: per-(vector, cell) dots snap to micro-units (BIGINT);
+  // margins and their per-cell sums are integer; the published mean
+  // is one double division of identical integers. Assignment itself
+  // reuses matrixDotRank / the `dots` CTE (raw-dot rank), exactly as
+  // every other codebook consumer.
+  //
+  // Scale shape: one broadcast of the NumCells×Dim codebook; the dot
+  // fan-out is NumCells columns per vector computed map-side (no
+  // explode, no shuffle); the rollup is NumCells rows.
+  // ------------------------------------------------------------------
+  val qClusterMargin: Q = (s, d) => {
+    val e0 = Tables.embeddings(s, d)
+    val mat = trainCodebook(e0)
+    val dcols = (0 until NumCells).map { c =>
+      round(VectorFunctions.vecDot(col("embedding"),
+              typedlit(mat.slice(c * Dim, (c + 1) * Dim))) * 1e6)
+        .cast("long").as(s"d$c")
+    }
+    val base = e0.select(
+      col("vec_id") +:
+        element_at(VectorFunctions.matrixDotRank(col("embedding"), mat, Dim), 1)
+          .cast("bigint").as("cell") +: dcols: _*)
+    val own = (0 until NumCells).foldLeft(lit(Long.MinValue)) { (acc, c) =>
+      when(col("cell") === c, col(s"d$c")).otherwise(acc)
+    }
+    val other = greatest((0 until NumCells).map(c =>
+      when(col("cell") === c, lit(Long.MinValue)).otherwise(col(s"d$c"))): _*)
+    base.withColumn("margin_u", own - other)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+           (sum(col("margin_u")).cast("double") / 1e6
+              / count(lit(1)).cast("double")).as("mean_margin"),
+           sum(when(col("margin_u") < 0L, 1L).otherwise(0L))
+             .as("n_negative"))
+      .orderBy(col("cell"))
+  }
+
+  val qClusterMarginSql: String =
+    s"""WITH $kmeansFunnelCtes,
+       |dmic AS (
+       |  SELECT e.vec_id, c.cell AS dcell,
+       |         CAST(round(
+       |           (SELECT SUM(CAST(e.embedding[i.i] AS DOUBLE)
+       |                       * CAST(c.ce[i.i] AS DOUBLE))
+       |            FROM generate_series(1, $Dim) i(i)) * 1000000.0, 0)
+       |           AS BIGINT) AS dmic
+       |  FROM embeddings e CROSS JOIN cents2 c),
+       |own AS (
+       |  SELECT a.vec_id, a.cell, d.dmic AS own
+       |  FROM assigned a JOIN dmic d
+       |    ON d.vec_id = a.vec_id AND d.dcell = a.cell),
+       |oth AS (
+       |  SELECT a.vec_id, MAX(d.dmic) AS other
+       |  FROM assigned a JOIN dmic d
+       |    ON d.vec_id = a.vec_id AND d.dcell <> a.cell
+       |  GROUP BY 1)
+       |SELECT o.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(SUM(o.own - t.other) AS DOUBLE) / 1000000.0
+       |         / CAST(count(*) AS DOUBLE) AS mean_margin,
+       |       CAST(SUM(CASE WHEN o.own < t.other THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_negative
+       |FROM own o JOIN oth t ON t.vec_id = o.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_cluster_margin"  -> qClusterMargin,
     "q_kcenter_coreset" -> qKcenterCoreset,
     "q_embed_pca"       -> qEmbedPca,
     "q_select_mmr"      -> qSelectMmr,
@@ -1502,6 +1578,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cluster_margin"  -> qClusterMarginSql,
     "q_kcenter_coreset" -> qKcenterCoresetSql,
     "q_embed_pca"       -> qEmbedPcaSql,
     "q_select_mmr"      -> qSelectMmrSql,

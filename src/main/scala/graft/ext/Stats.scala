@@ -840,7 +840,188 @@ object Stats {
       |         / CAST(SUM(c12) AS DOUBLE) AS h_cond
       |FROM mass GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_hampel — Hampel-filter outliers on the per-event-type daily value
+  // series: each day judged against the ROLLING median/MAD of its
+  // ±HampelHalf-day neighborhood (shrinking naturally at series edges),
+  // flagged when |x − med| > 3·1.4826·MAD. The rolling-robust companion
+  // to q_robust_zscore's global census and q_anomaly_days' mean/std
+  // z-score — a level SHIFT re-centers the rolling median within
+  // HampelHalf days, so Hampel flags spikes, not regimes (exactly what
+  // an ops dashboard wants next to q_cusum's regime detector).
+  //
+  // Exactness: daily sums ride as integer cents; the whole window
+  // statistic is array arithmetic over ≤ 2·HampelHalf+1 integers
+  // (sorted-array medians in half-units, MADs in quarter-units) —
+  // map-side expressions, no doubles until the final z.
+  //
+  // Scale shape: one (type, day) partial-agg shuffle, then type-keyed
+  // lag/lead windows over the calendar-bounded series; everything else
+  // is per-row array math.
+  // ------------------------------------------------------------------
+  val HampelHalf = 3
+
+  val qHampel: Q = (s, d) => hampel(Tables.events(s, d))
+
+  /** Core of q_hampel over any (event_type, ts, value) frame. */
+  def hampel(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+             .cast("bigint").as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val withNbrs = (1 to HampelHalf).foldLeft(daily) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("cents"), k).over(w))
+        .withColumn(s"r$k", lead(col("cents"), k).over(w))
+    }
+    val nbrCols = ((1 to HampelHalf).map(k => s"l$k") ++ Seq("cents") ++
+      (1 to HampelHalf).map(k => s"r$k")).mkString(", ")
+    withNbrs
+      .withColumn("arr",
+        expr(s"array_sort(filter(array($nbrCols), v -> v IS NOT NULL))"))
+      .withColumn("nw", expr("size(arr)"))
+      .withColumn("med2",
+        expr("element_at(arr, CAST((nw + 1) div 2 AS INT))" +
+             " + element_at(arr, CAST((nw + 2) div 2 AS INT))"))
+      .withColumn("dev",
+        expr("array_sort(transform(arr, v -> abs(2 * v - med2)))"))
+      .withColumn("mad4",
+        expr("element_at(dev, CAST((nw + 1) div 2 AS INT))" +
+             " + element_at(dev, CAST((nw + 2) div 2 AS INT))"))
+      .withColumn("z",
+        expr("2.0D * CAST(2 * cents - med2 AS DOUBLE)" +
+             " / (1.4826D * CAST(mad4 AS DOUBLE))"))
+      .filter(col("mad4") > 0L && abs(col("z")) > 3.0)
+      .select(col("event_type"), col("day"),
+              (col("cents").cast("double") / 100.0).as("value_sum"),
+              col("z"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qHampelSql: String = {
+    val nbrDefs = (1 to HampelHalf).map(k =>
+      s"lag(cents, $k) OVER tw AS l$k, lead(cents, $k) OVER tw AS r$k")
+      .mkString(",\n      |         ")
+    val nbrCols = ((1 to HampelHalf).map(k => s"l$k") ++ Seq("cents") ++
+      (1 to HampelHalf).map(k => s"r$k")).mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+       |           AS cents
+       |  FROM events GROUP BY 1, 2),
+       |nbrs AS (
+       |  SELECT event_type, day, cents,
+       |         $nbrDefs
+       |  FROM daily
+       |  WINDOW tw AS (PARTITION BY event_type ORDER BY day)),
+       |arrs AS (
+       |  SELECT event_type, day, cents,
+       |         list_sort(list_filter([$nbrCols], v -> v IS NOT NULL)) AS arr
+       |  FROM nbrs),
+       |med AS (
+       |  SELECT *, len(arr) AS nw,
+       |         arr[(len(arr) + 1) // 2] + arr[(len(arr) + 2) // 2] AS med2
+       |  FROM arrs),
+       |mad AS (
+       |  SELECT *,
+       |         list_sort(list_transform(arr, v -> abs(2 * v - med2)))
+       |           AS dev
+       |  FROM med),
+       |zed AS (
+       |  SELECT event_type, day, cents,
+       |         dev[(nw + 1) // 2] + dev[(nw + 2) // 2] AS mad4, med2
+       |  FROM mad)
+       |SELECT event_type, day,
+       |       CAST(cents AS DOUBLE) / 100.0 AS value_sum,
+       |       2.0 * CAST(2 * cents - med2 AS DOUBLE)
+       |         / (1.4826 * CAST(mad4 AS DOUBLE)) AS z
+       |FROM zed
+       |WHERE mad4 > 0 AND abs(2.0 * CAST(2 * cents - med2 AS DOUBLE)
+       |                       / (1.4826 * CAST(mad4 AS DOUBLE))) > 3.0
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q_winsorize — per-source winsorized location estimate of the
+  // per-document token count: values clamped to the empirical
+  // [p5, p95] band (cut ranks over the cumulative histogram — the
+  // median2 funnel at asymmetric ranks) and re-averaged. The robust
+  // MEAN companion to q_robust_zscore's outlier census: robust_zscore
+  // says which docs are extreme, winsorize says what the typical
+  // length is once they stop dominating the average.
+  //
+  // Exactness: cut values are order statistics off the BIGINT
+  // histogram (rank = ceil(p·n) in integer `div` arithmetic); clamped
+  // values and their sums stay BIGINT; the published mean is one
+  // double division of identical integers.
+  //
+  // Scale shape: the histogram-rank funnel (support-bounded cumsum,
+  // sources-cardinality cut table, join-back on source) — never
+  // corpus-cardinality past the first aggregate.
+  // ------------------------------------------------------------------
+  val qWinsorize: Q = (s, d) => winsorize(Tables.documents(s, d))
+
+  /** Core of q_winsorize over any (source, text) frame. */
+  def winsorize(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docs.select(
+      col("source"),
+      size(Ops.tokens(col("text"))).cast("bigint").as("x"))
+    val hist = perDoc.groupBy(col("source"), col("x"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+    val tot = perDoc.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val cuts = cum.join(tot, Seq("source"))
+      .groupBy(col("source"))
+      .agg(min(when(col("cum") >= expr("(5 * n + 99) div 100"), col("x")))
+             .as("lo"),
+           min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("x")))
+             .as("hi"))
+    perDoc.join(cuts, Seq("source"))
+      .withColumn("wx", least(greatest(col("x"), col("lo")), col("hi")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), max(col("lo")).as("p5_toks"),
+           max(col("hi")).as("p95_toks"),
+           (sum(col("wx")).cast("double") / count(lit(1)).cast("double"))
+             .as("winsorized_mean"),
+           sum(when(col("x") < col("lo") || col("x") > col("hi"), 1L)
+                 .otherwise(0L)).as("n_clamped"))
+      .orderBy(col("source"))
+  }
+
+  val qWinsorizeSql: String =
+    """WITH perdoc AS (
+      |  SELECT source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+      |  FROM documents),
+      |hist AS (SELECT source, x, count(*) AS c FROM perdoc GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, x, c,
+      |         SUM(c) OVER (PARTITION BY source ORDER BY x
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM hist),
+      |tot AS (SELECT source, count(*) AS n FROM perdoc GROUP BY 1),
+      |cuts AS (
+      |  SELECT c.source,
+      |         MIN(CASE WHEN cum >= (5 * n + 99) // 100 THEN x END) AS lo,
+      |         MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN x END) AS hi
+      |  FROM cum c JOIN tot t ON t.source = c.source
+      |  GROUP BY 1)
+      |SELECT p.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       MAX(c.lo) AS p5_toks, MAX(c.hi) AS p95_toks,
+      |       CAST(SUM(least(greatest(p.x, c.lo), c.hi)) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS winsorized_mean,
+      |       CAST(SUM(CASE WHEN p.x < c.lo OR p.x > c.hi THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_clamped
+      |FROM perdoc p JOIN cuts c ON c.source = p.source
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_hampel"        -> qHampel,
+    "q_winsorize"     -> qWinsorize,
     "q_knn_classify"  -> qKnnClassify,
     "q_ab_test"       -> qAbTest,
     "q_decile_lift"   -> qDecileLift,
@@ -853,6 +1034,8 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hampel"        -> qHampelSql,
+    "q_winsorize"     -> qWinsorizeSql,
     "q_knn_classify"  -> qKnnClassifySql,
     "q_ab_test"       -> qAbTestSql,
     "q_decile_lift"   -> qDecileLiftSql,

@@ -211,6 +211,49 @@ class StatsSpec extends AnyFunSuite {
     assert(r("mix") > 0.1)
   }
 
+  test("hampel: spike flagged against a noisy rolling window") {
+    // Series 10,12,10,12,10,1000,12,10,12: the spike day's ±3 window
+    // has median 12 and MAD 2 → z ≈ 333; every other day stays within
+    // ±1.4 robust sigmas. Exactly one flag.
+    val vals = Seq(10.0, 12.0, 10.0, 12.0, 10.0, 1000.0, 12.0, 10.0, 12.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("a", f"2024-01-0${i + 1}", v)
+    }
+    val got = Stats.hampel(events(rows: _*)).collect()
+    assert(got.length == 1)
+    assert(got.head.getDate(1).toString == "2024-01-06")
+    assert(got.head.getDouble(2) == 1000.0)
+    assert(got.head.getDouble(3) > 100.0)
+  }
+
+  test("hampel: constant series flags nothing (MAD-zero guard)") {
+    val rows = (1 to 9).map(i => ("a", f"2024-01-0$i", 10.0))
+    assert(Stats.hampel(events(rows: _*)).collect().isEmpty)
+  }
+
+  test("winsorize: p5/p95 clamp and robust mean, hand-checked") {
+    // Lengths 1..19 plus one 1000-token doc (n = 20): rank cuts are
+    // ceil(.05·20) = 1 → lo = 1 and ceil(.95·20) = 19 → hi = 19, so
+    // only the 1000 clamps: mean = (Σ1..19 + 19)/20 = 10.45 — vs the
+    // raw mean 59.5 the outlier would have bought.
+    val d = docs((1 to 19).map(i => (i.toLong, "s", rep("w", i))) :+
+                 (20L, "s", rep("w", 1000)): _*)
+    val r = Stats.winsorize(d).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((20L, 1L, 19L)))
+    assert(r.getDouble(4) == 10.45)
+    assert(r.getLong(5) == 1L)
+  }
+
+  test("cluster margin: partition-complete and bounded below by a quantum") {
+    // Assignment maximizes the RAW dot, so a vector's snapped own-dot
+    // can trail the best other by at most one 1e-6 quantum: per-cell
+    // mean margin ≥ −1e-6 exactly, and cells partition the corpus.
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val rows = ext.Similarity.qClusterMargin(spark, TestSpark.Sf).collect()
+    assert(rows.map(_.getLong(1)).sum == emb.count())
+    assert(rows.forall(_.getDouble(2) >= -1e-6))
+  }
+
   test("min-label propagation survives a high-diameter path graph") {
     // A 24-node path needs ~23 propagation rounds; before the round-4
     // lineage truncation in Corpus.minLabelPropagate the per-round plan
