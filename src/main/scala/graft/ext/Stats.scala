@@ -2,7 +2,7 @@ package graft.ext
 
 import graft.Tables
 import graft.ops.Ops
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-8 distributional-statistics operators: the rank-based and
@@ -1024,7 +1024,176 @@ object Stats {
       |FROM perdoc p JOIN cuts c ON c.source = p.source
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_welch_ttest — Welch's unequal-variance t between every source
+  // pair over the per-document token count: t statistic plus the
+  // Welch–Satterthwaite effective degrees of freedom. The PARAMETRIC
+  // sibling of q_mann_whitney (rank shift) and q_ks_test (sup
+  // distance) — the three-test drift panel a pipeline dashboard shows
+  // together, each sensitive to a different alternative.
+  //
+  // Exactness: per-source n, Σx, Σx² are exact BIGINTs; means,
+  // variances (n−1 denominator), t and df are ONE double expression
+  // over identical integers on both engines — no snapping (the
+  // ks-test rule). Variance terms use the numerically-stable
+  // (n·Σx² − (Σx)²)/(n·(n−1)) form evaluated identically.
+  //
+  // Scale shape: one source-keyed partial-agg over the scan, then a
+  // sources² pair fan-out of 3-number rows. Nothing else.
+  // ------------------------------------------------------------------
+  val qWelchTtest: Q = (s, d) => welchTtest(Tables.documents(s, d))
+
+  /** Core of q_welch_ttest over any (source, text) frame. */
+  def welchTtest(docs: DataFrame): DataFrame = {
+    val m = docs
+      .select(col("source"),
+              size(Ops.tokens(col("text"))).cast("bigint").as("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+           sum(col("x") * col("x")).as("sxx"))
+    def dbl(c: Column) = c.cast("double")
+    val a = m.select(col("source").as("src_a"), col("n").as("n_a"),
+                     col("sx").as("sx_a"), col("sxx").as("sxx_a"))
+    val b = m.select(col("source").as("src_b"), col("n").as("n_b"),
+                     col("sx").as("sx_b"), col("sxx").as("sxx_b"))
+    val j = a.crossJoin(b).filter(col("src_a") < col("src_b"))
+      .withColumn("mean_a", dbl(col("sx_a")) / dbl(col("n_a")))
+      .withColumn("mean_b", dbl(col("sx_b")) / dbl(col("n_b")))
+      // se2 = s²/n in the stable integer-numerator form:
+      // (n·Σx² − (Σx)²) / (n·(n−1)) / n.
+      .withColumn("se2_a",
+        (dbl(col("n_a")) * dbl(col("sxx_a")) - dbl(col("sx_a")) * dbl(col("sx_a")))
+          / (dbl(col("n_a")) * (dbl(col("n_a")) - 1.0)) / dbl(col("n_a")))
+      .withColumn("se2_b",
+        (dbl(col("n_b")) * dbl(col("sxx_b")) - dbl(col("sx_b")) * dbl(col("sx_b")))
+          / (dbl(col("n_b")) * (dbl(col("n_b")) - 1.0)) / dbl(col("n_b")))
+    j.select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        ((col("mean_a") - col("mean_b"))
+           / sqrt(col("se2_a") + col("se2_b"))).as("t"),
+        (((col("se2_a") + col("se2_b")) * (col("se2_a") + col("se2_b")))
+           / (col("se2_a") * col("se2_a") / (dbl(col("n_a")) - 1.0)
+                + col("se2_b") * col("se2_b") / (dbl(col("n_b")) - 1.0)))
+          .as("df"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val qWelchTtestSql: String =
+    """WITH m AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(SUM(x) AS BIGINT) AS sx,
+      |         CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM (SELECT source,
+      |               CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+      |        FROM documents)
+      |  GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |         a.n AS n_a, b.n AS n_b,
+      |         CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean_a,
+      |         CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean_b,
+      |         (CAST(a.n AS DOUBLE) * CAST(a.sxx AS DOUBLE)
+      |            - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE))
+      |           / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0))
+      |           / CAST(a.n AS DOUBLE) AS se2_a,
+      |         (CAST(b.n AS DOUBLE) * CAST(b.sxx AS DOUBLE)
+      |            - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))
+      |           / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1.0))
+      |           / CAST(b.n AS DOUBLE) AS se2_b
+      |  FROM m a CROSS JOIN m b WHERE a.source < b.source)
+      |SELECT src_a, src_b, n_a, n_b,
+      |       (mean_a - mean_b) / sqrt(se2_a + se2_b) AS t,
+      |       ((se2_a + se2_b) * (se2_a + se2_b))
+      |         / (se2_a * se2_a / (CAST(n_a AS DOUBLE) - 1.0)
+      |            + se2_b * se2_b / (CAST(n_b AS DOUBLE) - 1.0)) AS df
+      |FROM pairs ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_chi2 — chi-square test of independence on the source × lang
+  // contingency table: expected counts from the marginals, the χ²
+  // statistic, and its degrees of freedom. The CATEGORICAL association
+  // test next to the numeric drift panel — "is language composition
+  // independent of source?" is the first question a mixture designer
+  // asks of a crawl manifest.
+  //
+  // Exactness: observed counts and marginals are BIGINTs; each cell's
+  // (O − E)²/E is one double expression of identical integers and the
+  // statistic sums those doubles in a DETERMINISTIC order — the cell
+  // contributions are first snapped to nano-units (BIGINT) so the
+  // cross-partition sum is order-free (the source_divergence
+  // discipline), then divided once.
+  //
+  // Scale shape: one (source, lang) partial-agg; everything after
+  // lives on the contingency table (sources × langs rows).
+  // ------------------------------------------------------------------
+  val qChi2: Q = (s, d) => chi2(Tables.documents(s, d))
+
+  /** Core of q_chi2 over any (source, lang) frame. */
+  def chi2(docs: DataFrame): DataFrame = {
+    val obs = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("o"))
+    val rowM = obs.groupBy(col("source")).agg(sum(col("o")).as("nr"))
+    val colM = obs.groupBy(col("lang")).agg(sum(col("o")).as("nc"))
+    val tot = obs.agg(sum(col("o")).as("n"),
+                      count_distinct(col("source")).as("r"),
+                      count_distinct(col("lang")).as("c"))
+    // Zero-filled grid: absent (source, lang) cells still contribute
+    // E = nr·nc/n to the statistic.
+    val cells = rowM.crossJoin(colM)
+      .join(obs, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"), col("nr"), col("nc"),
+              coalesce(col("o"), lit(0L)).as("o"))
+    cells.crossJoin(tot)
+      .select(col("r"), col("c"),
+        // (O − E)²/E with E = nr·nc/n, snapped to nano-units for an
+        // order-free sum.
+        round(((col("o").cast("double")
+                     - col("nr").cast("double") * col("nc").cast("double")
+                         / col("n").cast("double"))
+                  * (col("o").cast("double")
+                       - col("nr").cast("double") * col("nc").cast("double")
+                           / col("n").cast("double")))
+                 / (col("nr").cast("double") * col("nc").cast("double")
+                      / col("n").cast("double")) * 1e9).cast("long")
+          .as("contrib_n"))
+      .groupBy(col("r"), col("c"))
+      .agg((sum(col("contrib_n")).cast("double") / 1e9).as("chi2"))
+      .select(col("chi2"), ((col("r") - 1L) * (col("c") - 1L)).as("df"))
+  }
+
+  val qChi2Sql: String =
+    """WITH obs AS (
+      |  SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+      |rm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS nr
+      |       FROM obs GROUP BY 1),
+      |cm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS nc FROM obs GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+      |               CAST(COUNT(DISTINCT source) AS BIGINT) AS r,
+      |               CAST(COUNT(DISTINCT lang) AS BIGINT) AS c FROM obs),
+      |cells AS (
+      |  SELECT rm.source, cm.lang, rm.nr, cm.nc,
+      |         COALESCE(o.o, 0) AS o
+      |  FROM rm CROSS JOIN cm
+      |  LEFT JOIN obs o ON o.source = rm.source AND o.lang = cm.lang),
+      |contrib AS (
+      |  SELECT t.r, t.c,
+      |         CAST(round(
+      |           (CAST(ce.o AS DOUBLE)
+      |                 - CAST(ce.nr AS DOUBLE) * CAST(ce.nc AS DOUBLE)
+      |                     / CAST(t.n AS DOUBLE))
+      |             * (CAST(ce.o AS DOUBLE)
+      |                 - CAST(ce.nr AS DOUBLE) * CAST(ce.nc AS DOUBLE)
+      |                     / CAST(t.n AS DOUBLE))
+      |             / (CAST(ce.nr AS DOUBLE) * CAST(ce.nc AS DOUBLE)
+      |                  / CAST(t.n AS DOUBLE)) * 1000000000.0, 0)
+      |           AS BIGINT) AS contrib_n
+      |  FROM cells ce CROSS JOIN tot t)
+      |SELECT CAST(SUM(contrib_n) AS DOUBLE) / 1000000000.0 AS chi2,
+      |       (r - 1) * (c - 1) AS df
+      |FROM contrib GROUP BY r, c""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_welch_ttest"   -> qWelchTtest,
+    "q_chi2"          -> qChi2,
     "q_hampel"        -> qHampel,
     "q_winsorize"     -> qWinsorize,
     "q_knn_classify"  -> qKnnClassify,
@@ -1039,6 +1208,8 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_welch_ttest"   -> qWelchTtestSql,
+    "q_chi2"          -> qChi2Sql,
     "q_hampel"        -> qHampelSql,
     "q_winsorize"     -> qWinsorizeSql,
     "q_knn_classify"  -> qKnnClassifySql,

@@ -254,6 +254,35 @@ class StatsSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) >= -1e-6))
   }
 
+  test("welch t: hand-computed t and Satterthwaite df") {
+    // a: lengths 10,12,14 (mean 12, s²=4); b: 20,22,24 (mean 22,
+    // s²=4). Equal se² = 4/3 → t = −10/√(8/3), df = (8/3)²/((16/9)/2
+    // + (16/9)/2) = 4 exactly.
+    val d = docs(
+      (1L, "a", rep("w", 10)), (2L, "a", rep("w", 12)),
+      (3L, "a", rep("w", 14)),
+      (4L, "b", rep("w", 20)), (5L, "b", rep("w", 22)),
+      (6L, "b", rep("w", 24)))
+    val r = Stats.welchTtest(d).collect().head
+    assert(math.abs(r.getDouble(4) + 10.0 / math.sqrt(8.0 / 3.0)) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 4.0) < 1e-9)
+  }
+
+  test("chi2: zero under independence, n under perfect dependence") {
+    val indep = Seq(
+      (1L, "s1", "en"), (2L, "s1", "de"),
+      (3L, "s2", "en"), (4L, "s2", "de"))
+      .toDF("doc_id", "source", "lang")
+    val ri = Stats.chi2(indep).collect().head
+    assert(ri.getDouble(0) == 0.0 && ri.getLong(1) == 1L)
+    val dep = Seq(
+      (1L, "s1", "en"), (2L, "s1", "en"),
+      (3L, "s2", "de"), (4L, "s2", "de"))
+      .toDF("doc_id", "source", "lang")
+    val rd = Stats.chi2(dep).collect().head
+    assert(rd.getDouble(0) == 4.0 && rd.getLong(1) == 1L)
+  }
+
   test("min-label propagation survives a high-diameter path graph") {
     // A 24-node path needs ~23 propagation rounds; before the round-4
     // lineage truncation in Corpus.minLabelPropagate the per-round plan
