@@ -356,4 +356,22 @@ class PipelineSpec extends AnyFunSuite {
       .as[(String, String, Long, Double)].collect().toSet
     assert(stream == batch)
   }
+
+  test("streaming drift monitor == batch EWMA, bit-exact") {
+    // The stateful stream accumulates each type's daily cents series in
+    // keyed state and flushes the batch operator's renormalized
+    // power-of-two EWMA on watermark close: every (type, day,
+    // value_sum, ewma) must equal qEwmaDaily EXACTLY — same decimal
+    // snap, same left-associated chain, so even the doubles are
+    // bit-identical.
+    val batch = Sessions.qEwmaDaily(spark, sf)
+      .select($"event_type", $"day".cast("string"), $"value_sum", $"ewma")
+      .as[(String, String, Double, Double)].collect().toSet
+    val stream = graft.streaming.DriftStream.runOverStaticDir(
+        spark, sf, "graft_drift_spec")
+      .select($"event_type", $"day".cast("string"), $"value_sum", $"ewma")
+      .as[(String, String, Double, Double)].collect().toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
 }
