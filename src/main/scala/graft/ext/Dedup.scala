@@ -464,6 +464,118 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q_minhash_eval — sketch-quality audit of the MinHash pipeline: on
+  // the SAME star-edge candidate pairs q_dedup_minhash verifies, compare
+  // the signature's Jaccard ESTIMATE (matching positions / NumHashes)
+  // against the exact gram Jaccard, bucketed by match count. The
+  // calibration table that justifies the sketch: if the estimator is
+  // honest, mean_true rises with n_matches and mean_abs_err stays near
+  // the 1/√32 ≈ 0.18 binomial bound. Run it after changing NumHashes /
+  // banding before trusting the new config on 100 TB.
+  //
+  // Exactness: est_micro = matches · (1e6/32) is EXACT integer
+  // arithmetic (31250 per match); true Jaccard snaps to micro-units;
+  // the per-bucket error sums are BIGINT and the published means are
+  // single divisions of identical integers.
+  //
+  // Scale shape: identical to q_dedup_minhash through candidate
+  // generation (persisted signature scan, star-edge buckets); the
+  // audit adds one 32-position signature comparison per candidate pair
+  // and a ≤33-row rollup.
+  // ------------------------------------------------------------------
+  val qMinhashEval: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+              Ops.shingles(Ops.tokens(col("text")), 3).as("grams"))
+      .withColumn("sig", Ops.minHashSignatureMod(
+        transform(col("grams"), g => Ops.md5Bits60(g) % Ops.HashModP), NumHashes))
+      .persist()
+    val banded = docs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+        j => array_join(transform(
+               slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand)),
+               _.cast("string")), ":"))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bucket")
+    val bucketRep = banded.groupBy(col("band_id"), col("bucket"))
+      .agg(min(col("doc_id")).as("rep"))
+    val candidateIds = banded.join(bucketRep, Seq("band_id", "bucket"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    val side = docs.select(col("doc_id"), col("grams"), col("sig"))
+    val scored = candidateIds
+      .join(side.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"),
+                        col("sig").as("sig_a")), Seq("doc_a"))
+      .join(side.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"),
+                        col("sig").as("sig_b")), Seq("doc_b"))
+      .select(
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+          .cast("bigint").as("n_matches"),
+        round(size(array_intersect(col("grams_a"), col("grams_b")))
+                .cast("double")
+                / size(array_union(col("grams_a"), col("grams_b"))) * 1e6)
+          .cast("long").as("true_u"))
+      .withColumn("est_u", col("n_matches") * lit(1000000L / NumHashes))
+    val out = scored.groupBy(col("n_matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+           (sum(col("true_u")).cast("double") / 1e6
+              / count(lit(1)).cast("double")).as("mean_true"),
+           (sum(abs(col("true_u") - col("est_u"))).cast("double") / 1e6
+              / count(lit(1)).cast("double")).as("mean_abs_err"))
+      .orderBy(col("n_matches"))
+    val ckpt = graft.PlanMode.checkpointTail(out)
+    docs.unpersist()
+    ckpt
+  }
+
+  val qMinhashEvalSql: String = {
+    val gramsSql =
+      """list_distinct(list_transform(
+        |           range(greatest(len(string_split(text, ' ')) - 2, 1)),
+        |           i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))""".stripMargin
+    s"""WITH docs AS (
+       |  SELECT doc_id, $gramsSql AS grams
+       |  FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, grams,
+       |         list_transform(range($NumHashes), k -> list_min(list_transform(
+       |           list_transform(grams, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % 1000000007),
+       |           x -> ((2*k+1)*x + (1000003*k + 12345)) % 1000000007))) AS sig
+       |  FROM docs),
+       |banded AS (
+       |  SELECT doc_id, b.b AS band_id,
+       |         array_to_string(sig[b.b*$RowsPerBand+1 : b.b*$RowsPerBand+$RowsPerBand], ':') AS bucket
+       |  FROM sigs CROSS JOIN generate_series(0, ${NumBands - 1}) b(b)),
+       |reps AS (
+       |  SELECT band_id, bucket, min(doc_id) AS rep
+       |  FROM banded GROUP BY 1, 2),
+       |candidates AS (
+       |  SELECT DISTINCT r.rep AS doc_a, b2.doc_id AS doc_b
+       |  FROM banded b2 JOIN reps r
+       |    ON r.band_id = b2.band_id AND r.bucket = b2.bucket
+       |  WHERE b2.doc_id <> r.rep),
+       |scored AS (
+       |  SELECT
+       |    CAST((SELECT count(*) FROM generate_series(1, $NumHashes) k(k)
+       |          WHERE sa.sig[k.k] = sb.sig[k.k]) AS BIGINT) AS n_matches,
+       |    CAST(round(CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+       |                 / len(list_distinct(list_concat(sa.grams, sb.grams)))
+       |                 * 1000000.0, 0) AS BIGINT) AS true_u
+       |  FROM candidates c
+       |  JOIN sigs sa ON sa.doc_id = c.doc_a
+       |  JOIN sigs sb ON sb.doc_id = c.doc_b)
+       |SELECT n_matches, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(SUM(true_u) AS DOUBLE) / 1000000.0
+       |         / CAST(count(*) AS DOUBLE) AS mean_true,
+       |       CAST(SUM(abs(true_u - n_matches * ${1000000L / NumHashes}))
+       |            AS DOUBLE) / 1000000.0
+       |         / CAST(count(*) AS DOUBLE) AS mean_abs_err
+       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // SimHash: 60-bit signature where bit i is the sign of
   // Σ_tokens (±1 by bit i of the token's md5-60-bit digest). 60 bits, not
   // 64: 15 hex chars of md5 are the widest slice that fits a signed
@@ -1445,6 +1557,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_minhash_eval" -> qMinhashEval,
     "q_pagerank"  -> qPagerank,
     "q_dedup_cdc" -> qDedupCdc,
     "q_ngram_novelty" -> qNgramNovelty,
@@ -1466,6 +1579,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_minhash_eval" -> qMinhashEvalSql,
     "q_pagerank"  -> qPagerankSql,
     "q_dedup_cdc" -> qDedupCdcSql,
     "q_ngram_novelty" -> qNgramNoveltySql,

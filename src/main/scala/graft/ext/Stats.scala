@@ -1191,7 +1191,86 @@ object Stats {
       |       (r - 1) * (c - 1) AS df
       |FROM contrib GROUP BY r, c""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_assoc_rules — association rules over per-user event-type baskets:
+  // for every directed type pair a → b, support P(a,b), confidence
+  // P(b|a) and lift P(a,b)/(P(a)P(b)) over the user population, under
+  // a minimum co-occurrence floor. The market-basket classic (Agrawal
+  // et al.) on the behavioral axis the sequence-based
+  // q_transition_matrix doesn't cover: "users who ever do A also do
+  // B", order-free.
+  //
+  // Exactness: all four counts (n_ab, n_a, n_b, N) are BIGINTs off
+  // distinct user sets; support/confidence/lift are single double
+  // expressions of identical integers (the ks-test rule).
+  //
+  // Scale shape: baskets collapse to DISTINCT (user, type) in one
+  // partial-agg shuffle; the within-user pair join fans out at most
+  // |types|² per user (items-per-basket bounded — the standard basket
+  // assumption; a retail-cardinality itemset would first cap to the
+  // per-user top-K items); marginals are type-bounded and broadcast
+  // back.
+  // ------------------------------------------------------------------
+  val AssocMinCount = 5L
+
+  val qAssocRules: Q = (s, d) => assocRules(Tables.events(s, d))
+
+  /** Core of q_assoc_rules over any (user_id, event_type) frame. */
+  def assocRules(events: DataFrame): DataFrame = {
+    val baskets = events.select(col("user_id"), col("event_type")).distinct()
+    val nUsers = baskets.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val marg = baskets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_item"))
+    val pairs = baskets.select(col("user_id"), col("event_type").as("a"))
+      .join(baskets.select(col("user_id"), col("event_type").as("b")),
+            Seq("user_id"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= AssocMinCount)
+    def dbl(c: Column) = c.cast("double")
+    pairs
+      .join(marg.select(col("event_type").as("a"), col("n_item").as("n_a")),
+            Seq("a"))
+      .join(marg.select(col("event_type").as("b"), col("n_item").as("n_b")),
+            Seq("b"))
+      .crossJoin(nUsers)
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+              (dbl(col("n_ab")) / dbl(col("n_users"))).as("support"),
+              (dbl(col("n_ab")) / dbl(col("n_a"))).as("confidence"),
+              (dbl(col("n_ab")) * dbl(col("n_users"))
+                 / (dbl(col("n_a")) * dbl(col("n_b")))).as("lift"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val qAssocRulesSql: String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT user_id, event_type FROM events),
+       |nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |       FROM baskets),
+       |marg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_item
+       |         FROM baskets GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.event_type AS a, y.event_type AS b,
+       |         CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM baskets x JOIN baskets y ON y.user_id = x.user_id
+       |  WHERE x.event_type <> y.event_type
+       |  GROUP BY 1, 2 HAVING count(*) >= $AssocMinCount)
+       |SELECT p.a, p.b, p.n_ab, ma.n_item AS n_a, mb.n_item AS n_b,
+       |       CAST(p.n_ab AS DOUBLE) / CAST(n.n_users AS DOUBLE) AS support,
+       |       CAST(p.n_ab AS DOUBLE) / CAST(ma.n_item AS DOUBLE)
+       |         AS confidence,
+       |       CAST(p.n_ab AS DOUBLE) * CAST(n.n_users AS DOUBLE)
+       |         / (CAST(ma.n_item AS DOUBLE) * CAST(mb.n_item AS DOUBLE))
+       |         AS lift
+       |FROM pairs p
+       |JOIN marg ma ON ma.event_type = p.a
+       |JOIN marg mb ON mb.event_type = p.b
+       |CROSS JOIN nu n
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_assoc_rules"   -> qAssocRules,
     "q_welch_ttest"   -> qWelchTtest,
     "q_chi2"          -> qChi2,
     "q_hampel"        -> qHampel,
@@ -1208,6 +1287,7 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_assoc_rules"   -> qAssocRulesSql,
     "q_welch_ttest"   -> qWelchTtestSql,
     "q_chi2"          -> qChi2Sql,
     "q_hampel"        -> qHampelSql,

@@ -2,6 +2,7 @@ package graft
 
 import graft.ext.Stats
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.{col, length, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Crafted-data invariants for the round-8 distributional-statistics
@@ -281,6 +282,40 @@ class StatsSpec extends AnyFunSuite {
       .toDF("doc_id", "source", "lang")
     val rd = Stats.chi2(dep).collect().head
     assert(rd.getDouble(0) == 4.0 && rd.getLong(1) == 1L)
+  }
+
+  test("assoc rules: hand-computed support/confidence/lift") {
+    // 10 users: 6 do both A and B, 2 A-only, 2 B-only. Both directed
+    // rules: support 0.6, confidence 6/8, lift 6·10/(8·8).
+    val rows =
+      (1 to 6).flatMap(u => Seq(("A", u.toLong), ("B", u.toLong))) ++
+      (7 to 8).map(u => ("A", u.toLong)) ++
+      (9 to 10).map(u => ("B", u.toLong))
+    val ev = rows.zipWithIndex.map { case ((t, u), i) =>
+      (i.toLong, Timestamp.valueOf("2024-01-01 12:00:00"), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Stats.assocRules(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSeq
+    assert(got == Seq(
+      ("A", "B", 6L, 0.6, 0.75, 60.0 / 64.0),
+      ("B", "A", 6L, 0.6, 0.75, 60.0 / 64.0)), s"got $got")
+  }
+
+  test("minhash eval: identical docs land in the 32-match bucket, error-free") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten eleven"
+    val d = Seq((1L, a), (2L, a), (3L, b))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    // Route through the registry entry by writing a scratch dir.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh").toString
+    d.write.parquet(s"$tmp/documents.parquet")
+    val got = ext.Dedup.qMinhashEval(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+                 r.getDouble(3))).toSeq
+    assert(got == Seq((32L, 1L, 1.0, 0.0)), s"got $got")
   }
 
   test("min-label propagation survives a high-diameter path graph") {
