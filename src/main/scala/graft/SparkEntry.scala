@@ -24,7 +24,7 @@ object SparkEntry {
       jobs.AnalyticsQueries.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextOps.queries ++
       ext.Sessions.queries ++ ext.Multimodal.queries ++ ext.Pipeline.queries ++
-      ext.Corpus.queries ++ ext.Stats.queries
+      ext.Corpus.queries ++ ext.Stats.queries ++ ext.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those get
@@ -35,5 +35,5 @@ object SparkEntry {
       jobs.AnalyticsQueries.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++ ext.TextOps.oracles ++
       ext.Sessions.oracles ++ ext.Multimodal.oracles ++ ext.Pipeline.oracles ++
-      ext.Corpus.oracles ++ ext.Stats.oracles
+      ext.Corpus.oracles ++ ext.Stats.oracles ++ ext.Layout.oracles
 }
