@@ -33,5 +33,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 123 queries x 2 runs of whole-stage-codegen classes overflow the
   // 240m default; once the JIT code cache fills the compiler disables
   // and the sweep tail runs interpreted (10x+ on expression-heavy ops).
-  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:ReservedCodeCacheSize=1g",
 )

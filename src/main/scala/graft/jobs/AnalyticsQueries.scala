@@ -937,6 +937,18 @@ object AnalyticsQueries {
     }
     val obs = digits.select(col("c").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      // Non-nullable join key, post-agg: the grid left-join would
+      // otherwise infer isnotnull(digit) and push it through the
+      // aggregate into the digit cascade, where Project-collapse
+      // substitution expands the filter to 2^4 copies of the cascade
+      // (measured 3.2 s → its removal below; the whole scan ran that
+      // mega-expression per row). coalesce after the agg folds the
+      // inferred filter to true AND leaves both branches' shuffle
+      // subtrees identical, so the total branch reuses the exchange
+      // instead of re-scanning. A NULL digit (needs a NULL price —
+      // none exist) maps to -1, which no grid digit matches — the
+      // same drop the oracle's LEFT JOIN applies to NULL.
+      .select(coalesce(col("digit"), lit(-1L)).as("digit"), col("n_obs"))
     val total = obs.agg(sum(col("n_obs")).as("n_total"))
     val grid = s.range(1, 10).select(col("id").as("digit"))
     grid.join(obs, Seq("digit"), "left").crossJoin(total)
