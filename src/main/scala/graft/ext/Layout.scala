@@ -329,16 +329,120 @@ object Layout {
        |                 THEN 1 ELSE 0 END AS BIGINT) AS skippable
        |FROM layouts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_snapshot_diff — manifest diff between two table snapshots (the
+  // Iceberg/Delta snapshot-compare primitive behind incremental
+  // processing, CDC planning, and time travel audits). Two snapshots
+  // of the documents table are simulated by deterministic hash
+  // membership under two different salts, at BOTH granularities so
+  // every diff status occurs: each side drops ~1/20 of whole FILES
+  // (→ added / removed rows) and ~1/40 of individual DOCS (→ changed
+  // rows, since the surviving file's fingerprint shifts); each
+  // snapshot's manifest is (file, n_docs, content_fingerprint) — file
+  // = doc_id div DocsPerFile, the ingestion-order file key (source is
+  // NOT part of the key: a manifest is file-keyed, and sf docs are not
+  // source-clustered, so a source-qualified key would degenerate to
+  // ~1-doc files where 'changed' can never occur) — where the
+  // fingerprint is the SUM of per-doc reduced digests — an
+  // order- and partitioning-insensitive aggregate,
+  // so it is reproducible under any parallelism and any row order on
+  // both engines. The diff FULL-OUTER-joins the manifests on the file
+  // key and classifies: added (B only), removed (A only), changed
+  // (fingerprint differs), unchanged.
+  //
+  // Scale shape: each manifest is one partial agg over a slim
+  // (source, file, digest) projection; the diff join runs on O(files)
+  // rows — metadata-plane. In a real lakehouse both manifests come
+  // from the table log and the scans vanish entirely; the shape here
+  // is the fallback for tables without a transaction log.
+  // ------------------------------------------------------------------
+  val SnapFileDropMod = 20L // each snapshot drops ~1/20 of whole files
+  val SnapDocDropMod = 40L  // …and ~1/40 of surviving files' docs
+
+  val qSnapshotDiff: Q = (s, d) => snapshotDiff(
+    Tables.documents(s, d).select(col("source"), col("doc_id"), col("n_chars")))
+
+  /** Core of q_snapshot_diff over any (source, doc_id, n_chars) frame. */
+  def snapshotDiff(docs: DataFrame): DataFrame = {
+    def manifest(salt: String, excl: Long): DataFrame =
+      docs
+        .withColumn("file_idx",
+          (col("doc_id").cast("bigint") / DocsPerFile).cast("bigint"))
+        .filter(
+          pmod(Ops.md5Bits60(concat(col("file_idx").cast("string"),
+                 lit(salt), lit(":f"))),
+               lit(SnapFileDropMod)) =!= excl &&
+          pmod(Ops.md5Bits60(concat(col("doc_id").cast("string"), lit(salt))),
+               lit(SnapDocDropMod)) =!= excl)
+        .groupBy(col("file_idx"))
+        // digest % HashModP before the sum: raw 60-bit digests would
+        // overflow BIGINT after ~8 docs (Spark wraps, DuckDB promotes
+        // to HUGEINT — divergent); reduced digests sum exactly in both.
+        .agg(count(lit(1)).as("n_docs"),
+             sum(Ops.md5Bits60(concat(col("doc_id").cast("string"), lit(":"),
+                                      col("n_chars").cast("string")))
+                   % Ops.HashModP)
+               .as("fp"))
+    val a = manifest(":snapA", 0L).withColumnRenamed("n_docs", "n_docs_a")
+      .withColumnRenamed("fp", "fp_a")
+    val b = manifest(":snapB", 1L).withColumnRenamed("n_docs", "n_docs_b")
+      .withColumnRenamed("fp", "fp_b")
+    a.join(b, Seq("file_idx"), "full_outer")
+      .withColumn("status",
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") === col("fp_b"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_files"),
+           sum(coalesce(col("n_docs_b"), lit(0L))).as("n_docs_after"))
+      .orderBy(col("status"))
+  }
+
+  val qSnapshotDiffSql: String = {
+    def manifest(salt: String, excl: Long): String =
+      s"""SELECT file_idx,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |                     CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT
+         |                  % ${Ops.HashModP}) AS BIGINT) AS fp
+         |  FROM (SELECT *, CAST(doc_id // $DocsPerFile AS BIGINT) AS file_idx
+         |        FROM documents)
+         |  WHERE ('0x' || substr(md5(CAST(file_idx AS VARCHAR) ||
+         |            '$salt' || ':f'),
+         |          1, 15))::BIGINT % $SnapFileDropMod <> $excl
+         |    AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$salt'),
+         |                        1, 15))::BIGINT % $SnapDocDropMod <> $excl
+         |  GROUP BY 1""".stripMargin
+    s"""WITH a AS (
+       |  ${manifest(":snapA", 0L)}),
+       |b AS (
+       |  ${manifest(":snapB", 1L)}),
+       |diff AS (
+       |  SELECT CASE WHEN a.fp IS NULL THEN 'added'
+       |              WHEN b.fp IS NULL THEN 'removed'
+       |              WHEN a.fp = b.fp THEN 'unchanged'
+       |              ELSE 'changed' END AS status,
+       |         COALESCE(b.n_docs, 0) AS n_docs_b
+       |  FROM a FULL OUTER JOIN b
+       |    ON a.file_idx = b.file_idx)
+       |SELECT status, CAST(count(*) AS BIGINT) AS n_files,
+       |       CAST(sum(n_docs_b) AS BIGINT) AS n_docs_after
+       |FROM diff GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_zorder_layout"   -> qZorderLayout,
     "q_compaction_plan" -> qCompactionPlan,
     "q_skew_diagnose"   -> qSkewDiagnose,
     "q_file_skipping"   -> qFileSkipping,
+    "q_snapshot_diff"   -> qSnapshotDiff,
   )
   val oracles: Map[String, String] = Map(
     "q_zorder_layout"   -> qZorderLayoutSql,
     "q_compaction_plan" -> qCompactionPlanSql,
     "q_skew_diagnose"   -> qSkewDiagnoseSql,
     "q_file_skipping"   -> qFileSkippingSql,
+    "q_snapshot_diff"   -> qSnapshotDiffSql,
   )
 }

@@ -312,7 +312,83 @@ object Pipeline {
       |         / CAST(n_docs * total_toks AS DOUBLE) AS gini
       |FROM agg ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_curriculum_order — GLOBAL training order by round-robin source
+  // interleave, with NO global sort: the data-order stage after mixing
+  // (every fine-tune/pre-train run wants maximal source interleaving so
+  // no batch is a single-domain run). Each doc gets a within-source
+  // rank (content-free md5 priority — a uniform deterministic shuffle,
+  // the q_group_sample discipline), each source gets a dense index from
+  // the BOUNDED distinct-source table, and the global position is
+  //   pos = (rank−1)·n_sources + (source_idx−1)
+  // — computed map-side from the rank + two broadcast scalars. Unequal
+  // source sizes leave gaps in pos once short sources exhaust; the
+  // ORDER is still total and interleaved, which is all a data loader
+  // consumes. Emits the first CurriculumK positions.
+  //
+  // Scale shape: one source-partitioned window over a slim (source,
+  // doc_id, h) projection; the source-index window runs on ≤|sources|
+  // rows (the bounded-input exemption to the single-partition rule)
+  // and broadcasts back; the final cut is orderBy().limit() →
+  // TakeOrderedAndProject (≤K rows per partition cross the wire).
+  // ------------------------------------------------------------------
+  val CurriculumK = 40
+
+  val qCurriculumOrder: Q = (s, d) => curriculumOrder(Tables.documents(s, d))
+
+  /** Core of q_curriculum_order over any (doc_id, source) frame. */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    // Bounded: one row per source. The orderBy(source) window is a
+    // single partition of ≤|sources| rows — the excusable case.
+    // Non-foldable empty partition key (the q_textrank tail pattern):
+    // same single bounded partition, no WindowExec all-to-one warning.
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("source_idx",
+        row_number().over(Window.partitionBy(substring(col("source"), 1, 0))
+          .orderBy(col("source")))
+          .cast("bigint"))
+    val nSrc = srcIdx.agg(count(lit(1)).as("n_sources"))
+    docs
+      .select(col("source"), col("doc_id"),
+              Ops.md5Bits60(concat(col("doc_id").cast("string"), lit(":cur")))
+                .as("h"))
+      .withColumn("rn", row_number().over(wSrc).cast("bigint"))
+      .join(broadcast(srcIdx), Seq("source"))
+      .crossJoin(broadcast(nSrc))
+      .select(((col("rn") - 1L) * col("n_sources") + col("source_idx") - 1L)
+                .as("pos"),
+              col("source"), col("doc_id"))
+      .orderBy(col("pos").asc).limit(CurriculumK)
+  }
+
+  val qCurriculumOrderSql: String =
+    s"""WITH slim AS (
+       |  SELECT source, doc_id,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cur'),
+       |                         1, 15))::BIGINT AS h
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |                                 ORDER BY h ASC, doc_id ASC)
+       |              AS BIGINT) AS rn
+       |  FROM slim),
+       |sidx AS (
+       |  SELECT source,
+       |         CAST(row_number() OVER (ORDER BY source) AS BIGINT)
+       |           AS source_idx
+       |  FROM (SELECT DISTINCT source FROM documents)),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM sidx)
+       |SELECT (r.rn - 1) * n.n_sources + s.source_idx - 1 AS pos,
+       |       r.source, r.doc_id
+       |FROM ranked r JOIN sidx s ON r.source = s.source CROSS JOIN n
+       |ORDER BY pos ASC LIMIT $CurriculumK""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_curriculum_order"   -> qCurriculumOrder,
     "q_gini_concentration" -> qGiniConcentration,
     "q_training_pipeline" -> qTrainingPipeline,
     "q_stratified_sample" -> qStratifiedSample,
@@ -320,6 +396,7 @@ object Pipeline {
     "q_source_caps"       -> qSourceCaps,
   )
   val oracles: Map[String, String] = Map(
+    "q_curriculum_order"   -> qCurriculumOrderSql,
     "q_gini_concentration" -> qGiniConcentrationSql,
     "q_training_pipeline" -> qTrainingPipelineSql,
     "q_stratified_sample" -> qStratifiedSampleSql,

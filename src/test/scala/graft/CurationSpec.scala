@@ -730,4 +730,42 @@ class CurationSpec extends AnyFunSuite {
     assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b },
            s"greedy coverage radius must be non-increasing: ${radii.toSeq}")
   }
+
+  test("curriculumOrder: crafted sources interleave round-robin with unique positions") {
+    // 3 sources of sizes 3/2/1: rank-1 docs occupy positions 0..2, the
+    // rank-2 docs positions 3..4 (gap where source c exhausted), rank-3
+    // doc position 6 — order total, positions unique, sources maximally
+    // interleaved at every prefix.
+    val docs = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L),
+      ("c", 6L)
+    ).toDF("source", "doc_id")
+    val out = Pipeline.curriculumOrder(docs)
+      .select($"pos", $"source", $"doc_id").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(out.length === 6)
+    assert(out.map(_._1).distinct.length === 6)
+    // first round: one doc from each source, in source_idx order a,b,c
+    assert(out.take(3).map(_._2).toSeq === Seq("a", "b", "c"))
+    // second round: a then b (c exhausted); final doc is a's rank 3
+    assert(out.slice(3, 5).map(_._2).toSeq === Seq("a", "b"))
+    assert(out.last._2 === "a")
+    // position formula: pos = (rn-1)*3 + idx-1 for every emitted row
+    for ((pos, src, _) <- out) {
+      val idx = Map("a" -> 1L, "b" -> 2L, "c" -> 3L)(src)
+      assert((pos - (idx - 1)) % 3 === 0)
+    }
+  }
+
+  test("curriculumOrder: every source present in the real corpus prefix") {
+    // CurriculumK = 40 = 2 full rounds over the 20 sources: the prefix
+    // must contain every source exactly twice — the interleave claim.
+    val out = Pipeline.qCurriculumOrder(spark, sf)
+      .select($"source").as[String].collect()
+    assert(out.length === Pipeline.CurriculumK)
+    val counts = out.groupBy(identity).view.mapValues(_.length)
+    assert(counts.values.forall(_ == Pipeline.CurriculumK / counts.size),
+           s"uneven interleave: ${counts.toMap}")
+  }
 }
