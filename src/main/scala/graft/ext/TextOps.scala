@@ -668,14 +668,23 @@ object TextOps {
       .select(col("label"), col("score"))
     val thr = s.range(0, SweepCuts)
       .select((col("id").cast("double") / SweepCuts.toDouble).as("t"))
-    val npos = scored.agg(sum(col("label")).as("n_pos"))
+    // n_pos is NOT a separate scored.agg branch: that would re-run the
+    // whole classifier train+score a second time (no exchange to reuse
+    // — the global agg plans its own subtree; measured ~2× the query).
+    // The t=0 row already counts every positive (score ≥ 0 always), so
+    // recover n_pos from the 20-row aggregate with one bounded window
+    // (non-foldable empty key — the q_textrank tail pattern).
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring(col("t").cast("string"), 1, 0))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
     scored.crossJoin(thr)
       .groupBy(col("t"))
       .agg(sum(when(col("score") >= col("t"), 1L).otherwise(0L))
              .as("n_pred"),
            sum(when(col("score") >= col("t") && col("label") === 1L, 1L)
                  .otherwise(0L)).as("tp"))
-      .crossJoin(npos)
+      .withColumn("n_pos", max(when(col("t") === 0.0, col("tp"))).over(wAll))
       .select(col("t"), col("n_pred"), col("tp"),
               when(col("n_pred") === 0L, lit(1.0))
                 .otherwise(col("tp").cast("double")

@@ -59,13 +59,19 @@ object AnalyticsQueries {
   // q_rollup covers that shape). Subtotal NULLs render as 'ALL' on both
   // sides so NULL sort order can't skew the compare.
   // ------------------------------------------------------------------
+  // Two-level (the q_rollup discipline, see CoreQueries.qRollup): the
+  // finest-grouping pre-aggregate bounds the Expand's input at |groups|
+  // rows instead of replicating the scan once per grouping set.
   val qGroupingSets: Q = (s, d) =>
     Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("dq"),
+           count(lit(1)).as("n"))
       .groupingSets(
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
         col("l_returnflag"), col("l_linestatus"))
-      .agg(Ops.exactSum(col("l_quantity")).as("sum_qty"),
-           count(lit(1)).as("n_rows"))
+      .agg(sum(col("dq")).cast("double").as("sum_qty"),
+           sum(col("n")).as("n_rows"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
               coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
               col("sum_qty"), col("n_rows"))
@@ -76,9 +82,12 @@ object AnalyticsQueries {
   // in one pass.
   val qCube: Q = (s, d) =>
     Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("dq"),
+           count(lit(1)).as("n"))
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(Ops.exactSum(col("l_quantity")).as("sum_qty"),
-           count(lit(1)).as("n_rows"))
+      .agg(sum(col("dq")).cast("double").as("sum_qty"),
+           sum(col("n")).as("n_rows"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
               coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
               col("sum_qty"), col("n_rows"))

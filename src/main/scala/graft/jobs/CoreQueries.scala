@@ -285,12 +285,24 @@ object CoreQueries {
   // absent-but-free): ROLLUP subtotals over the classic pricing-summary
   // shape. Subtotal NULLs are rendered as 'ALL' on both sides so the
   // engines' differing NULL sort orders can't skew the compare.
+  // Two-level: pre-aggregate on the FINEST grouping (9 groups), then
+  // rollup the bounded aggregate. Spark's Expand runs BELOW the partial
+  // aggregate, so a direct rollup replicates every scan row once per
+  // grouping set (×3 here) before any combining — at 100 TB that's 3×
+  // the map output and 3× the shuffle. Decimal sums and counts are
+  // exactly decomposable (decimal addition is associative-exact), so
+  // the two-level result is bit-identical; only the Expand input drops
+  // from |rows| to |groups|. (Sweep: 2.3 s → sub-second at sf0.1.)
   val qRollup: Q = (s, d) =>
     Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("dq"),
+           sum(col("l_extendedprice").cast("decimal(18,2)")).as("dp"),
+           count(lit(1)).as("n"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(Ops.exactSum(col("l_quantity")).as("sum_qty"),
-           Ops.exactSum(col("l_extendedprice")).as("sum_price"),
-           count(lit(1)).as("n_rows"))
+      .agg(sum(col("dq")).cast("double").as("sum_qty"),
+           sum(col("dp")).cast("double").as("sum_price"),
+           sum(col("n")).as("n_rows"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
               coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
               col("sum_qty"), col("sum_price"), col("n_rows"))
