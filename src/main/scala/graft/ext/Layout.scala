@@ -144,15 +144,24 @@ object Layout {
     Tables.documents(s, d).select(col("source"), col("doc_id"), col("n_chars")))
 
   /** Core of q_compaction_plan over any (source, doc_id, n_chars) frame. */
-  def compactionPlan(docs: DataFrame): DataFrame = {
+  def compactionPlan(docs: DataFrame): DataFrame =
+    binManifest(
+      docs.groupBy(col("source"),
+                   (col("doc_id").cast("bigint") / DocsPerFile).cast("bigint")
+                     .as("file_idx"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes")))
+
+  /** Next-fit binning over a (source, file_idx, n_docs, bytes) manifest
+    * — factored so the streaming small-file monitor (CompactionStream)
+    * can bin its incrementally-accumulated manifest with the identical
+    * code path (bins are a VIEW of the manifest: arriving files extend
+    * it but never reorder it, so re-deriving per flush is exact).
+    */
+  def binManifest(manifest: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("file_idx").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .groupBy(col("source"),
-               (col("doc_id").cast("bigint") / DocsPerFile).cast("bigint")
-                 .as("file_idx"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+    manifest
       .withColumn("cum", sum(col("bytes")).over(w))
       .withColumn("bin",
         ((col("cum") - col("bytes")) / TargetBytes).cast("bigint"))

@@ -177,6 +177,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(CorpusStream.ingestBatch(fresh, dir) == 1L)
   }
 
+  test("compaction monitor stream: post-drain plan equals the batch plan for any batching") {
+    import graft.streaming.CompactionStream
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact_stream").toString
+    // Split the corpus into two parquet files with INTERLEAVED doc_ids
+    // (odd/even), so most (source, file) manifest keys span both
+    // micro-batches — exercising the additive fold, not just append.
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    // single-FILE parquet per half (the glob matches files, not dirs):
+    // stage a 1-part write, then move the part file into place
+    def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      import java.nio.file.{Files, Paths}
+      val staging = s"$root/__stage_$name"
+      df.coalesce(1).write.parquet(staging)
+      val part = Files.list(Paths.get(staging)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.createDirectories(Paths.get(s"$root/src"))
+      Files.move(Paths.get(part), Paths.get(s"$root/src/$name"))
+    }
+    writeFile(docs.filter($"doc_id" % 2 === 0), "documents_even.parquet")
+    writeFile(docs.filter($"doc_id" % 2 === 1), "documents_odd.parquet")
+    val got = CompactionStream
+      .runOnce(spark, s"$root/src", s"$root/ledger")
+      .collect().map(_.toSeq).toSet
+    val twin = graft.ext.Layout.qCompactionPlan(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(got === twin,
+           "streamed manifest must bin identically to the batch plan")
+    // Cross-batch partial-file fold, pinned on a crafted corpus where
+    // ONE manifest key definitely spans both micro-batches: 10 docs of
+    // one source in file_idx 0, split 5/5.
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_compact_stream2").toString
+    val crafted = (0L until 10L)
+      .map(i => (i, "t", "en", "s", 100L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def writeFile2(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      import java.nio.file.{Files, Paths}
+      val staging = s"$root2/__stage_$name"
+      df.coalesce(1).write.parquet(staging)
+      val part = Files.list(Paths.get(staging)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.createDirectories(Paths.get(s"$root2/src"))
+      Files.move(Paths.get(part), Paths.get(s"$root2/src/$name"))
+    }
+    writeFile2(crafted.filter($"doc_id" < 5), "documents_a.parquet")
+    writeFile2(crafted.filter($"doc_id" >= 5), "documents_b.parquet")
+    val plan2 = CompactionStream
+      .runOnce(spark, s"$root2/src", s"$root2/ledger",
+               name = "graft_compaction_monitor2")
+      .select($"source", $"bin", $"n_files", $"n_docs", $"total_bytes")
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    // one source, one file (0..9 all in file_idx 0), one bin:
+    // 10 docs, bytes = Σ(100+i) = 1045 — the two 5-doc partials folded
+    assert(plan2 === List(("s", 0L, 1L, 10L, 1045L)))
+    val rawRows2 = spark.read.schema(CompactionStream.manifestSchema)
+      .parquet(s"$root2/ledger").count()
+    assert(rawRows2 === 2L, "each micro-batch appends its own partial")
+  }
+
   test("paragraph ingest stream: segment ledger equals the batch paragraph-dedup twin") {
     import graft.streaming.ParagraphStream
     val dir = java.nio.file.Files
