@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Key-value CRUD surface over hash-bucketed parquet — the Spark-native
+  * answer to the reference's HBase connector intent (SURVEY §2.1 S10;
+  * reference hbase/CURDSample.java:6-13 is an empty stub that only
+  * builds an HBaseConfiguration — the INTENT is point get/put/delete
+  * against a keyed store, and this module delivers that capability
+  * without an external service).
+  *
+  * Layout (the CorpusStream ledger discipline): rows live under
+  * `dir/bucket=XX/` where XX is the first two hex chars of md5(key) —
+  * 256 uniform buckets. Every mutation is an APPENDED operation record
+  * (key, value, seq, tombstone); reads fold latest-wins by the
+  * caller-supplied strictly-increasing `seq`. The three properties that
+  * matter at scale:
+  *
+  *  - **Point reads are bucket-pruned by construction**: a get() opens
+  *    ONLY `bucket=md5(key)[0,2)/` — 1/256th of the table regardless of
+  *    table size (the HBase region-pruning analogue; pinned by a spec
+  *    that deletes every other bucket and still reads).
+  *  - **Writes never read**: a put/delete is a blind append (HBase's
+  *    LSM write path), so ingest throughput is write-bandwidth-bound.
+  *  - **Compaction is the same fold**: latestView() IS the compaction
+  *    plan; compact() materializes it and drops superseded records —
+  *    run per-bucket, embarrassingly parallel.
+  *
+  * Same single-writer / rename-atomicity caveats as the streaming
+  * ledgers (CorpusStream.scala commit note); `seq` collisions are the
+  * caller's contract (a real deployment derives seq from its WAL/batch
+  * id — here Verify/spec drive it explicitly).
+  */
+object KvTable {
+
+  val opSchema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", StringType),
+    StructField("seq", LongType),
+    StructField("tombstone", BooleanType)))
+
+  /** First two hex chars of md5(key) — the bucket directory name. */
+  def bucketOf(key: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    f"${md(0) & 0xff}%02x"
+  }
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Blind-append a batch of puts: (key, value) rows at one seq. */
+  def put(spark: SparkSession, dir: String, kv: DataFrame, seq: Long): Unit =
+    append(spark, dir, kv.select(col("key").cast("string").as("key"),
+                                 col("value").cast("string").as("value"),
+                                 lit(seq).as("seq"),
+                                 lit(false).as("tombstone")))
+
+  /** Blind-append tombstones for `keys` at one seq. */
+  def delete(spark: SparkSession, dir: String, keys: Seq[String],
+             seq: Long): Unit = {
+    import spark.implicits._
+    append(spark, dir, keys.toDF("key")
+      .select(col("key"), lit(null).cast("string").as("value"),
+              lit(seq).as("seq"), lit(true).as("tombstone")))
+  }
+
+  private def append(spark: SparkSession, dir: String, ops: DataFrame): Unit =
+    ops
+      .withColumn("bucket", substring(md5(col("key")), 1, 2))
+      .write.partitionBy("bucket").mode("append").parquet(dir)
+
+  /** All operation records of ONE bucket (empty frame if absent). */
+  private def bucketOps(spark: SparkSession, dir: String,
+                        bucket: String): DataFrame = {
+    val path = s"$dir/bucket=$bucket"
+    if (fs(spark, dir).exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.schema(opSchema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], opSchema)
+  }
+
+  /** Latest-wins fold: one surviving row per non-deleted key. */
+  private def latestOf(ops: DataFrame): DataFrame =
+    ops
+      .groupBy(col("key"))
+      .agg(max(struct(col("seq"), col("tombstone"), col("value"))).as("op"))
+      .filter(!col("op.tombstone"))
+      .select(col("key"), col("op.value").as("value"), col("op.seq").as("seq"))
+
+  /** Point lookup — opens only the key's bucket directory. */
+  def get(spark: SparkSession, dir: String, key: String): Option[String] =
+    latestOf(bucketOps(spark, dir, bucketOf(key))
+        .filter(col("key") === key))
+      .select(col("value"))
+      .collect().headOption.map(_.getString(0))
+
+  /** The table's current view: latest non-deleted row per key. */
+  def latestView(spark: SparkSession, dir: String): DataFrame =
+    if (fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir)))
+      latestOf(spark.read.schema(opSchema.add(StructField("bucket", StringType)))
+        .option("basePath", dir).parquet(dir)
+        .select(col("key"), col("value"), col("seq"), col("tombstone")))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(opSchema.fields.filter(_.name != "tombstone")))
+
+  /** Materialize the latest-wins view, dropping superseded records and
+    * tombstones: stage the folded table, swap directories. Returns the
+    * number of surviving rows.
+    */
+  def compact(spark: SparkSession, dir: String): Long = {
+    val f = fs(spark, dir)
+    val staged = s"$dir.__compact"
+    val survivors = latestView(spark, dir)
+      .select(col("key"), col("value"), col("seq"),
+              lit(false).as("tombstone"))
+    survivors
+      .withColumn("bucket", substring(md5(col("key")), 1, 2))
+      .write.partitionBy("bucket").mode("overwrite").parquet(staged)
+    val n = spark.read.schema(opSchema.add(StructField("bucket", StringType)))
+      .option("basePath", staged).parquet(staged).count()
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    f.rename(new org.apache.hadoop.fs.Path(staged),
+             new org.apache.hadoop.fs.Path(dir))
+    n
+  }
+}

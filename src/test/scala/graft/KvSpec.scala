@@ -1,0 +1,71 @@
+package graft
+
+import graft.sources.KvTable
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CRUD semantics and the bucket-pruning contract of the parquet
+  * key-value table (SURVEY §2.1 S10).
+  */
+class KvSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir() = java.nio.file.Files
+    .createTempDirectory("graft_kv").toString + "/table"
+
+  test("put / get / update / delete: latest-wins per key") {
+    val dir = freshDir()
+    KvTable.put(spark, dir,
+      Seq(("a", "1"), ("b", "2")).toDF("key", "value"), seq = 1L)
+    assert(KvTable.get(spark, dir, "a") === Some("1"))
+    assert(KvTable.get(spark, dir, "b") === Some("2"))
+    assert(KvTable.get(spark, dir, "missing") === None)
+    KvTable.put(spark, dir, Seq(("a", "3")).toDF("key", "value"), seq = 2L)
+    assert(KvTable.get(spark, dir, "a") === Some("3"), "update wins")
+    KvTable.delete(spark, dir, Seq("a"), seq = 3L)
+    assert(KvTable.get(spark, dir, "a") === None, "tombstone hides the key")
+    assert(KvTable.get(spark, dir, "b") === Some("2"), "other keys untouched")
+    // re-put AFTER a delete resurrects the key (seq order, not op kind)
+    KvTable.put(spark, dir, Seq(("a", "4")).toDF("key", "value"), seq = 4L)
+    assert(KvTable.get(spark, dir, "a") === Some("4"))
+  }
+
+  test("point get opens only the key's bucket directory") {
+    val dir = freshDir()
+    val keys = (0 until 40).map(i => (s"k$i", s"v$i"))
+    KvTable.put(spark, dir, keys.toDF("key", "value"), seq = 1L)
+    val probe = "k7"
+    val keep = KvTable.bucketOf(probe)
+    // destroy every OTHER bucket: if get() touched anything beyond its
+    // own bucket the read would fail or change — it must still answer.
+    val root = new java.io.File(dir)
+    root.listFiles().filter(_.getName.startsWith("bucket="))
+      .filterNot(_.getName == s"bucket=$keep")
+      .foreach(d => { d.listFiles().foreach(_.delete()); d.delete() })
+    assert(root.listFiles().count(_.getName.startsWith("bucket=")) === 1)
+    assert(KvTable.get(spark, dir, probe) === Some("v7"))
+  }
+
+  test("latestView and compact: superseded records and tombstones drop") {
+    val dir = freshDir()
+    KvTable.put(spark, dir,
+      (0 until 20).map(i => (s"k$i", s"v$i")).toDF("key", "value"), 1L)
+    KvTable.put(spark, dir,
+      (0 until 10).map(i => (s"k$i", s"w$i")).toDF("key", "value"), 2L)
+    KvTable.delete(spark, dir, Seq("k0", "k15"), 3L)
+    val expected = ((1 until 10).map(i => s"k$i" -> s"w$i") ++
+      ((10 until 20).filter(_ != 15).map(i => s"k$i" -> s"v$i"))).toMap
+    def view() = KvTable.latestView(spark, dir)
+      .select($"key", $"value").as[(String, String)].collect().toMap
+    assert(view() === expected)
+    // compact materializes the same view and drops the op history
+    val survivors = KvTable.compact(spark, dir)
+    assert(survivors === expected.size.toLong)
+    assert(view() === expected, "view unchanged by compaction")
+    val rawAfter = spark.read.parquet(dir).count()
+    assert(rawAfter === expected.size.toLong,
+           "superseded records and tombstones physically gone")
+    assert(KvTable.get(spark, dir, "k3") === Some("w3"))
+    assert(KvTable.get(spark, dir, "k0") === None)
+  }
+}
