@@ -238,6 +238,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(rawRows2 === 2L, "each micro-batch appends its own partial")
   }
 
+  test("embedding ingest stream: admitted set equals the global greedy replay") {
+    import graft.streaming.EmbedStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_embed_stream").toString + "/ledger"
+    // same deterministic sample as q_dedup_embedding
+    val vecs = Tables.embeddings(spark, sf)
+      .filter($"vec_id" % 4 === 0 && $"label" < 5)
+      .select($"label", $"vec_id", $"embedding")
+    // two vec_id-ordered batches
+    assert(EmbedStream.ingestBatch(vecs.filter($"vec_id" < 500), dir) > 0)
+    EmbedStream.ingestBatch(vecs.filter($"vec_id" >= 500), dir)
+    val got = EmbedStream.ledger(spark, dir)
+      .select($"vec_id").as[Long].collect().toSet
+    // global greedy replay with the SAME shared admission code
+    val all = vecs
+      .as[(Int, Long, Seq[Float])].collect()
+      .map { case (l, id, e) => EmbedStream.V(l, id, e, admitted = false) }
+    val expected = all.groupBy(_.label).values
+      .flatMap(g => EmbedStream.admitBlock(Nil, g.toSeq)).map(_.vec_id).toSet
+    assert(got === expected,
+           "ordered two-batch ingest must equal the one-shot greedy replay")
+    // suppression actually occurred (the sample has >= 1 near-dup pair)
+    assert(got.size < all.length)
+    // idempotent re-ingest: every vector is its own admitted leader
+    assert(EmbedStream.ingestBatch(vecs, dir) === 0L)
+    // cross-batch near-dup: a scaled copy of an admitted vector (cosine
+    // 1.0) is rejected; a fresh one-hot vector in the same block is not
+    val leader = all.filter(_.vec_id == got.min).head
+    val scaled = leader.embedding.map(x => x * 2.0f)
+    val oneHot = Seq.tabulate(leader.embedding.length)(
+      i => if (i == 0) 1.0f else 0.0f)
+    val crafted = Seq(
+      (leader.label, 900001L, scaled),
+      (leader.label, 900002L, oneHot)
+    ).toDF("label", "vec_id", "embedding")
+    val admitted = EmbedStream.ingestBatch(crafted, dir)
+    val ids = EmbedStream.ledger(spark, dir)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(!ids.contains(900001L), "scaled copy of a leader is rejected")
+    // the one-hot probe is only admitted if it is far from EVERY leader
+    // in the block — assert consistency with the replayed rule
+    val leaders = all.filter(v => got.contains(v.vec_id) &&
+                                  v.label == leader.label).map(_.embedding)
+    val expectAdmit =
+      !leaders.exists(u => EmbedStream.cosine(u, oneHot) >= EmbedStream.Threshold)
+    assert(ids.contains(900002L) === expectAdmit)
+    assert(admitted === (if (expectAdmit) 1L else 0L))
+  }
+
   test("paragraph ingest stream: segment ledger equals the batch paragraph-dedup twin") {
     import graft.streaming.ParagraphStream
     val dir = java.nio.file.Files
