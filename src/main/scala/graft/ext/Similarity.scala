@@ -75,6 +75,108 @@ object Similarity {
       |ORDER BY qid, rn""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_rank_fusion — Reciprocal Rank Fusion (RRF, Cormack et al.) of two
+  // retrieval rankings over the same query set: cosine (angle) and raw
+  // inner product (the MIPS ranking — differs from cosine exactly when
+  // candidate norms vary, which the synthetic embeddings' do). Each
+  // retriever contributes its truncated top-FuseN list; fused score =
+  // Σ 1/(60 + rank), absent-from-a-list contributes 0 — the standard
+  // RRF-60 rule search stacks use to merge lexical + vector retrieval
+  // without score calibration.
+  //
+  // Exactness: ranks are integers (6-dp-rounded scores + vec_id
+  // tiebreak, the q_similarity_topk discipline), and the fused double
+  // is the SAME two-term left-to-right sum of 1/(60+r) on both engines
+  // — no re-association surface. Ties in fused score (mirrored ranks)
+  // break on vec_id.
+  //
+  // Scale shape: ONE broadcast of the bounded query set, one shared
+  // candidate-scoring pass computing the dot product ONCE (both scores
+  // derive from it), two K-bounded per-query rank windows over the
+  // slim (qid, vec_id, score) projection, a (qid, vec_id) equi-join of
+  // two ≤FuseN-row lists per query, and a final bounded top-FuseK cut.
+  // Nothing after the scoring pass is corpus-sized.
+  // ------------------------------------------------------------------
+  val FuseN = 20  // per-retriever truncated list length
+  val FuseK = 10  // fused rows emitted per query
+  val RrfK0 = 60  // the standard RRF constant
+
+  val qRankFusion: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+              VectorFunctions.vecNorm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              col("nrm").as("qnrm"))
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("raw", VectorFunctions.vecDot(col("qe"), col("embedding")))
+      .select(col("qid"), col("vec_id"),
+              round(col("raw") / (col("qnrm") * col("nrm")), 6).as("cos_s"),
+              round(col("raw"), 6).as("dot_s"))
+    val byCos = Ops.topKPerGroup(cand, Seq("qid"), -col("cos_s"),
+        col("vec_id"), FuseN)
+      .select(col("qid"), col("vec_id"), col("rn").as("rc"))
+    val byDot = Ops.topKPerGroup(cand, Seq("qid"), -col("dot_s"),
+        col("vec_id"), FuseN)
+      .select(col("qid"), col("vec_id"), col("rn").as("rd"))
+    val fused = byCos.join(byDot, Seq("qid", "vec_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK0) + col("rc")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK0) + col("rd")), lit(0.0)))
+    Ops.topKPerGroup(fused, Seq("qid"), -col("rrf"), col("vec_id"), FuseK,
+        rnCol = "fused_rank")
+      .select(col("qid"), col("vec_id"),
+              coalesce(col("rc"), lit(0L)).as("rank_cos"),
+              coalesce(col("rd"), lit(0L)).as("rank_dot"),
+              col("rrf"), col("fused_rank"))
+      .orderBy(col("qid"), col("fused_rank"))
+  }
+
+  val qRankFusionSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT q.qid, e.vec_id,
+       |         round(
+       |           (SELECT SUM(CAST(qe[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))
+       |            FROM generate_series(1, 64) i(i)) /
+       |           (sqrt((SELECT SUM(CAST(qe[i.i] AS DOUBLE) ** 2)
+       |                  FROM generate_series(1, 64) i(i))) *
+       |            sqrt((SELECT SUM(CAST(e.embedding[i.i] AS DOUBLE) ** 2)
+       |                  FROM generate_series(1, 64) i(i)))), 6) AS cos_s,
+       |         round(
+       |           (SELECT SUM(CAST(qe[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))
+       |            FROM generate_series(1, 64) i(i)), 6) AS dot_s
+       |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+       |bycos AS (
+       |  SELECT qid, vec_id,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY cos_s DESC, vec_id ASC) AS BIGINT) AS rc
+       |  FROM cand QUALIFY rc <= $FuseN),
+       |bydot AS (
+       |  SELECT qid, vec_id,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY dot_s DESC, vec_id ASC) AS BIGINT) AS rd
+       |  FROM cand QUALIFY rd <= $FuseN),
+       |fused AS (
+       |  SELECT COALESCE(c.qid, d2.qid) AS qid,
+       |         COALESCE(c.vec_id, d2.vec_id) AS vec_id, c.rc, d2.rd,
+       |         COALESCE(1.0 / ($RrfK0 + c.rc), 0.0)
+       |           + COALESCE(1.0 / ($RrfK0 + d2.rd), 0.0) AS rrf
+       |  FROM bycos c FULL OUTER JOIN bydot d2
+       |    ON c.qid = d2.qid AND c.vec_id = d2.vec_id),
+       |cut AS (
+       |  SELECT qid, vec_id, COALESCE(rc, 0) AS rank_cos,
+       |         COALESCE(rd, 0) AS rank_dot, rrf,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY rrf DESC, vec_id ASC) AS BIGINT)
+       |           AS fused_rank
+       |  FROM fused QUALIFY fused_rank <= $FuseK)
+       |SELECT qid, vec_id, CAST(rank_cos AS BIGINT) AS rank_cos,
+       |       CAST(rank_dot AS BIGINT) AS rank_dot, rrf, fused_rank
+       |FROM cut ORDER BY qid, fused_rank""".stripMargin
+
+  // ------------------------------------------------------------------
   // Sign-LSH ANN (non-SQL-expressible → rows-only check).
   // ------------------------------------------------------------------
   val NumPlanes = 16
@@ -1568,6 +1670,7 @@ object Similarity {
     "q_ann_project"     -> qAnnProject,
     "q_cluster_topics"  -> qClusterTopics,
     "q_similarity_topk" -> qSimilarityTopk,
+    "q_rank_fusion"     -> qRankFusion,
     "q_ann_lsh"         -> qAnnLsh,
     "q_ann_ivf"         -> qAnnIvf,
     "q_ann_pq"          -> qAnnPq,
@@ -1588,6 +1691,7 @@ object Similarity {
     "q_ann_pq"          -> qAnnPqSql,
     "q_ann_ivfpq"       -> qAnnIvfpqSql,
     "q_similarity_topk" -> qSimilarityTopkSql,
+    "q_rank_fusion"     -> qRankFusionSql,
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,
     "q_kmeans_cells"    -> qKmeansCellsSql,

@@ -407,4 +407,34 @@ class QueriesSpec extends AnyFunSuite {
              "first day's ewma must equal its value_sum")
     }
   }
+  test("rank fusion: RRF arithmetic replayed from the two rank lists") {
+    import spark.implicits._
+    val out = Similarity.qRankFusion(spark, TestSpark.Sf)
+      .select($"qid", $"vec_id", $"rank_cos", $"rank_dot", $"rrf",
+              $"fused_rank")
+      .as[(Long, Long, Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_._1)
+    for ((_, rows) <- byQ) {
+      // exactly FuseK rows, fused_rank 1..K, rrf non-increasing
+      assert(rows.length === Similarity.FuseK)
+      assert(rows.map(_._6).sorted.toSeq === (1L to Similarity.FuseK))
+      val ordered = rows.sortBy(_._6)
+      assert(ordered.zip(ordered.drop(1)).forall { case (a, b) =>
+        a._5 >= b._5 })
+      // the emitted rrf equals the two-term rule from the emitted ranks
+      for ((_, _, rc, rd, rrf, _) <- rows) {
+        val expect =
+          (if (rc > 0) 1.0 / (Similarity.RrfK0 + rc) else 0.0) +
+            (if (rd > 0) 1.0 / (Similarity.RrfK0 + rd) else 0.0)
+        assert(rrf === expect)
+        assert(rc >= 0 && rc <= Similarity.FuseN &&
+               rd >= 0 && rd <= Similarity.FuseN)
+        assert(rc > 0 || rd > 0, "fused rows come from at least one list")
+      }
+      // a candidate ranked 1 by BOTH retrievers must lead the fusion
+      rows.find(r => r._3 == 1L && r._4 == 1L)
+        .foreach(r => assert(r._6 === 1L))
+    }
+  }
 }
