@@ -2206,8 +2206,12 @@ object Corpus {
     ckpt
   }
 
-  val qBm25MltSql: String =
-    s"""WITH per_doc AS (
+  /** The BM25 pipeline as bare CTEs (ending at `ranked`), shared by
+    * q_bm25_mlt's oracle and q_hybrid_search's (Similarity) — one
+    * definition so the lexical ranks can never drift between the two.
+    */
+  val bm25CtesSql: String =
+    s"""per_doc AS (
        |  SELECT doc_id, term, COUNT(*) AS tf
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
        |        FROM documents)
@@ -2250,7 +2254,10 @@ object Corpus {
        |  SELECT qid, doc_id, n_match, score_u,
        |         CAST(row_number() OVER (PARTITION BY qid
        |           ORDER BY score_u DESC, doc_id ASC) AS BIGINT) AS rn
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  val qBm25MltSql: String =
+    s"""WITH $bm25CtesSql
        |SELECT qid, rn, doc_id, n_match,
        |       round(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS bm25
        |FROM ranked WHERE rn <= $Bm25TopK

@@ -177,6 +177,100 @@ object Similarity {
        |FROM cut ORDER BY qid, fused_rank""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_hybrid_search — lexical + vector hybrid retrieval, the capstone
+  // of the two retrieval families: BM25 more-like-this ranks (the
+  // q_bm25_mlt pipeline, shared code AND shared oracle CTEs) fused
+  // with embedding-cosine ranks over the same query/candidate space
+  // (the corpus convention: document i's embedding is vec_id i, so
+  // candidates are the doc ids that carry an embedding), merged by the
+  // same RRF-60 rule as q_rank_fusion. This is the retrieval stack
+  // RAG deployments actually run — BM25 for exact-term evidence,
+  // vectors for paraphrase — and the fusion needs no score
+  // calibration between the two scales.
+  //
+  // Scale shape: the lexical side is the inverted-index-traversal
+  // shape (query terms × postings); the vector side is one broadcast
+  // of the bounded query set over the embedding scan; both collapse
+  // to K-bounded per-query rank lists before the (qid, doc_id) list
+  // join, and the fused cut is the bounded top-K window.
+  // ------------------------------------------------------------------
+  val HybK = 5 // per-retriever list length AND fused emit
+
+  val qHybridSearch: Q = (s, d) => {
+    val lex = graft.ext.Corpus.qBm25Mlt(s, d)
+      .select(col("qid"), col("doc_id"), col("rn").as("rl"))
+    val docIds = Tables.documents(s, d).select(col("doc_id"))
+    val e = Tables.embeddings(s, d)
+      .join(docIds, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"),
+              VectorFunctions.vecNorm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < graft.ext.Corpus.Bm25NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              col("nrm").as("qnrm"))
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+              round(VectorFunctions.vecDot(col("qe"), col("embedding")) /
+                      (col("qnrm") * col("nrm")), 6).as("cos_s"))
+    val vec = Ops.topKPerGroup(cand, Seq("qid"), -col("cos_s"),
+        col("doc_id"), HybK)
+      .select(col("qid"), col("doc_id"), col("rn").as("rv"))
+    val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK0) + col("rl")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK0) + col("rv")), lit(0.0)))
+    Ops.topKPerGroup(fused, Seq("qid"), -col("rrf"), col("doc_id"), HybK,
+        rnCol = "fused_rank")
+      .select(col("qid"), col("doc_id"),
+              coalesce(col("rl"), lit(0L)).as("rank_lex"),
+              coalesce(col("rv"), lit(0L)).as("rank_vec"),
+              col("rrf"), col("fused_rank"))
+      .orderBy(col("qid"), col("fused_rank"))
+  }
+
+  val qHybridSearchSql: String =
+    s"""WITH ${graft.ext.Corpus.bm25CtesSql},
+       |lex AS (
+       |  SELECT qid, doc_id, rn AS rl FROM ranked
+       |  WHERE rn <= ${graft.ext.Corpus.Bm25TopK}),
+       |ed AS (
+       |  SELECT e.vec_id, e.embedding FROM embeddings e
+       |  JOIN documents d2 ON e.vec_id = d2.doc_id),
+       |vq AS (SELECT vec_id AS qid, embedding AS qe FROM ed
+       |       WHERE vec_id < ${graft.ext.Corpus.Bm25NumQueries}),
+       |vcand AS (
+       |  SELECT vq.qid, ed.vec_id AS doc_id,
+       |         round(
+       |           (SELECT SUM(CAST(qe[i.i] AS DOUBLE) * CAST(ed.embedding[i.i] AS DOUBLE))
+       |            FROM generate_series(1, 64) i(i)) /
+       |           (sqrt((SELECT SUM(CAST(qe[i.i] AS DOUBLE) ** 2)
+       |                  FROM generate_series(1, 64) i(i))) *
+       |            sqrt((SELECT SUM(CAST(ed.embedding[i.i] AS DOUBLE) ** 2)
+       |                  FROM generate_series(1, 64) i(i)))), 6) AS cos_s
+       |  FROM vq, ed WHERE ed.vec_id <> vq.qid),
+       |vranked AS (
+       |  SELECT qid, doc_id,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY cos_s DESC, doc_id ASC) AS BIGINT) AS rv
+       |  FROM vcand QUALIFY rv <= $HybK),
+       |fused AS (
+       |  SELECT COALESCE(l.qid, v.qid) AS qid,
+       |         COALESCE(l.doc_id, v.doc_id) AS doc_id, l.rl, v.rv,
+       |         COALESCE(1.0 / ($RrfK0 + l.rl), 0.0)
+       |           + COALESCE(1.0 / ($RrfK0 + v.rv), 0.0) AS rrf
+       |  FROM lex l FULL OUTER JOIN vranked v
+       |    ON l.qid = v.qid AND l.doc_id = v.doc_id),
+       |cut AS (
+       |  SELECT qid, doc_id, COALESCE(rl, 0) AS rank_lex,
+       |         COALESCE(rv, 0) AS rank_vec, rrf,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY rrf DESC, doc_id ASC) AS BIGINT)
+       |           AS fused_rank
+       |  FROM fused QUALIFY fused_rank <= $HybK)
+       |SELECT qid, doc_id, CAST(rank_lex AS BIGINT) AS rank_lex,
+       |       CAST(rank_vec AS BIGINT) AS rank_vec, rrf, fused_rank
+       |FROM cut ORDER BY qid, fused_rank""".stripMargin
+
+  // ------------------------------------------------------------------
   // Sign-LSH ANN (non-SQL-expressible → rows-only check).
   // ------------------------------------------------------------------
   val NumPlanes = 16
@@ -1671,6 +1765,7 @@ object Similarity {
     "q_cluster_topics"  -> qClusterTopics,
     "q_similarity_topk" -> qSimilarityTopk,
     "q_rank_fusion"     -> qRankFusion,
+    "q_hybrid_search"   -> qHybridSearch,
     "q_ann_lsh"         -> qAnnLsh,
     "q_ann_ivf"         -> qAnnIvf,
     "q_ann_pq"          -> qAnnPq,
@@ -1692,6 +1787,7 @@ object Similarity {
     "q_ann_ivfpq"       -> qAnnIvfpqSql,
     "q_similarity_topk" -> qSimilarityTopkSql,
     "q_rank_fusion"     -> qRankFusionSql,
+    "q_hybrid_search"   -> qHybridSearchSql,
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,
     "q_kmeans_cells"    -> qKmeansCellsSql,

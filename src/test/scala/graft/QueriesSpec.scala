@@ -437,4 +437,30 @@ class QueriesSpec extends AnyFunSuite {
         .foreach(r => assert(r._6 === 1L))
     }
   }
+  test("hybrid search: every fused row traces to a source list; both modalities contribute") {
+    import spark.implicits._
+    val out = Similarity.qHybridSearch(spark, TestSpark.Sf)
+      .select($"qid", $"doc_id", $"rank_lex", $"rank_vec", $"rrf",
+              $"fused_rank")
+      .as[(Long, Long, Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    for ((_, _, rl, rv, rrf, _) <- out) {
+      assert(rl > 0 || rv > 0)
+      val expect =
+        (if (rl > 0) 1.0 / (Similarity.RrfK0 + rl) else 0.0) +
+          (if (rv > 0) 1.0 / (Similarity.RrfK0 + rv) else 0.0)
+      assert(rrf === expect)
+    }
+    // per query: HybK rows, ranks 1..K, rrf non-increasing
+    for ((_, rows) <- out.groupBy(_._1)) {
+      assert(rows.length === Similarity.HybK)
+      val ordered = rows.sortBy(_._6)
+      assert(ordered.map(_._6).toSeq === (1L to Similarity.HybK))
+      assert(ordered.zip(ordered.drop(1)).forall { case (a, b) => a._5 >= b._5 })
+    }
+    // the fusion is genuinely hybrid on this corpus: some emitted rows
+    // are lexical-only and some vector-only
+    assert(out.exists(r => r._3 > 0 && r._4 == 0))
+    assert(out.exists(r => r._4 > 0 && r._3 == 0))
+  }
 }
