@@ -533,6 +533,84 @@ object Similarity {
        |ORDER BY qid, rn""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_ann_recall — retrieval-quality evaluation IN the engine:
+  // recall@TopK of the IVF probe retrieval (q_ann_ivf, shared code and
+  // shared oracle funnel) against the exact brute-force cosine ranking
+  // (q_similarity_topk), per query. The eval every ANN deployment runs
+  // before trusting an index — surfaced as a relational query so the
+  // recall numbers carry the same exact-oracle guarantee as the
+  // retrieval itself (both lists are deterministic rankings, so the
+  // intersection count is exact, not sampled).
+  //
+  // Scale shape: both sides are the already-K-bounded per-query lists;
+  // the eval joins ≤TopK rows per query — metadata-sized regardless of
+  // corpus. (The candidate-generation cost IS the two retrievals; at
+  // 100 TB an eval run samples queries, which is what NumQueries is.)
+  // ------------------------------------------------------------------
+  val qAnnRecall: Q = (s, d) => {
+    val approx = qAnnIvf(s, d).select(col("qid"), col("vec_id"))
+    val exact = qSimilarityTopk(s, d).select(col("qid"), col("vec_id"))
+    val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+              (coalesce(col("n_hits"), lit(0L)).cast("double") /
+                 col("n_exact").cast("double")).as("recall"))
+      .orderBy(col("qid"))
+  }
+
+  val qAnnRecallSql: String =
+    s"""WITH $kmeansFunnelCtes,
+       |probes AS (
+       |  SELECT vec_id AS qid, cell AS probe_cell FROM dots
+       |  WHERE vec_id < $NumQueries AND cell_rn <= $NProbe),
+       |icand AS (
+       |  SELECT p.qid, e.vec_id,
+       |         round((SELECT SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))
+       |                FROM generate_series(1, $Dim) i(i)) / (nq.nrm * ne.nrm), 6) AS score
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.probe_cell
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN embeddings q ON q.vec_id = p.qid
+       |  JOIN nrm nq ON nq.vec_id = p.qid
+       |  JOIN nrm ne ON ne.vec_id = e.vec_id
+       |  WHERE e.vec_id <> p.qid),
+       |ivf AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY score DESC, vec_id) AS rn
+       |    FROM icand) WHERE rn <= $TopK),
+       |xq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |       WHERE vec_id < $NumQueries),
+       |xcand AS (
+       |  SELECT xq.qid, e.vec_id,
+       |         round((SELECT SUM(CAST(qe[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))
+       |                FROM generate_series(1, $Dim) i(i)) / (nq.nrm * ne.nrm), 6) AS score
+       |  FROM xq
+       |  JOIN embeddings e ON e.vec_id <> xq.qid
+       |  JOIN nrm nq ON nq.vec_id = xq.qid
+       |  JOIN nrm ne ON ne.vec_id = e.vec_id),
+       |exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY score DESC, vec_id) AS rn
+       |    FROM xcand) WHERE rn <= $TopK),
+       |hits AS (
+       |  SELECT x.qid, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM exact x JOIN ivf v ON v.qid = x.qid AND v.vec_id = x.vec_id
+       |  GROUP BY 1)
+       |SELECT x.qid, CAST(count(*) AS BIGINT) AS n_exact,
+       |       COALESCE(h.n_hits, 0) AS n_hits,
+       |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact x LEFT JOIN hits h ON h.qid = x.qid
+       |GROUP BY x.qid, h.n_hits ORDER BY x.qid""".stripMargin
+
+  // ------------------------------------------------------------------
   // Product-quantization ANN (q_ann_pq): split the 64-dim vector into
   // PqM=8 subspaces of 8 dims; per subspace train a PqKSub=8-entry
   // sub-codebook (md5-sampled seeds + one joint Lloyd step — the same
@@ -1766,6 +1844,7 @@ object Similarity {
     "q_similarity_topk" -> qSimilarityTopk,
     "q_rank_fusion"     -> qRankFusion,
     "q_hybrid_search"   -> qHybridSearch,
+    "q_ann_recall"      -> qAnnRecall,
     "q_ann_lsh"         -> qAnnLsh,
     "q_ann_ivf"         -> qAnnIvf,
     "q_ann_pq"          -> qAnnPq,
@@ -1788,6 +1867,7 @@ object Similarity {
     "q_similarity_topk" -> qSimilarityTopkSql,
     "q_rank_fusion"     -> qRankFusionSql,
     "q_hybrid_search"   -> qHybridSearchSql,
+    "q_ann_recall"      -> qAnnRecallSql,
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,
     "q_kmeans_cells"    -> qKmeansCellsSql,
