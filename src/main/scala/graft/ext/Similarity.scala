@@ -416,12 +416,15 @@ object Similarity {
     * engines bucket identically — dots are in-index-order double sums on
     * both sides, making even the sign of a near-zero dot deterministic.
     */
-  val qAnnLshSql: String = {
+  /** The LSH retrieval as bare CTEs (ending at `ranked`), shared by
+    * q_ann_lsh's oracle and q_lsh_recall's — the bm25CtesSql pattern.
+    */
+  val lshCtesSql: String = {
     val x0 = "(j.j*1000003 + (i.i-1)*7919 + 12345)"
     val step1 = s"((CAST($x0 AS HUGEINT) * 25214903917 + 11) % 281474976710656)"
     val step2 = s"((CAST($step1 AS HUGEINT) * 25214903917 + 11) % 281474976710656)"
     val plane = s"CAST(CAST($step2 AS DOUBLE) / 140737488355328.0 - 1.0 AS REAL)"
-    s"""WITH pd AS (
+    s"""pd AS (
        |  SELECT e.vec_id, j.j,
        |         (SELECT SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST($plane AS DOUBLE))
        |          FROM generate_series(1, $Dim) i(i)) AS dot
@@ -449,10 +452,13 @@ object Similarity {
        |ranked AS (
        |  SELECT qid, bucket, vec_id, score,
        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
-       |  FROM cand)
+       |  FROM cand)""".stripMargin
+  }
+
+  val qAnnLshSql: String =
+    s"""WITH $lshCtesSql
        |SELECT qid, bucket, vec_id, score, rn FROM ranked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin
-  }
 
   /** Shared oracle CTE chain: the SAME training funnel re-derived
     * relationally — md5 hash sample, seed by smallest sampled vec_ids,
@@ -547,9 +553,10 @@ object Similarity {
   // corpus. (The candidate-generation cost IS the two retrievals; at
   // 100 TB an eval run samples queries, which is what NumQueries is.)
   // ------------------------------------------------------------------
-  val qAnnRecall: Q = (s, d) => {
-    val approx = qAnnIvf(s, d).select(col("qid"), col("vec_id"))
-    val exact = qSimilarityTopk(s, d).select(col("qid"), col("vec_id"))
+  /** recall@K of an approximate (qid, vec_id) list against the exact
+    * one — shared by the per-index-family eval queries.
+    */
+  def recallOf(approx: DataFrame, exact: DataFrame): DataFrame = {
     val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
     exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
@@ -561,29 +568,24 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
-  val qAnnRecallSql: String =
-    s"""WITH $kmeansFunnelCtes,
-       |probes AS (
-       |  SELECT vec_id AS qid, cell AS probe_cell FROM dots
-       |  WHERE vec_id < $NumQueries AND cell_rn <= $NProbe),
-       |icand AS (
-       |  SELECT p.qid, e.vec_id,
-       |         round((SELECT SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))
-       |                FROM generate_series(1, $Dim) i(i)) / (nq.nrm * ne.nrm), 6) AS score
-       |  FROM probes p
-       |  JOIN assigned a ON a.cell = p.probe_cell
-       |  JOIN embeddings e ON e.vec_id = a.vec_id
-       |  JOIN embeddings q ON q.vec_id = p.qid
-       |  JOIN nrm nq ON nq.vec_id = p.qid
-       |  JOIN nrm ne ON ne.vec_id = e.vec_id
-       |  WHERE e.vec_id <> p.qid),
-       |ivf AS (
-       |  SELECT qid, vec_id FROM (
-       |    SELECT qid, vec_id,
-       |           row_number() OVER (PARTITION BY qid
-       |             ORDER BY score DESC, vec_id) AS rn
-       |    FROM icand) WHERE rn <= $TopK),
-       |xq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  val qAnnRecall: Q = (s, d) => recallOf(
+    qAnnIvf(s, d).select(col("qid"), col("vec_id")),
+    qSimilarityTopk(s, d).select(col("qid"), col("vec_id")))
+
+  // q_lsh_recall — the same eval grading the sign-LSH single-bucket
+  // retrieval; on near-uniform embeddings its recall sits well below
+  // IVF's (the AnnClusteredSpec-documented geometry effect), and
+  // surfacing that number IS the operator's job.
+  val qLshRecall: Q = (s, d) => recallOf(
+    qAnnLsh(s, d).select(col("qid"), col("vec_id")),
+    qSimilarityTopk(s, d).select(col("qid"), col("vec_id")))
+
+  /** The exact-side + intersection tail of a recall oracle: grades the
+    * CTE named `approx_list` (qid, vec_id) against brute-force cosine.
+    * Expects a `nrm` CTE in scope (both retrieval chains define one).
+    */
+  private def recallTailSql: String =
+    s"""xq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |       WHERE vec_id < $NumQueries),
        |xcand AS (
        |  SELECT xq.qid, e.vec_id,
@@ -601,7 +603,8 @@ object Similarity {
        |    FROM xcand) WHERE rn <= $TopK),
        |hits AS (
        |  SELECT x.qid, CAST(count(*) AS BIGINT) AS n_hits
-       |  FROM exact x JOIN ivf v ON v.qid = x.qid AND v.vec_id = x.vec_id
+       |  FROM exact x JOIN approx_list v
+       |    ON v.qid = x.qid AND v.vec_id = x.vec_id
        |  GROUP BY 1)
        |SELECT x.qid, CAST(count(*) AS BIGINT) AS n_exact,
        |       COALESCE(h.n_hits, 0) AS n_hits,
@@ -609,6 +612,35 @@ object Similarity {
        |         / CAST(count(*) AS DOUBLE) AS recall
        |FROM exact x LEFT JOIN hits h ON h.qid = x.qid
        |GROUP BY x.qid, h.n_hits ORDER BY x.qid""".stripMargin
+
+  val qLshRecallSql: String =
+    s"""WITH $lshCtesSql,
+       |approx_list AS (SELECT qid, vec_id FROM ranked WHERE rn <= $TopK),
+       |$recallTailSql""".stripMargin
+
+  val qAnnRecallSql: String =
+    s"""WITH $kmeansFunnelCtes,
+       |probes AS (
+       |  SELECT vec_id AS qid, cell AS probe_cell FROM dots
+       |  WHERE vec_id < $NumQueries AND cell_rn <= $NProbe),
+       |icand AS (
+       |  SELECT p.qid, e.vec_id,
+       |         round((SELECT SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))
+       |                FROM generate_series(1, $Dim) i(i)) / (nq.nrm * ne.nrm), 6) AS score
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.probe_cell
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN embeddings q ON q.vec_id = p.qid
+       |  JOIN nrm nq ON nq.vec_id = p.qid
+       |  JOIN nrm ne ON ne.vec_id = e.vec_id
+       |  WHERE e.vec_id <> p.qid),
+       |approx_list AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY score DESC, vec_id) AS rn
+       |    FROM icand) WHERE rn <= $TopK),
+       |$recallTailSql""".stripMargin
 
   // ------------------------------------------------------------------
   // Product-quantization ANN (q_ann_pq): split the 64-dim vector into
@@ -1845,6 +1877,7 @@ object Similarity {
     "q_rank_fusion"     -> qRankFusion,
     "q_hybrid_search"   -> qHybridSearch,
     "q_ann_recall"      -> qAnnRecall,
+    "q_lsh_recall"      -> qLshRecall,
     "q_ann_lsh"         -> qAnnLsh,
     "q_ann_ivf"         -> qAnnIvf,
     "q_ann_pq"          -> qAnnPq,
@@ -1868,6 +1901,7 @@ object Similarity {
     "q_rank_fusion"     -> qRankFusionSql,
     "q_hybrid_search"   -> qHybridSearchSql,
     "q_ann_recall"      -> qAnnRecallSql,
+    "q_lsh_recall"      -> qLshRecallSql,
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,
     "q_kmeans_cells"    -> qKmeansCellsSql,
