@@ -580,6 +580,15 @@ object Similarity {
     qAnnLsh(s, d).select(col("qid"), col("vec_id")),
     qSimilarityTopk(s, d).select(col("qid"), col("vec_id")))
 
+  // q_pq_recall — the eval grading the PQ ADC shortlist + exact
+  // re-rank: quantifies what the 8-byte-code scan trade costs in
+  // retrieval quality, completing the per-index-family recall panel
+  // (IVF / LSH / PQ against one shared exact baseline and one shared
+  // oracle tail).
+  val qPqRecall: Q = (s, d) => recallOf(
+    qAnnPq(s, d).select(col("qid"), col("vec_id")),
+    qSimilarityTopk(s, d).select(col("qid"), col("vec_id")))
+
   /** The exact-side + intersection tail of a recall oracle: grades the
     * CTE named `approx_list` (qid, vec_id) against brute-force cosine.
     * Expects a `nrm` CTE in scope (both retrieval chains define one).
@@ -824,8 +833,11 @@ object Similarity {
        |  FROM pq_q q CROSS JOIN pq_cents c)""".stripMargin
   }
 
-  val qAnnPqSql: String =
-    s"""WITH $pqFunnelCtes,
+  /** The PQ ADC chain as bare CTEs (ending at `ranked`), shared by
+    * q_ann_pq's oracle and q_pq_recall's — the bm25CtesSql pattern.
+    */
+  val pqChainCtesSql: String =
+    s"""$pqFunnelCtes,
        |adc AS (
        |  SELECT qd.qid, co.vec_id, SUM(qd.dmicro) AS adc_micro
        |  FROM pq_codes co
@@ -857,9 +869,19 @@ object Similarity {
        |  SELECT qid, vec_id, adc, score,
        |         CAST(row_number() OVER (PARTITION BY qid
        |                ORDER BY score DESC, vec_id) AS BIGINT) AS rn
-       |  FROM rer)
+       |  FROM rer)""".stripMargin
+
+  val qAnnPqSql: String =
+    s"""WITH $pqChainCtesSql
        |SELECT qid, vec_id, adc, score, rn FROM ranked WHERE rn <= $TopK
        |ORDER BY qid, rn""".stripMargin
+
+  // Defined HERE (after pqChainCtesSql) — object vals initialize in
+  // declaration order, and this one interpolates the chain val.
+  val qPqRecallSql: String =
+    s"""WITH $pqChainCtesSql,
+       |approx_list AS (SELECT qid, vec_id FROM ranked WHERE rn <= $TopK),
+       |$recallTailSql""".stripMargin
 
   // ------------------------------------------------------------------
   // IVF-PQ (q_ann_ivfpq): the composed 100 TB ANN path — the IVF coarse
@@ -1878,6 +1900,7 @@ object Similarity {
     "q_hybrid_search"   -> qHybridSearch,
     "q_ann_recall"      -> qAnnRecall,
     "q_lsh_recall"      -> qLshRecall,
+    "q_pq_recall"       -> qPqRecall,
     "q_ann_lsh"         -> qAnnLsh,
     "q_ann_ivf"         -> qAnnIvf,
     "q_ann_pq"          -> qAnnPq,
@@ -1902,6 +1925,7 @@ object Similarity {
     "q_hybrid_search"   -> qHybridSearchSql,
     "q_ann_recall"      -> qAnnRecallSql,
     "q_lsh_recall"      -> qLshRecallSql,
+    "q_pq_recall"       -> qPqRecallSql,
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,
     "q_kmeans_cells"    -> qKmeansCellsSql,
