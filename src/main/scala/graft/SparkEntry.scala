@@ -24,7 +24,8 @@ object SparkEntry {
       jobs.AnalyticsQueries.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextOps.queries ++
       ext.Sessions.queries ++ ext.Multimodal.queries ++ ext.Pipeline.queries ++
-      ext.Corpus.queries ++ ext.Stats.queries ++ ext.Layout.queries
+      ext.Corpus.queries ++ ext.Stats.queries ++ ext.Layout.queries ++
+      sources.KvTable.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those get
@@ -35,5 +36,6 @@ object SparkEntry {
       jobs.AnalyticsQueries.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++ ext.TextOps.oracles ++
       ext.Sessions.oracles ++ ext.Multimodal.oracles ++ ext.Pipeline.oracles ++
-      ext.Corpus.oracles ++ ext.Stats.oracles ++ ext.Layout.oracles
+      ext.Corpus.oracles ++ ext.Stats.oracles ++ ext.Layout.oracles ++
+      sources.KvTable.oracles
 }

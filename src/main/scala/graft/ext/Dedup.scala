@@ -770,8 +770,13 @@ object Dedup {
 
   /** Core of q_triangle_count over any (doc_id, text) frame. */
   def triangleCount(docs: DataFrame): DataFrame = {
+    // The verified edge list (signature scan + banded self-join) feeds
+    // deg, edgeStats, the wedge join (twice) and the closing semi-join
+    // — persist it or the retrieval pipeline re-runs ~4×, exactly the
+    // defect pagerank fixed below (7.2 s → 2.4 s there; same shape).
     val e = simhashHamming(docs).select(col("doc_a").as("a"),
                                         col("doc_b").as("b"))
+      .persist()
     val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("dg"))
     val nodeStats = deg.agg(
@@ -786,13 +791,16 @@ object Dedup {
             col("wa") === col("e3.a") && col("wc") === col("e3.b"),
             "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
-    nodeStats.crossJoin(edgeStats).crossJoin(triStats)
+    val out = nodeStats.crossJoin(edgeStats).crossJoin(triStats)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
               col("n_triangles"),
               when(col("n_wedges") > 0L,
                    (lit(3L) * col("n_triangles")).cast("double")
                      / col("n_wedges").cast("double"))
                 .otherwise(lit(0.0)).as("transitivity"))
+    val ckpt = graft.PlanMode.checkpointTail(out)
+    e.unpersist()
+    ckpt
   }
 
   val qTriangleCountSql: String =

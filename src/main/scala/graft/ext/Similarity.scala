@@ -281,8 +281,8 @@ object Similarity {
     * literals: shipped once with the plan, identical on every executor
     * and every run.
     */
-  private[ext] def planes: Seq[Seq[Float]] =
-    (0 until NumPlanes).map { j =>
+  private[ext] def planesN(n: Int): Seq[Seq[Float]] =
+    (0 until n).map { j =>
       (0 until Dim).map { i =>
         var x = (j.toLong * 1000003L + i.toLong * 7919L + 12345L)
         x = (x * 0x5DEECE66DL + 0xBL) & ((1L << 48) - 1)
@@ -290,6 +290,8 @@ object Similarity {
         ((x.toDouble / (1L << 47).toDouble) - 1.0).toFloat
       }
     }
+
+  private[ext] def planes: Seq[Seq[Float]] = planesN(NumPlanes)
 
   /** 16-bit sign-LSH bucket of an embedding column — one native
     * expression over a row-major plane matrix (a plan-bound reference
@@ -419,11 +421,20 @@ object Similarity {
   /** The LSH retrieval as bare CTEs (ending at `ranked`), shared by
     * q_ann_lsh's oracle and q_lsh_recall's — the bm25CtesSql pattern.
     */
-  val lshCtesSql: String = {
+  /** The hyperplane value as a DuckDB scalar over aliases `j.j` (plane
+    * index) and `i.i` (1-based dimension) — the same two-step LCG as
+    * [[planesN]], shared by the LSH ANN oracle and ext.Stats' DBSCAN
+    * band oracle.
+    */
+  private[ext] val planeSqlReal: String = {
     val x0 = "(j.j*1000003 + (i.i-1)*7919 + 12345)"
     val step1 = s"((CAST($x0 AS HUGEINT) * 25214903917 + 11) % 281474976710656)"
     val step2 = s"((CAST($step1 AS HUGEINT) * 25214903917 + 11) % 281474976710656)"
-    val plane = s"CAST(CAST($step2 AS DOUBLE) / 140737488355328.0 - 1.0 AS REAL)"
+    s"CAST(CAST($step2 AS DOUBLE) / 140737488355328.0 - 1.0 AS REAL)"
+  }
+
+  val lshCtesSql: String = {
+    val plane = planeSqlReal
     s"""pd AS (
        |  SELECT e.vec_id, j.j,
        |         (SELECT SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST($plane AS DOUBLE))

@@ -423,46 +423,107 @@ object Stats {
 
   // ------------------------------------------------------------------
   // q_dbscan — density-based clustering (DBSCAN, Ester et al. 1996)
-  // over the embedding space: ε-neighbor graph at cosine ≥ DbEps within
-  // the deterministic label block (the q_dedup_embedding candidate
-  // recipe — at scale the LSH sign-bucket generator from ext.Similarity
-  // replaces the block), core points = ≥ DbMinPts neighbors, clusters =
-  // connected components of the core-core subgraph (min-label
-  // propagation, the q_dedup_cluster engine), border points adopt the
-  // smallest adjacent core cluster, the rest is noise. The clustering
-  // family k-means can't cover: arbitrary-shape clusters plus an
-  // explicit noise verdict — what an embedding-space curation pass
-  // uses to find coherent pockets without fixing k.
+  // over the embedding space: ε-neighbor graph at cosine ≥ DbEps with
+  // candidates generated by BANDED sign-LSH buckets (the simhashHamming
+  // discipline applied to ext.Similarity's hyperplane family — DbBands
+  // bands of DbBandBits sign bits over DbPlanes deterministic planes,
+  // with the DbBandMaxDf hot-band cap), core points = ≥ DbMinPts
+  // neighbors, clusters = connected components of the core-core
+  // subgraph (min-label propagation, the q_dedup_cluster engine),
+  // border points adopt the smallest adjacent core cluster, the rest is
+  // noise. The clustering family k-means can't cover: arbitrary-shape
+  // clusters plus an explicit noise verdict — what an embedding-space
+  // curation pass uses to find coherent pockets without fixing k.
+  //
+  // Candidate generation (the round-8/9 scale defect, fixed): the old
+  // within-label all-pairs join grew quadratically in the block; now a
+  // pair is a candidate iff the two vectors agree on at least one of
+  // the DbBands 2-bit sign bands (plus the hot-band cap). The predicate
+  // is mirrored EXACTLY in the oracle (same LCG planes re-derived in
+  // SQL, same band extraction, same cap), so both engines compute the
+  // identical bucketed ε-graph. On the demo sample the banding is
+  // lossless — DbscanBucketSpec pins bucketed candidates ⊇ ALL exact
+  // ε-pairs (measured margin: the highest-cosine non-candidate pair
+  // sits at cos 0.143 < DbEps = 0.2) and that no demo band bucket nears
+  // the cap, so the bucketed result EQUALS exact DBSCAN there. At 100×
+  // a hot band bucket is dropped by the cap instead of going quadratic
+  // — bounded work for documented recall, the same honest trade as
+  // SimBandMaxDf / MaxGramDf in the dedup stack (docs/SCALE.md row).
   //
   // Exactness: cosines snap to 1e-6 before the ε test (the
-  // q_dedup_embedding discipline); everything after is integer graph
-  // work — degrees, component minima, min-adoption — deterministic on
-  // both engines. Oracle CC is a recursive CTE; engine CC is the
-  // shared minLabelPropagate fixpoint (identical component minima).
+  // q_dedup_embedding discipline); sign buckets are double-accumulated
+  // in-index-order dots on both engines (the q_ann_lsh determinism
+  // argument); everything after is integer graph work — degrees,
+  // component minima, min-adoption — deterministic on both engines.
+  // Oracle CC is a recursive CTE; engine CC is the shared
+  // minLabelPropagate fixpoint (identical component minima).
   //
-  // Scale shape: candidates never leave a block/bucket; the ε-graph is
-  // edge-keyed from there on (degree partial-agg, star-bounded CC
-  // rounds, one min-adoption join). The deterministic sample
-  // (vec_id % 4, label < 5) keeps the oracle's correlated-subquery
-  // cosine affordable, exactly as q_dedup_embedding documents.
+  // Scale shape: the banded explode carries only (vec_id, band) — 24
+  // slim rows per vector, never the embedding; the self-join keys on
+  // (band_id, band_val) with cap-bounded buckets; embeddings are
+  // fetched for DISTINCT candidate pairs only (two vec_id-keyed joins);
+  // the ε-graph is edge-keyed from there on (degree partial-agg,
+  // star-bounded CC rounds, one min-adoption join). The deterministic
+  // sample (vec_id % 4, label < 5) keeps the oracle's
+  // correlated-subquery cosine affordable, exactly as q_dedup_embedding
+  // documents.
   // ------------------------------------------------------------------
   val DbEps = 0.2
   val DbMinPts = 2
+  val DbPlanes = 48
+  val DbBandBits = 2
+  val DbBands = DbPlanes / DbBandBits // 24
+  val DbBandMaxDf = 64
 
   val qDbscan: Q = (s, d) => dbscan(Tables.embeddings(s, d))
+
+  /** Bucketed ε-candidate pairs (va < vb, distinct) of the demo sample
+    * — factored for DbscanBucketSpec's recall pin.
+    */
+  private[graft] def dbscanBanded(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        posexplode(array((0 until DbBands).map { j =>
+          shiftright(col("sig"), j * DbBandBits)
+            .bitwiseAND(lit((1L << DbBandBits) - 1))
+        }: _*)))
+      .toDF("vec_id", "band_id", "band_val")
+
+  private[graft] def dbscanCandidates(e: DataFrame): DataFrame = {
+    val banded = dbscanBanded(e)
+    val cool = banded.groupBy(col("band_id"), col("band_val"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") <= DbBandMaxDf)
+      .select(col("band_id"), col("band_val"))
+    val kept = banded.join(cool, Seq("band_id", "band_val"))
+    kept.select(col("band_id"), col("band_val"), col("vec_id").as("va"))
+      .join(kept.select(col("band_id"), col("band_val"),
+                        col("vec_id").as("vb")),
+            Seq("band_id", "band_val"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"))
+      .distinct()
+  }
+
+  /** Demo sample with norm + DbPlanes-bit sign signature attached. */
+  private[graft] def dbscanSample(emb: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions
+    emb.filter(col("vec_id") % 4 === 0 && col("label") < 5)
+      .select(col("vec_id"), col("embedding"),
+              VectorFunctions.vecNorm(col("embedding")).as("nrm"),
+              VectorFunctions.signBucket(col("embedding"),
+                Similarity.planesN(DbPlanes).flatten.toArray,
+                Similarity.Dim).as("sig"))
+  }
 
   /** Core of q_dbscan over any (vec_id, label, embedding) frame. */
   def dbscan(emb: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions
-    val e = emb.filter(col("vec_id") % 4 === 0 && col("label") < 5)
-      .select(col("label"), col("vec_id"), col("embedding"),
-              VectorFunctions.vecNorm(col("embedding")).as("nrm"))
-    val a = e.select(col("label"), col("vec_id").as("va"),
-                     col("embedding").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("label"), col("vec_id").as("vb"),
-                     col("embedding").as("eb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("label"))
-      .filter(col("va") < col("vb"))
+    val e = dbscanSample(emb).persist()
+    val pairs = dbscanCandidates(e)
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+                     col("nrm").as("na")), Seq("va"))
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+                     col("nrm").as("nb")), Seq("vb"))
       .withColumn("cos",
         round(VectorFunctions.vecDot(col("ea"), col("eb")) /
                 (col("na") * col("nb")), 6))
@@ -490,22 +551,58 @@ object Stats {
     val out = e.select(col("vec_id"))
       .join(comp, Seq("vec_id"), "left")
       .join(border, Seq("vec_id"), "left")
-    sym.unpersist()
-    out.select(col("vec_id"),
+      .select(col("vec_id"),
         when(col("cluster").isNotNull, lit("core"))
           .when(col("b_cluster").isNotNull, lit("border"))
           .otherwise(lit("noise")).as("role"),
         coalesce(col("cluster"), col("b_cluster"), lit(-1L)).as("cluster"))
       .orderBy(col("vec_id"))
+    // House checkpoint-tail: materialize BEFORE releasing the shared
+    // caches (the pagerank pattern) — the old eager unpersist() released
+    // sym before the plan ever executed.
+    val ckpt = graft.PlanMode.checkpointTail(out)
+    sym.unpersist()
+    e.unpersist()
+    ckpt
   }
 
   val qDbscanSql: String =
     s"""WITH RECURSIVE e AS (
        |  SELECT label, vec_id, embedding
        |  FROM embeddings WHERE vec_id % 4 = 0 AND label < 5),
+       |pd AS (
+       |  SELECT e.vec_id, j.j,
+       |         (SELECT SUM(CAST(e.embedding[i.i] AS DOUBLE)
+       |                     * CAST(${Similarity.planeSqlReal} AS DOUBLE))
+       |          FROM generate_series(1, ${Similarity.Dim}) i(i)) AS dot
+       |  FROM e CROSS JOIN generate_series(0, ${DbPlanes - 1}) j(j)),
+       |sig AS (
+       |  SELECT vec_id,
+       |         CAST(SUM(CASE WHEN dot >= 0
+       |                       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+       |              AS BIGINT) AS sig
+       |  FROM pd GROUP BY 1),
+       |banded AS (
+       |  SELECT vec_id, b.b AS band_id,
+       |         (sig >> (b.b * $DbBandBits))
+       |           & ${(1L << DbBandBits) - 1} AS band_val
+       |  FROM sig CROSS JOIN generate_series(0, ${DbBands - 1}) b(b)),
+       |cool AS (
+       |  SELECT band_id, band_val FROM banded
+       |  GROUP BY 1, 2 HAVING count(*) <= $DbBandMaxDf),
+       |kept AS (
+       |  SELECT b.vec_id, b.band_id, b.band_val
+       |  FROM banded b JOIN cool USING (band_id, band_val)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+       |  FROM kept x JOIN kept y
+       |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+       |   AND x.vec_id < y.vec_id),
        |edges0 AS (
-       |  SELECT a.vec_id AS va, b.vec_id AS vb
-       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  SELECT c.va, c.vb
+       |  FROM cand c
+       |  JOIN e a ON a.vec_id = c.va
+       |  JOIN e b ON b.vec_id = c.vb
        |  WHERE round(
        |    (SELECT SUM(CAST(a.embedding[i.i] AS DOUBLE)
        |                * CAST(b.embedding[i.i] AS DOUBLE))

@@ -63,10 +63,18 @@ object KvTable {
   def delete(spark: SparkSession, dir: String, keys: Seq[String],
              seq: Long): Unit = {
     import spark.implicits._
-    append(spark, dir, keys.toDF("key")
-      .select(col("key"), lit(null).cast("string").as("value"),
-              lit(seq).as("seq"), lit(true).as("tombstone")))
+    deleteKeys(spark, dir, keys.toDF("key"), seq)
   }
+
+  /** Frame-driven tombstone append (a `key` column) — the bulk-delete
+    * path; never collects to the driver.
+    */
+  def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame,
+                 seq: Long): Unit =
+    append(spark, dir, keys
+      .select(col("key").cast("string").as("key"),
+              lit(null).cast("string").as("value"),
+              lit(seq).as("seq"), lit(true).as("tombstone")))
 
   private def append(spark: SparkSession, dir: String, ops: DataFrame): Unit =
     ops
@@ -128,4 +136,78 @@ object KvTable {
              new org.apache.hadoop.fs.Path(dir))
     n
   }
+
+  // ------------------------------------------------------------------
+  // q_kv_latest — the oracle-gated registry face of the KV store (S10):
+  // a deterministic op-log derived from `orders` is driven through the
+  // REAL bucketed ledger (two put batches + one tombstone batch, each a
+  // blind append under dir/bucket=XX/), and the result is latestView()'s
+  // latest-wins fold — survivors only. The oracle replays the same three
+  // batches and the same fold in plain SQL over the same orders table,
+  // so the row set pins put/delete/fold semantics END TO END through the
+  // parquet bucket layout, not just in memory.
+  //
+  // Batches (all derivations deterministic in orders):
+  //   seq 1: per custkey owning an o_orderkey % 3 == 0 order,
+  //          value = max such orderkey (as string);
+  //   seq 2: per custkey owning an o_orderkey % 3 == 1 order,
+  //          value = max such orderkey — overwrites seq-1 keys;
+  //   seq 3: tombstones for every custkey % 7 == 0 (frame-driven bulk
+  //          delete — no driver collect).
+  //
+  // Scale shape: identical to production use — writes are blind appends
+  // partitioned by bucket; the fold is one key-keyed partial agg over
+  // the ledger scan; nothing is demo-sized except the input table. The
+  // ledger is rebuilt from scratch each run (the scratch dir is wiped
+  // first), so the query is idempotent under Verify's and Bench's
+  // repeated invocations.
+  // ------------------------------------------------------------------
+  val qKvLatest: (SparkSession, String) => DataFrame = (s, d) => {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_kv_latest_" +
+      Integer.toHexString(d.hashCode)
+    fs(s, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+    val orders = graft.Tables.orders(s, d)
+    def batch(m: Int): DataFrame = orders
+      .filter(col("o_orderkey") % 3 === m)
+      .groupBy(col("o_custkey").cast("string").as("key"))
+      .agg(max(col("o_orderkey")).cast("string").as("value"))
+    put(s, dir, batch(0), 1L)
+    put(s, dir, batch(1), 2L)
+    deleteKeys(s, dir,
+      orders.filter(col("o_custkey") % 7 === 0)
+        .select(col("o_custkey").cast("string").as("key")).distinct(),
+      3L)
+    latestView(s, dir).orderBy(col("key"))
+  }
+
+  val qKvLatestSql: String =
+    """WITH b1 AS (
+      |  SELECT CAST(o_custkey AS VARCHAR) AS key,
+      |         CAST(MAX(o_orderkey) AS VARCHAR) AS value,
+      |         CAST(1 AS BIGINT) AS seq, FALSE AS tombstone
+      |  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1),
+      |b2 AS (
+      |  SELECT CAST(o_custkey AS VARCHAR) AS key,
+      |         CAST(MAX(o_orderkey) AS VARCHAR) AS value,
+      |         CAST(2 AS BIGINT) AS seq, FALSE AS tombstone
+      |  FROM orders WHERE o_orderkey % 3 = 1 GROUP BY 1),
+      |b3 AS (
+      |  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key,
+      |         CAST(NULL AS VARCHAR) AS value,
+      |         CAST(3 AS BIGINT) AS seq, TRUE AS tombstone
+      |  FROM orders WHERE o_custkey % 7 = 0),
+      |ops AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+      |        UNION ALL SELECT * FROM b3),
+      |latest AS (
+      |  SELECT key, value, seq, tombstone,
+      |         row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      |  FROM ops)
+      |SELECT key, value, seq FROM latest
+      |WHERE rn = 1 AND NOT tombstone
+      |ORDER BY key""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_kv_latest" -> qKvLatest)
+  val oracles: Map[String, String] =
+    Map("q_kv_latest" -> qKvLatestSql)
 }

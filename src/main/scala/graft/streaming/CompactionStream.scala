@@ -24,14 +24,20 @@ import org.apache.spark.sql.types._
   * deployment would trigger actual rewrite jobs for bins whose
   * total_bytes exceed the target; here the emitted plan IS the result.
   *
-  * Ledger durability reuses the corpus-ingest discipline: plain append
-  * of per-batch partial manifests (additive, so append order is
-  * irrelevant); the read path folds duplicates of a (source, file)
-  * key by summation, which also makes re-appends of a FAILED batch's
-  * partial write self-healing only if the batch is not retried —
-  * exactly-once here comes from the AvailableNow finite drive; an
-  * unbounded deployment would stage-and-rename per batch id
-  * (CorpusStream.scala:156-185's commit note applies verbatim).
+  * Ledger durability (round-10 fix of the non-idempotent runOnce):
+  * each micro-batch's partial manifest commits under a DETERMINISTIC
+  * batch-id token via the CorpusStream staging discipline — write to
+  * `<ledger>.staging/batch-<id>`, delete any prior part-files of the
+  * same token from the ledger (a retried batch first erases its own
+  * partial commit), then rename the staged parts in (atomic per file
+  * on HDFS/local FS; CorpusStream.scala's object-store caveat applies
+  * verbatim). The stream also keeps a real checkpoint at
+  * `<ledger>.checkpoint`, so re-running runOnce over the same source
+  * and ledger is a no-op (AvailableNow finds no new files) instead of
+  * replaying — and therefore never double-counts: additive state plus
+  * at-most-once commit per batch id. PipelineSpec pins both (re-run
+  * totals unchanged; simulated retried-batch commit folds to the same
+  * manifest).
   */
 object CompactionStream {
 
@@ -70,8 +76,38 @@ object CompactionStream {
   def plan(spark: SparkSession, ledgerDir: String): DataFrame =
     Layout.binManifest(foldedManifest(spark, ledgerDir))
 
+  /** Commit one batch's partial manifest under its batch-id token:
+    * stage, erase any prior commit of the SAME token (retry
+    * idempotency), rename in. Flat part-files inside ledgerDir, so the
+    * fold's plain parquet read is unchanged.
+    */
+  private[graft] def commitPartial(spark: SparkSession, partial: DataFrame,
+                                   ledgerDir: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val token = f"batch-$batchId%08d"
+    val stageDir = s"$ledgerDir.staging/$token"
+    val f = new Path(ledgerDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partial.write.mode("overwrite").parquet(stageDir)
+    val ledger = new Path(ledgerDir)
+    f.mkdirs(ledger)
+    f.listStatus(ledger)
+      .filter(_.getPath.getName.startsWith(token))
+      .foreach(st => f.delete(st.getPath, false))
+    f.listStatus(new Path(stageDir))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .foreach { file =>
+        val target = new Path(ledger, s"$token-${file.getPath.getName}")
+        require(f.rename(file.getPath, target),
+          s"manifest commit rename failed: ${file.getPath} -> $target")
+      }
+    f.delete(new Path(stageDir), true)
+  }
+
   /** Drive the monitor over a static documents dir (AvailableNow) and
-    * return the post-drain plan.
+    * return the post-drain plan. Idempotent: the checkpoint at
+    * `<ledger>.checkpoint` makes a re-run over the same source a no-op,
+    * and commitPartial makes a retried batch overwrite itself.
     */
   def runOnce(spark: SparkSession, srcDir: String, ledgerDir: String,
               name: String = "graft_compaction_monitor"): DataFrame = {
@@ -83,8 +119,9 @@ object CompactionStream {
       .writeStream
       .queryName(name)
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        partialManifest(batch).write.mode("append").parquet(ledgerDir); ()
+      .option("checkpointLocation", s"$ledgerDir.checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitPartial(spark, partialManifest(batch), ledgerDir, batchId); ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -236,6 +236,41 @@ class PipelineSpec extends AnyFunSuite {
     val rawRows2 = spark.read.schema(CompactionStream.manifestSchema)
       .parquet(s"$root2/ledger").count()
     assert(rawRows2 === 2L, "each micro-batch appends its own partial")
+    // Idempotency pin #1 (the round-9 ADVICE medium item): re-running
+    // runOnce over the SAME source and ledger is a checkpointed no-op —
+    // the plan and the raw ledger are byte-for-byte unchanged, not
+    // doubled.
+    val plan2b = CompactionStream
+      .runOnce(spark, s"$root2/src", s"$root2/ledger",
+               name = "graft_compaction_monitor2_rerun")
+      .select($"source", $"bin", $"n_files", $"n_docs", $"total_bytes")
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(plan2b === plan2, "re-run must not change the plan")
+    val rawRows2b = spark.read.schema(CompactionStream.manifestSchema)
+      .parquet(s"$root2/ledger").count()
+    assert(rawRows2b === 2L, "re-run must not append duplicate partials")
+  }
+
+  test("compaction monitor: a retried batch commit replaces, never doubles") {
+    import graft.streaming.CompactionStream
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_compact_retry").toString + "/ledger"
+    val partial = Seq(("s", 0L, 5L, 500L))
+      .toDF("source", "file_idx", "n_docs", "bytes")
+    // Simulate foreachBatch retrying batch 0 after a successful commit:
+    // the second commit carries the same batch-id token and must erase
+    // its own prior part-files before renaming in.
+    CompactionStream.commitPartial(spark, partial, ledger, 0L)
+    CompactionStream.commitPartial(spark, partial, ledger, 0L)
+    val folded = CompactionStream.foldedManifest(spark, ledger)
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(folded === List(("s", 0L, 5L, 500L)),
+           s"retried commit double-counted: $folded")
+    // A DIFFERENT batch id is additive, as before.
+    CompactionStream.commitPartial(spark, partial, ledger, 1L)
+    val folded2 = CompactionStream.foldedManifest(spark, ledger)
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(folded2 === List(("s", 0L, 10L, 1000L)))
   }
 
   test("embedding ingest stream: admitted set equals the global greedy replay") {
