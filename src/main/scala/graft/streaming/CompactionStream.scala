@@ -52,8 +52,8 @@ object CompactionStream {
     */
   private[graft] def partialManifest(batch: DataFrame): DataFrame =
     batch.groupBy(col("source"),
-                  (col("doc_id").cast("bigint") / Layout.DocsPerFile)
-                    .cast("bigint").as("file_idx"))
+                  expr(s"CAST(doc_id AS BIGINT) div ${Layout.DocsPerFile}")
+                    .as("file_idx"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
 
   /** The accumulated manifest: append-file partials folded by key —

@@ -88,12 +88,15 @@ object EmbedStream {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ledgerSchema)
     else
+      // basePath keeps Spark's own partition discovery in charge of the
+      // `label` column (typed, codegen-friendly) instead of re-parsing
+      // it out of input_file_name() with a regex per row.
       spark.read
         .schema(StructType(ledgerSchema.fields.filterNot(_.name == "label")))
+        .option("basePath", ledgerDir)
         .parquet(paths: _*)
-        .withColumn("label",
-          regexp_extract(input_file_name(), "label=(\\d+)", 1).cast("int"))
-        .select(col("label"), col("vec_id"), col("embedding"))
+        .select(col("label").cast("int").as("label"),
+                col("vec_id"), col("embedding"))
   }
 
   /** Ingest one batch of (label, vec_id, embedding): returns #admitted. */

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Shuffle-byte regression diff between two BENCH_LOCAL.json snapshots.
+
+Wall-clock comparisons across rounds are box-load noise (proven twice:
+identical code swung 174.6 s -> 154.6 s between rounds 8 and 9); shuffle
+bytes are deterministic for a given plan + data, so byte growth IS plan
+regression. This flags any query whose steady-state shuffle read or
+write grew more than --threshold x (default 1.5) between the baseline
+snapshot and the current one, ignoring queries below --floor-mb
+(default 1.0) on both sides where a ratio is meaningless.
+
+Usage:
+  python3 tools/bench_bytes_diff.py                 # HEAD's committed file vs working copy
+  python3 tools/bench_bytes_diff.py --rev <rev>     # <rev>'s file vs working copy
+  python3 tools/bench_bytes_diff.py old.json new.json
+
+Exit code: 0 = no regressions, 1 = regressions flagged, 2 = usage/data error.
+"""
+import argparse
+import json
+import subprocess
+import sys
+
+
+def load_rev(rev, path="BENCH_LOCAL.json"):
+    out = subprocess.run(["git", "show", f"{rev}:{path}"],
+                         capture_output=True, cwd=sys.path[0] + "/..")
+    if out.returncode != 0:
+        sys.exit(f"cannot read {path} at {rev}: {out.stderr.decode().strip()}")
+    return json.loads(out.stdout)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("files", nargs="*", help="old.json new.json (explicit mode)")
+    ap.add_argument("--rev", default="HEAD",
+                    help="git rev for the baseline snapshot (default HEAD)")
+    ap.add_argument("--threshold", type=float, default=1.5,
+                    help="flag growth above this ratio (default 1.5)")
+    ap.add_argument("--floor-mb", type=float, default=1.0,
+                    help="ignore queries under this many MB on both sides")
+    a = ap.parse_args()
+
+    if len(a.files) == 2:
+        old = json.load(open(a.files[0]))
+        new = json.load(open(a.files[1]))
+        old_name, new_name = a.files
+    elif len(a.files) == 0:
+        old = load_rev(a.rev)
+        new = json.load(open(sys.path[0] + "/../BENCH_LOCAL.json"))
+        old_name, new_name = f"{a.rev}:BENCH_LOCAL.json", "BENCH_LOCAL.json"
+    else:
+        ap.error("pass zero files (git mode) or exactly two")
+
+    flagged = []
+    for kind in ("shuffle_read_mb", "shuffle_write_mb"):
+        o, n = old.get(kind, {}), new.get(kind, {})
+        for q in sorted(set(o) & set(n)):
+            ov, nv = float(o[q]), float(n[q])
+            if max(ov, nv) < a.floor_mb:
+                continue
+            if nv > ov * a.threshold:
+                flagged.append((q, kind, ov, nv, nv / ov if ov else float("inf")))
+
+    print(f"baseline {old_name}  vs  {new_name}  "
+          f"(threshold {a.threshold}x, floor {a.floor_mb} MB)")
+    common = set(old.get("queries", {})) & set(new.get("queries", {}))
+    print(f"{len(common)} common queries; "
+          f"new-only: {sorted(set(new.get('queries', {})) - set(old.get('queries', {})))}")
+    if not flagged:
+        print("OK: no shuffle-byte regressions")
+        return 0
+    print(f"\n{len(flagged)} REGRESSION(S):")
+    for q, kind, ov, nv, r in flagged:
+        print(f"  {q:28s} {kind:17s} {ov:10.2f} -> {nv:10.2f} MB  ({r:.2f}x)")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
