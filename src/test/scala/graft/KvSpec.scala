@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.KvTable
+import org.apache.spark.sql.functions.{abs, hash}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** CRUD semantics and the bucket-pruning contract of the parquet
@@ -67,5 +68,57 @@ class KvSpec extends AnyFunSuite {
            "superseded records and tombstones physically gone")
     assert(KvTable.get(spark, dir, "k3") === Some("w3"))
     assert(KvTable.get(spark, dir, "k0") === None)
+  }
+
+  test("kv ingest stream: post-drain view equals batch puts, idempotent") {
+    import graft.streaming.KvStream
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_kv_stream").toString
+    // The same op history the latestView test drives through put/delete,
+    // expressed as raw op records split into two parquet files with
+    // INTERLEAVED seqs (ops of seq 1 and 2 in both files), so the
+    // order-free fold is exercised across micro-batches, not just
+    // within them.
+    val ops = ((0 until 20).map(i => (s"k$i", s"v$i", 1L, false)) ++
+               (0 until 10).map(i => (s"k$i", s"w$i", 2L, false)) ++
+               Seq(("k0", null: String, 3L, true),
+                   ("k15", null: String, 3L, true)))
+      .toDF("key", "value", "seq", "tombstone")
+    def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      import java.nio.file.{Files, Paths}
+      val staging = s"$root/__stage_$name"
+      df.coalesce(1).write.parquet(staging)
+      val part = Files.list(Paths.get(staging)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.createDirectories(Paths.get(s"$root/src"))
+      Files.move(Paths.get(part), Paths.get(s"$root/src/$name"))
+    }
+    writeFile(ops.filter(abs(hash($"key")) % 2 === 0), "ops_even.parquet")
+    writeFile(ops.filter(abs(hash($"key")) % 2 === 1), "ops_odd.parquet")
+    val ledger = s"$root/ledger"
+    def view(df: org.apache.spark.sql.DataFrame) =
+      df.select($"key", $"value").as[(String, String)].collect().toMap
+    val expected = ((1 until 10).map(i => s"k$i" -> s"w$i") ++
+      ((10 until 20).filter(_ != 15).map(i => s"k$i" -> s"v$i"))).toMap
+    val streamed = view(KvStream.runOnce(spark, s"$root/src", ledger))
+    assert(streamed === expected,
+           "streamed ledger must fold to the batch-put view")
+    // Idempotency #1: re-running over the same source is a checkpointed
+    // no-op — view and raw op count unchanged.
+    val rawBefore = spark.read.parquet(ledger).count()
+    val again = view(KvStream.runOnce(spark, s"$root/src", ledger,
+                                      name = "graft_kv_ingest_rerun"))
+    assert(again === expected)
+    assert(spark.read.parquet(ledger).count() === rawBefore,
+           "re-run must not append duplicate ops")
+    // Idempotency #2: a retried batch commit (same batch-id token)
+    // replaces its own prior output instead of doubling it.
+    val batch = Seq(("k1", "z1", 9L, false))
+      .toDF("key", "value", "seq", "tombstone")
+    KvStream.commitOps(spark, batch, ledger, 99L)
+    KvStream.commitOps(spark, batch, ledger, 99L)
+    assert(spark.read.parquet(ledger).count() === rawBefore + 1,
+           "retried commit must replace, not double")
+    assert(KvTable.get(spark, ledger, "k1") === Some("z1"))
   }
 }
