@@ -95,10 +95,16 @@ object Corpus {
       // with the shortcut the round count is O(log diameter): measured
       // 46 s -> 12 s cold on q_dbscan's sf0.1 cross-label ε-graph. One
       // extra label-keyed equi-join per round, fixpoint unchanged.
-      val raw = nbrStep.alias("a")
-        .join(nbrStep.alias("b"), col("a.label") === col("b.doc_id"), "left")
-        .select(col("a.doc_id").as("doc_id"),
-                coalesce(col("b.label"), col("a.label")).as("label"))
+      // Applied from round 3 only: the star graphs of the dedup callers
+      // converge by round ~3 and would pay the extra join for nothing,
+      // while a real-diameter graph reaches the doubling exactly when
+      // plain hash-to-min stops making fast progress.
+      val raw =
+        if (round < 2) nbrStep
+        else nbrStep.alias("a")
+          .join(nbrStep.alias("b"), col("a.label") === col("b.doc_id"), "left")
+          .select(col("a.doc_id").as("doc_id"),
+                  coalesce(col("b.label"), col("a.label")).as("label"))
       // Each round's plan references the previous round's TWICE (join +
       // neighbor-min), so lineage doubles per round. The star graphs of
       // the dedup callers converge in ~3 rounds and never notice; a
