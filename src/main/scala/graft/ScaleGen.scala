@@ -132,6 +132,16 @@ object ScaleGen {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
     }
+    // Split-friendly layout: each scaled table is written as ~one file
+    // per core. The single-file form wrote one parquet row group, so
+    // EVERY scan of the stress corpus ran as ONE task regardless of
+    // maxPartitionBytes — CPU-heavy text/vector rows (quality scoring,
+    // Levenshtein, signatures) measured serial execution, not the
+    // operator (q_quality_score: 4.9 s at 10× single-file vs ~10 small
+    // files; a real corpus has thousands of row groups and never hits
+    // this). Round-robin repartition, not coalesce: copies arrive
+    // unioned in copy order, and coalesce would keep copy-skewed files.
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     ShiftCols.foreach { case (t, cols) =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       val out = (t, diverse) match {
@@ -139,7 +149,8 @@ object ScaleGen {
         case ("embeddings", true) => clusteredEmbeddings(spark, df, copies)
         case _                    => scaled(df, cols, copies)
       }
-      out.write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+      out.repartition(nFiles)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
       println(s"[scalegen] $t x$copies written" +
         (if (diverse && (t == "documents" || t == "embeddings")) " (diverse)"
          else ""))
