@@ -977,42 +977,51 @@ object Dedup {
        |       ELSE 0.0 END AS transitivity
        |FROM ns CROSS JOIN es CROSS JOIN ts""".stripMargin
 
-  // Embedding-cosine near-dup: pairwise cosine within deterministic
-  // blocks (label = the natural partition; at scale the LSH sign-bucket
-  // from ext.Similarity is the candidate generator instead of the full
-  // block). The corpus carries no high-cosine pairs (max ≈ 0.6), so the
-  // operator demonstrates on a 0.3 threshold over a deterministic sample
-  // (vec_id % 4 = 0, label < 5) that keeps the oracle's correlated-
-  // subquery cosine cheap. Norms computed once per vector; the per-pair
-  // work is a single native dot product.
+  // Embedding-cosine near-dup over BANDED sign-LSH candidates within
+  // the label block (round 10: candidates come from ext.Stats'
+  // generator — 24 two-bit bands over 48 shared planes with the
+  // hot-band cap — restricted to same-label pairs; the old within-label
+  // ALL-PAIRS join measured 21× wall for 30×-diverse data, the exact
+  // quadratic q_dbscan shed this round). The band predicate is
+  // mirrored in the oracle via Stats.dbscanBandCtesSql (one shared SQL
+  // fragment with the DBSCAN oracle), and ProductionPathSpec pins the
+  // banding lossless at the sf0.01 gate — the bucketed pair set EQUALS
+  // the all-pairs pair set there, so the green row's semantics are
+  // unchanged. The corpus carries no high-cosine pairs (max ≈ 0.6), so
+  // the operator demonstrates on a 0.3 threshold over a deterministic
+  // sample (vec_id % 4 = 0, label < 5) that keeps the oracle's
+  // correlated-subquery cosine cheap. Norms computed once per vector;
+  // the per-pair work is a single native dot product on DISTINCT
+  // candidates only.
   val EmbDupThreshold = 0.3
 
   val qDedupEmbedding: Q = (s, d) => {
     import graft.functions.VectorFunctions
-    val e = Tables.embeddings(s, d)
-      .filter(col("vec_id") % 4 === 0 && col("label") < 5)
-      .select(col("label"), col("vec_id"), col("embedding"),
-              VectorFunctions.vecNorm(col("embedding")).as("nrm"))
-    val a = e.select(col("label"), col("vec_id").as("vec_a"),
-                     col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"),
-                     col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
+    val e = Stats.dbscanSample(Tables.embeddings(s, d)).persist()
+    val out = Stats.dbscanCandidates(e)
+      .join(e.select(col("vec_id").as("va"), col("label").as("la"),
+                     col("embedding").as("ea"), col("nrm").as("na")),
+            Seq("va"))
+      .join(e.select(col("vec_id").as("vb"), col("label").as("lb"),
+                     col("embedding").as("eb"), col("nrm").as("nb")),
+            Seq("vb"))
+      .filter(col("la") === col("lb"))
       .withColumn("cos",
-        round(VectorFunctions.vecDot(col("emb_a"), col("emb_b")) /
-                (col("nrm_a") * col("nrm_b")), 6))
+        round(VectorFunctions.vecDot(col("ea"), col("eb")) /
+                (col("na") * col("nb")), 6))
       .filter(col("cos") >= EmbDupThreshold)
-      .select(col("label"), col("vec_a"), col("vec_b"), col("cos"))
+      .select(col("la").as("label"), col("va").as("vec_a"),
+              col("vb").as("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
+    val ckpt = graft.PlanMode.checkpointTail(out)
+    e.unpersist()
+    ckpt
   }
 
   val qDedupEmbeddingSql: String =
-    """WITH e AS (
-      |  SELECT label, vec_id, embedding
-      |  FROM embeddings WHERE vec_id % 4 = 0 AND label < 5),
+    s"""WITH ${Stats.dbscanBandCtesSql},
       |scored AS (
-      |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  SELECT a.label, c.va AS vec_a, c.vb AS vec_b,
       |         round(
       |           (SELECT SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE))
       |            FROM generate_series(1, 64) i(i)) /
@@ -1020,8 +1029,10 @@ object Dedup {
       |                  FROM generate_series(1, 64) i(i))) *
       |            sqrt((SELECT SUM(CAST(b.embedding[i.i] AS DOUBLE) ** 2)
       |                  FROM generate_series(1, 64) i(i)))), 6) AS cos
-      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-      |SELECT label, vec_a, vec_b, cos FROM scored WHERE cos >= 0.3
+      |  FROM cand c
+      |  JOIN e a ON a.vec_id = c.va
+      |  JOIN e b ON b.vec_id = c.vb AND b.label = a.label)
+      |SELECT label, vec_a, vec_b, cos FROM scored WHERE cos >= $EmbDupThreshold
       |ORDER BY vec_a, vec_b""".stripMargin
 
   // Incremental (cross-batch) dedup — the daily-ingest shape: a new

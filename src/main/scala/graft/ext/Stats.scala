@@ -504,11 +504,13 @@ object Stats {
       .distinct()
   }
 
-  /** Demo sample with norm + DbPlanes-bit sign signature attached. */
+  /** Demo sample with norm + DbPlanes-bit sign signature attached
+    * (label kept for ext.Dedup's label-blocked consumer).
+    */
   private[graft] def dbscanSample(emb: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions
     emb.filter(col("vec_id") % 4 === 0 && col("label") < 5)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("label"), col("embedding"),
               VectorFunctions.vecNorm(col("embedding")).as("nrm"),
               VectorFunctions.signBucket(col("embedding"),
                 Similarity.planesN(DbPlanes).flatten.toArray,
@@ -566,8 +568,14 @@ object Stats {
     ckpt
   }
 
-  val qDbscanSql: String =
-    s"""WITH RECURSIVE e AS (
+  /** The banded sign-LSH candidate generator as bare CTEs (sample `e`
+    * with labels → plane dots → signatures → 2-bit bands → hot-band cap
+    * → distinct `cand(va, vb)`), shared by the DBSCAN oracle and
+    * q_dedup_embedding's (ext.Dedup) — one SQL fragment so the two
+    * oracles can never disagree on what a candidate is.
+    */
+  private[graft] val dbscanBandCtesSql: String =
+    s"""e AS (
        |  SELECT label, vec_id, embedding
        |  FROM embeddings WHERE vec_id % 4 = 0 AND label < 5),
        |pd AS (
@@ -597,7 +605,10 @@ object Stats {
        |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
        |  FROM kept x JOIN kept y
        |    ON x.band_id = y.band_id AND x.band_val = y.band_val
-       |   AND x.vec_id < y.vec_id),
+       |   AND x.vec_id < y.vec_id)""".stripMargin
+
+  val qDbscanSql: String =
+    s"""WITH RECURSIVE $dbscanBandCtesSql,
        |edges0 AS (
        |  SELECT c.va, c.vb
        |  FROM cand c

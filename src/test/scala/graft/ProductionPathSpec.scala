@@ -52,24 +52,20 @@ class ProductionPathSpec extends AnyFunSuite {
       s"clustered-data IVF census diverged from brute force: $ivf vs $brute")
   }
 
-  test("dedup embedding: banded generator reproduces the label-block pairs") {
-    // The production path: sign-LSH banded candidates (the q_dbscan
-    // round-10 generator) restricted to the label block, cosine-verified
-    // at EmbDupThreshold — must equal q_dedup_embedding's within-label
-    // all-pairs result row for row.
-    val emb = Tables.embeddings(spark, SfDir)
-    val e = Stats.dbscanSample(emb).persist()
-    val labels = emb.select(col("vec_id"), col("label"))
-    val viaBuckets = Stats.dbscanCandidates(e)
-      .join(labels.select(col("vec_id").as("va"), col("label").as("la")),
-            Seq("va"))
-      .join(labels.select(col("vec_id").as("vb"), col("label").as("lb")),
-            Seq("vb"))
-      .filter(col("la") === col("lb"))
-      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"),
-                     col("nrm").as("na")), Seq("va"))
-      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-                     col("nrm").as("nb")), Seq("vb"))
+  test("dedup embedding: bucketed query equals the all-pairs reference") {
+    // q_dedup_embedding ships the banded sign-LSH generator (round 10 —
+    // the within-label all-pairs join measured 21× wall at 30×). This
+    // pin holds the EXHAUSTIVE reference: brute-force within-label
+    // all-pairs cosine at EmbDupThreshold must equal the shipped
+    // bucketed query row for row — i.e. the banding is lossless on the
+    // gate corpus, not just covered-by-construction.
+    val e = Stats.dbscanSample(Tables.embeddings(spark, SfDir)).persist()
+    val allPairs = e
+      .select(col("label").as("la"), col("vec_id").as("va"),
+              col("embedding").as("ea"), col("nrm").as("na"))
+      .crossJoin(e.select(col("label").as("lb"), col("vec_id").as("vb"),
+                          col("embedding").as("eb"), col("nrm").as("nb")))
+      .filter(col("la") === col("lb") && col("va") < col("vb"))
       .withColumn("cos",
         round(VectorFunctions.vecDot(col("ea"), col("eb")) /
                 (col("na") * col("nb")), 6))
@@ -79,12 +75,12 @@ class ProductionPathSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSet
-    val demo = Dedup.qDedupEmbedding(spark, SfDir).collect()
+    val shipped = Dedup.qDedupEmbedding(spark, SfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSet
-    assert(viaBuckets === demo,
-      "bucketed pair set diverged from the label-block demo:\n" +
-        s"only-bucketed=${viaBuckets -- demo}\nonly-demo=${demo -- viaBuckets}")
+    assert(shipped === allPairs,
+      "bucketed query diverged from the all-pairs reference:\n" +
+        s"only-shipped=${shipped -- allPairs}\nmissed=${allPairs -- shipped}")
     e.unpersist()
     ()
   }
