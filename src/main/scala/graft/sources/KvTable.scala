@@ -4,30 +4,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Key-value CRUD surface over hash-bucketed parquet — the Spark-native
-  * answer to the reference's HBase connector intent (SURVEY §2.1 S10;
-  * reference hbase/CURDSample.java:6-13 is an empty stub that only
-  * builds an HBaseConfiguration — the INTENT is point get/put/delete
-  * against a keyed store, and this module delivers that capability
-  * without an external service).
+/** Key-value CRUD surface over an LSM-shaped parquet ledger — the
+  * Spark-native answer to the reference's HBase connector intent
+  * (SURVEY §2.1 S10; reference hbase/CURDSample.java:6-13 is an empty
+  * stub that only builds an HBaseConfiguration — the INTENT is point
+  * get/put/delete against a keyed store, and this module delivers that
+  * capability without an external service).
   *
-  * Layout (the CorpusStream ledger discipline): rows live under
-  * `dir/bucket=XX/` where XX is the first two hex chars of md5(key) —
-  * 256 uniform buckets. Every mutation is an APPENDED operation record
-  * (key, value, seq, tombstone); reads fold latest-wins by the
-  * caller-supplied strictly-increasing `seq`. The three properties that
-  * matter at scale:
+  * Two-tier layout (the HBase memstore-flush/compaction shape):
   *
-  *  - **Point reads are bucket-pruned by construction**: a get() opens
-  *    ONLY `bucket=md5(key)[0,2)/` — 1/256th of the table regardless of
-  *    table size (the HBase region-pruning analogue; pinned by a spec
-  *    that deletes every other bucket and still reads).
-  *  - **Writes never read**: a put/delete is a blind append (HBase's
-  *    LSM write path), so ingest throughput is write-bandwidth-bound.
-  *  - **Compaction is the same fold**: latestView() IS the compaction
-  *    plan; compact() materializes it and drops superseded records —
-  *    run per-bucket, embarrassingly parallel.
+  *  - **L0 (`dir/l0/`)**: every mutation batch is an APPENDED set of
+  *    operation records (key, value, seq, tombstone) written map-only —
+  *    no shuffle, no per-bucket fan-out. A put/delete never reads
+  *    (HBase's LSM write path), and a small batch costs one or a few
+  *    files, not one file per bucket (the old one-file-per-bucket
+  *    append put 256 tiny files on disk per 2k-row batch — measured
+  *    ~3.5 s of pure file churn per batch at sf0.1, ~13 ms/file; the
+  *    map-only L0 append is ~10× cheaper and write-bandwidth-bound).
+  *  - **Bucketed tier (`dir/bucket=XX/`)**: compact() folds L0 plus the
+  *    existing buckets latest-wins and rewrites survivors under 256
+  *    md5-prefix bucket dirs — one file per bucket, paid ONCE per
+  *    compaction instead of once per batch. Point reads open the key's
+  *    bucket plus L0 — 1/256th of the compacted table plus the
+  *    yet-uncompacted tail, the classic LSM read-amplification bound,
+  *    kept small by compaction cadence (pinned by a spec that deletes
+  *    every other bucket and still reads).
   *
+  * Reads fold latest-wins by the caller-supplied strictly-increasing
+  * `seq` over both tiers; compaction is the same fold materialized.
   * Same single-writer / rename-atomicity caveats as the streaming
   * ledgers (CorpusStream.scala commit note); `seq` collisions are the
   * caller's contract (a real deployment derives seq from its WAL/batch
@@ -51,6 +55,8 @@ object KvTable {
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def l0Path(dir: String) = s"$dir/l0"
 
   /** Blind-append a batch of puts: (key, value) rows at one seq. */
   def put(spark: SparkSession, dir: String, kv: DataFrame, seq: Long): Unit =
@@ -76,26 +82,43 @@ object KvTable {
               lit(null).cast("string").as("value"),
               lit(seq).as("seq"), lit(true).as("tombstone")))
 
+  /** Map-only L0 append: keeps the batch's partitioning (no shuffle —
+    * file count = input tasks, write-bandwidth-bound like an HBase
+    * memstore flush). Compaction, not the write path, owns bucketing.
+    */
   private def append(spark: SparkSession, dir: String, ops: DataFrame): Unit =
-    ops
-      .withColumn("bucket", substring(md5(col("key")), 1, 2))
-      // One shuffle keyed by bucket before partitionBy: each bucket dir
-      // gains ONE file per batch instead of one per (task × bucket) —
-      // without this a 32-task batch writes up to 8192 tiny files
-      // (measured 14 s of q_kv_latest's sf0.1 wall was file churn), and
-      // at 100 TB the unbatched form is a small-files incident.
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode("append").parquet(dir)
+    ops.write.mode("append").parquet(l0Path(dir))
 
-  /** All operation records of ONE bucket (empty frame if absent). */
-  private def bucketOps(spark: SparkSession, dir: String,
-                        bucket: String): DataFrame = {
-    val path = s"$dir/bucket=$bucket"
-    if (fs(spark, dir).exists(new org.apache.hadoop.fs.Path(path)))
-      spark.read.schema(opSchema).parquet(path)
-    else spark.createDataFrame(
+  private def emptyOps(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], opSchema)
+
+  /** All L0 operation records (empty frame if the tier is absent). */
+  private def l0Ops(spark: SparkSession, dir: String): DataFrame = {
+    val p = l0Path(dir)
+    if (fs(spark, dir).exists(new org.apache.hadoop.fs.Path(p)))
+      spark.read.schema(opSchema).parquet(p)
+    else emptyOps(spark)
   }
+
+  /** All bucketed-tier records (every bucket; empty frame if none). */
+  private def bucketedOps(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(spark, dir)
+    val glob = new org.apache.hadoop.fs.Path(s"$dir/bucket=*")
+    val found = f.globStatus(glob)
+    if (found != null && found.nonEmpty)
+      spark.read.schema(opSchema.add(StructField("bucket", StringType)))
+        .option("basePath", dir)
+        .parquet(found.map(_.getPath.toString).toIndexedSeq: _*)
+        .select(col("key"), col("value"), col("seq"), col("tombstone"))
+    else emptyOps(spark)
+  }
+
+  /** Every operation record currently in the ledger (both tiers) — the
+    * frame every read folds; also the spec's raw-op-count probe.
+    */
+  def rawOps(spark: SparkSession, dir: String): DataFrame =
+    bucketedOps(spark, dir).unionAll(l0Ops(spark, dir))
 
   /** Latest-wins fold: one surviving row per non-deleted key. */
   private def latestOf(ops: DataFrame): DataFrame =
@@ -105,26 +128,36 @@ object KvTable {
       .filter(!col("op.tombstone"))
       .select(col("key"), col("op.value").as("value"), col("op.seq").as("seq"))
 
-  /** Point lookup — opens only the key's bucket directory. */
-  def get(spark: SparkSession, dir: String, key: String): Option[String] =
-    latestOf(bucketOps(spark, dir, bucketOf(key))
+  /** Point lookup — opens only the key's bucket directory plus L0 (the
+    * LSM read bound: 1/256th of the compacted table + uncompacted tail).
+    */
+  def get(spark: SparkSession, dir: String, key: String): Option[String] = {
+    val f = fs(spark, dir)
+    val bpath = s"$dir/bucket=${bucketOf(key)}"
+    val bucket =
+      if (f.exists(new org.apache.hadoop.fs.Path(bpath)))
+        spark.read.schema(opSchema).parquet(bpath)
+      else emptyOps(spark)
+    latestOf(bucket.unionAll(l0Ops(spark, dir))
         .filter(col("key") === key))
       .select(col("value"))
       .collect().headOption.map(_.getString(0))
+  }
 
   /** The table's current view: latest non-deleted row per key. */
   def latestView(spark: SparkSession, dir: String): DataFrame =
     if (fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir)))
-      latestOf(spark.read.schema(opSchema.add(StructField("bucket", StringType)))
-        .option("basePath", dir).parquet(dir)
-        .select(col("key"), col("value"), col("seq"), col("tombstone")))
+      latestOf(rawOps(spark, dir))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(opSchema.fields.filter(_.name != "tombstone")))
 
-  /** Materialize the latest-wins view, dropping superseded records and
-    * tombstones: stage the folded table, swap directories. Returns the
-    * number of surviving rows.
+  /** Fold both tiers latest-wins and materialize survivors under the
+    * 256-bucket layout (one file per bucket), dropping superseded
+    * records, tombstones, and the L0 tail: stage the folded table, swap
+    * directories. The one place that pays the per-bucket file fan-out —
+    * once per compaction, amortized over every batch since the last.
+    * Returns the number of surviving rows.
     */
   def compact(spark: SparkSession, dir: String): Long = {
     val f = fs(spark, dir)
@@ -134,13 +167,17 @@ object KvTable {
               lit(false).as("tombstone"))
     survivors
       .withColumn("bucket", substring(md5(col("key")), 1, 2))
+      // One shuffle keyed by bucket before partitionBy: each bucket dir
+      // gains ONE file instead of one per (task × bucket).
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(staged)
     val n = spark.read.schema(opSchema.add(StructField("bucket", StringType)))
       .option("basePath", staged).parquet(staged).count()
     // Rename-aside, THEN swap, THEN delete: a crash after the first
     // rename leaves the full pre-compaction ledger recoverable at
     // `dir.__old` (the old delete-before-rename order had a window
-    // where the table existed nowhere).
+    // where the table existed nowhere). The swap also retires L0 —
+    // the staged dir holds only bucket dirs.
     val old = new org.apache.hadoop.fs.Path(s"$dir.__old")
     f.delete(old, true)
     require(f.rename(new org.apache.hadoop.fs.Path(dir), old),
@@ -155,36 +192,38 @@ object KvTable {
   // ------------------------------------------------------------------
   // q_kv_latest — the oracle-gated registry face of the KV store (S10):
   // a deterministic op-log derived from `orders` is driven through the
-  // REAL bucketed ledger (two put batches + one tombstone batch, each a
-  // blind append under dir/bucket=XX/), and the result is latestView()'s
-  // latest-wins fold — survivors only. The oracle replays the same three
-  // batches and the same fold in plain SQL over the same orders table,
-  // so the row set pins put/delete/fold semantics END TO END through the
-  // parquet bucket layout, not just in memory.
+  // REAL two-tier ledger over its FULL lifecycle — two put batches land
+  // in L0 (map-only blind appends), compact() folds them into the
+  // 256-bucket tier, a tombstone batch lands in the fresh L0 tail, and
+  // the result is latestView()'s latest-wins fold over buckets + L0.
+  // The oracle replays the same three batches and the same fold in
+  // plain SQL over the same orders table (compaction is fold-invariant:
+  // it rewrites each key's max-seq survivor, which the later tombstone
+  // still beats), so the row set pins put/compact/delete/fold semantics
+  // END TO END through the on-disk LSM layout, not just in memory.
   //
   // Batches (all derivations deterministic in orders):
   //   seq 1: per custkey owning an o_orderkey % 3 == 0 order,
   //          value = max such orderkey (as string);
   //   seq 2: per custkey owning an o_orderkey % 3 == 1 order,
   //          value = max such orderkey — overwrites seq-1 keys;
+  //   -- compact(): L0 -> bucketed tier, superseded seq-1 rows dropped;
   //   seq 3: tombstones for every custkey % 7 == 0 (frame-driven bulk
-  //          delete — no driver collect).
+  //          delete — no driver collect) — lands in L0, beats survivors.
   //
-  // Scale shape: identical to production use — writes are blind appends
-  // partitioned by bucket; the fold is one key-keyed partial agg over
-  // the ledger scan. The ledger is rebuilt from scratch each run (the
+  // Scale shape: identical to production use — writes are map-only L0
+  // appends (write-bandwidth-bound); the per-bucket file fan-out is
+  // paid once, in compact(); the fold is one key-keyed partial agg over
+  // the two-tier scan. The ledger is rebuilt from scratch each run (the
   // scratch dir is wiped first), so the query is idempotent under
   // Verify's and Bench's repeated invocations. The demo ledger is
   // FIXED-budget (custkey < KvDemoKeyCap, the q_knn_classify cap
   // discipline — a no-op at the sf0.01 gate whose custkeys all sit
-  // below it): this row's job is pinning put/delete/fold semantics
-  // end-to-end through the parquet bucket layout, so the op count
-  // should not scale with the corpus. Bench note: the row's ~12 s
-  // sf0.1 wall is ROW-COUNT-FLAT commit overhead (measured identical
-  // at 15k and 2k keys) — three write jobs each committing one parquet
-  // file into 256 bucket dirs plus the 768-file fold read; real
-  // deployments amortize exactly this fixed cost over arbitrarily
-  // large batches.
+  // below it): this row's job is pinning lifecycle semantics end-to-end
+  // through the parquet layout, so the op count should not scale with
+  // the corpus. The row's wall is dominated by compact()'s one-time
+  // 256-dir write — the fixed cost real deployments amortize over
+  // arbitrarily many batches.
   // ------------------------------------------------------------------
   val KvDemoKeyCap = 2000L
 
@@ -200,11 +239,16 @@ object KvTable {
       .groupBy(col("o_custkey").cast("string").as("key"),
                (col("o_orderkey") % 3).as("m"))
       .agg(max(col("o_orderkey")).cast("string").as("value"))
+      // The demo batches are ~2k rows: flow them through one task each
+      // so an L0 flush is one file, the memstore-flush shape (a real
+      // deployment sizes L0 files by batch bytes, not task count).
+      .coalesce(1)
       .persist()
     put(s, dir, base.filter(col("m") === 0).select(col("key"), col("value")),
         1L)
     put(s, dir, base.filter(col("m") === 1).select(col("key"), col("value")),
         2L)
+    compact(s, dir)
     deleteKeys(s, dir,
       base.select(col("key")).distinct()
         .filter(col("key").cast("long") % 7 === 0),

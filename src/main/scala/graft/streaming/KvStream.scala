@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Streaming ingest twin of the KV op-log (sources.KvTable, SURVEY §2.1
   * S10) — the write path a live deployment runs: op-record micro-batches
-  * (key, value, seq, tombstone) land in the 256-bucket ledger as they
-  * arrive, and the table's view at any drain point is KvTable's
-  * latest-wins fold over everything ingested so far.
+  * (key, value, seq, tombstone) land in the ledger's L0 tier as they
+  * arrive (the memstore-flush shape — one token-named flush per batch,
+  * no per-bucket fan-out; KvTable.compact owns bucketing), and the
+  * table's view at any drain point is KvTable's latest-wins fold over
+  * everything ingested so far.
   *
   * Batching-invariance (the house streaming design point): the fold is
   * max(struct(seq, tombstone, value)) per key — an order-free,
@@ -22,7 +24,7 @@ import org.apache.spark.sql.functions._
   * Durability: each micro-batch commits under its DETERMINISTIC
   * batch-id token via the CompactionStream staging discipline — stage,
   * erase any prior commit of the same token (a retried batch replaces
-  * itself), rename in per bucket — and the stream keeps a real
+  * itself), rename into L0 — and the stream keeps a real
   * checkpoint at `<ledger>.checkpoint`, so re-running runOnce over the
   * same source is a no-op. KvSpec pins: streamed view == batch-put
   * view, re-run unchanged, retried commit unchanged.
@@ -30,9 +32,10 @@ import org.apache.spark.sql.functions._
 object KvStream {
 
   /** Commit one micro-batch of op records under its batch-id token:
-    * bucket-partitioned staged write, same-token erase, rename in.
-    * Bucket dirs gain ONE file per (batch, bucket) — the small-files
-    * discipline of KvTable.append, idempotent per token on top.
+    * map-only staged write, same-token erase, rename into the L0 tier.
+    * L0 gains the batch's files under `<token>-part-*` names — the
+    * memstore-flush discipline of KvTable.append, idempotent per token
+    * on top (a retried batch replaces its own prior flush).
     */
   private[graft] def commitOps(spark: SparkSession, ops: DataFrame,
                                dir: String, batchId: Long): Unit = {
@@ -45,26 +48,22 @@ object KvStream {
                col("value").cast("string").as("value"),
                col("seq").cast("bigint").as("seq"),
                col("tombstone").cast("boolean").as("tombstone"))
-      .withColumn("bucket", substring(md5(col("key")), 1, 2))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(stageDir)
+      .write.mode("overwrite").parquet(stageDir)
     // Erase any prior commit of this token (retry idempotency), then
-    // rename each staged bucket's part-files into the live bucket dirs.
+    // rename the staged part-files into the live L0 tier.
     val stage = new Path(stageDir)
-    f.listStatus(stage).filter(_.isDirectory).foreach { bdir =>
-      val dst = new Path(s"$dir/${bdir.getPath.getName}")
-      f.mkdirs(dst)
-      f.listStatus(dst)
-        .filter(_.getPath.getName.startsWith(token))
-        .foreach(st => f.delete(st.getPath, false))
-      f.listStatus(bdir.getPath)
-        .filter(_.getPath.getName.startsWith("part-"))
-        .foreach { file =>
-          val target = new Path(dst, s"$token-${file.getPath.getName}")
-          require(f.rename(file.getPath, target),
-            s"kv ledger commit rename failed: ${file.getPath} -> $target")
-        }
-    }
+    val l0 = new Path(s"$dir/l0")
+    f.mkdirs(l0)
+    f.listStatus(l0)
+      .filter(_.getPath.getName.startsWith(token))
+      .foreach(st => f.delete(st.getPath, false))
+    f.listStatus(stage)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .foreach { file =>
+        val target = new Path(l0, s"$token-${file.getPath.getName}")
+        require(f.rename(file.getPath, target),
+          s"kv ledger commit rename failed: ${file.getPath} -> $target")
+      }
     f.delete(stage, true)
   }
 

@@ -31,20 +31,30 @@ class KvSpec extends AnyFunSuite {
     assert(KvTable.get(spark, dir, "a") === Some("4"))
   }
 
-  test("point get opens only the key's bucket directory") {
+  test("point get opens only the key's bucket directory plus L0") {
     val dir = freshDir()
     val keys = (0 until 40).map(i => (s"k$i", s"v$i"))
     KvTable.put(spark, dir, keys.toDF("key", "value"), seq = 1L)
+    // the put is an L0 flush; compact() folds it into the bucketed tier
+    KvTable.compact(spark, dir)
     val probe = "k7"
     val keep = KvTable.bucketOf(probe)
     // destroy every OTHER bucket: if get() touched anything beyond its
-    // own bucket the read would fail or change — it must still answer.
+    // own bucket (L0 is empty post-compaction) the read would fail or
+    // change — it must still answer.
     val root = new java.io.File(dir)
+    assert(!new java.io.File(dir, "l0").exists(),
+           "compaction retires the L0 tail")
     root.listFiles().filter(_.getName.startsWith("bucket="))
       .filterNot(_.getName == s"bucket=$keep")
       .foreach(d => { d.listFiles().foreach(_.delete()); d.delete() })
     assert(root.listFiles().count(_.getName.startsWith("bucket=")) === 1)
     assert(KvTable.get(spark, dir, probe) === Some("v7"))
+    // LSM read amplification: a post-compaction write lands in L0 and a
+    // get finds it there even though its own bucket dir is gone.
+    KvTable.put(spark, dir, Seq(("k20", "fresh")).toDF("key", "value"), 2L)
+    assert(KvTable.get(spark, dir, "k20") === Some("fresh"),
+           "get must fold the key's bucket plus the L0 tail")
   }
 
   test("latestView and compact: superseded records and tombstones drop") {
@@ -105,11 +115,11 @@ class KvSpec extends AnyFunSuite {
            "streamed ledger must fold to the batch-put view")
     // Idempotency #1: re-running over the same source is a checkpointed
     // no-op — view and raw op count unchanged.
-    val rawBefore = spark.read.parquet(ledger).count()
+    val rawBefore = KvTable.rawOps(spark, ledger).count()
     val again = view(KvStream.runOnce(spark, s"$root/src", ledger,
                                       name = "graft_kv_ingest_rerun"))
     assert(again === expected)
-    assert(spark.read.parquet(ledger).count() === rawBefore,
+    assert(KvTable.rawOps(spark, ledger).count() === rawBefore,
            "re-run must not append duplicate ops")
     // Idempotency #2: a retried batch commit (same batch-id token)
     // replaces its own prior output instead of doubling it.
@@ -117,7 +127,7 @@ class KvSpec extends AnyFunSuite {
       .toDF("key", "value", "seq", "tombstone")
     KvStream.commitOps(spark, batch, ledger, 99L)
     KvStream.commitOps(spark, batch, ledger, 99L)
-    assert(spark.read.parquet(ledger).count() === rawBefore + 1,
+    assert(KvTable.rawOps(spark, ledger).count() === rawBefore + 1,
            "retried commit must replace, not double")
     assert(KvTable.get(spark, ledger, "k1") === Some("z1"))
   }
