@@ -56,6 +56,25 @@ object Corpus {
     */
   def minLabelPropagate(vertices: DataFrame, edges: DataFrame,
                         initLabels: Option[DataFrame] = None): DataFrame = {
+    // AQE off for the duration of the loop (restored in the finally):
+    // every round is a fresh tiny action, and adaptive replanning
+    // re-materializes each of its ~6 query stages with a driver
+    // round-trip — measured ~45% of per-round wall on q_dbscan's sf0.1
+    // ε-graph (0.8 s → 0.5 s/round) for zero plan improvement, because
+    // the loop's inputs are already bounded by construction (star
+    // edges / capped ε-candidates) and keyed by uniform ids, the exact
+    // regime AQE's skew/broadcast rescue can't improve. Iteration-heavy
+    // Spark jobs disabling AQE inside the loop is standard practice;
+    // everything outside the loop keeps it.
+    val spark = vertices.sparkSession
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try minLabelPropagateLoop(vertices, edges, initLabels)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def minLabelPropagateLoop(vertices: DataFrame, edges: DataFrame,
+                                    initLabels: Option[DataFrame]): DataFrame = {
     val e = edges.persist()
     var labels = initLabels
       .map(init => vertices.alias("v")
