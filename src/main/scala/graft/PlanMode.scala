@@ -30,4 +30,22 @@ object PlanMode {
 
   def checkpointTail(df: DataFrame): DataFrame =
     if (auditing) df else df.localCheckpoint(true)
+
+  /** Run `body` with AQE off, restoring the prior setting after.
+    *
+    * For iterative tails (label propagation, power iteration) every
+    * round/stage is a tiny action over inputs already bounded by
+    * construction (star edges, capped ε/Hamming candidate graphs) and
+    * keyed by uniform ids — the regime where adaptive replanning's
+    * per-query-stage driver round-trip is pure latency (measured ~45%
+    * of per-round wall on q_dbscan's sf0.1 ε-graph) and its
+    * skew/broadcast rescue has nothing to improve. Scoped: everything
+    * outside the iterative body keeps AQE.
+    */
+  def withoutAqe[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
 }

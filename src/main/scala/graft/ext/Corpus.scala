@@ -56,21 +56,13 @@ object Corpus {
     */
   def minLabelPropagate(vertices: DataFrame, edges: DataFrame,
                         initLabels: Option[DataFrame] = None): DataFrame = {
-    // AQE off for the duration of the loop (restored in the finally):
-    // every round is a fresh tiny action, and adaptive replanning
-    // re-materializes each of its ~6 query stages with a driver
-    // round-trip — measured ~45% of per-round wall on q_dbscan's sf0.1
-    // ε-graph (0.8 s → 0.5 s/round) for zero plan improvement, because
-    // the loop's inputs are already bounded by construction (star
-    // edges / capped ε-candidates) and keyed by uniform ids, the exact
-    // regime AQE's skew/broadcast rescue can't improve. Iteration-heavy
-    // Spark jobs disabling AQE inside the loop is standard practice;
-    // everything outside the loop keeps it.
-    val spark = vertices.sparkSession
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try minLabelPropagateLoop(vertices, edges, initLabels)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    // AQE off for the duration of the loop (PlanMode.withoutAqe has the
+    // measured rationale): every round is a fresh tiny action whose
+    // adaptive replanning is pure driver latency — 0.8 s → 0.5 s/round
+    // on q_dbscan's sf0.1 ε-graph.
+    graft.PlanMode.withoutAqe(vertices.sparkSession) {
+      minLabelPropagateLoop(vertices, edges, initLabels)
+    }
   }
 
   private def minLabelPropagateLoop(vertices: DataFrame, edges: DataFrame,
@@ -1819,16 +1811,9 @@ object Corpus {
       bpeMergeLoopLocal(s, rows.map(r => (r.getString(0), r.getLong(1))))
     } else {
       // The distributed loop is NumMerges serial micro-jobs over the
-      // vocab table; AQE's per-stage materialization barriers and
-      // re-optimization dominate such jobs' wall time, contributing
-      // nothing (there is no skew or partition-size problem in a
-      // vocab-bounded aggregate). Disable it for the loop only,
-      // restoring the caller's setting afterwards.
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val aqeBefore = s.conf.get(aqeKey, "true")
-      s.conf.set(aqeKey, "false")
-      try bpeMergeLoop(s, base)
-      finally s.conf.set(aqeKey, aqeBefore)
+      // vocab table — the PlanMode.withoutAqe regime (no skew or
+      // partition-size problem in a vocab-bounded aggregate).
+      graft.PlanMode.withoutAqe(s) { bpeMergeLoop(s, base) }
     }
   }
 

@@ -827,9 +827,16 @@ object Dedup {
   val qSimhashHamming: Q = (s, d) => simhashHamming(Tables.documents(s, d))
 
   /** Core of q_simhash_hamming over any (doc_id, text) frame — factored
-    * for the crafted-corpus spec (pigeonhole-guarantee pin).
+    * for the crafted-corpus spec (pigeonhole-guarantee pin). The
+    * registry row's ordered contract; graph consumers (pagerank,
+    * triangleCount) take `simhashEdges` instead and skip the global
+    * sort their shuffles would destroy anyway.
     */
-  def simhashHamming(docs: DataFrame): DataFrame = {
+  def simhashHamming(docs: DataFrame): DataFrame =
+    simhashEdges(docs).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The verified Hamming ≤ HamT near-dup edge list, unordered. */
+  def simhashEdges(docs: DataFrame): DataFrame = {
     val sig = simhashSig(docs)
     val banded = sig.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until SimBands).map { j =>
@@ -853,7 +860,6 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("bigint"))
       .filter(col("hamming") <= HamT)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Full banded-retrieval CTE chain ending in `ham_edges(doc_a, doc_b,
@@ -922,7 +928,7 @@ object Dedup {
     // deg, edgeStats, the wedge join (twice) and the closing semi-join
     // — persist it or the retrieval pipeline re-runs ~4×, exactly the
     // defect pagerank fixed below (7.2 s → 2.4 s there; same shape).
-    val e = simhashHamming(docs).select(col("doc_a").as("a"),
+    val e = simhashEdges(docs).select(col("doc_a").as("a"),
                                         col("doc_b").as("b"))
       .persist()
     val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
@@ -1658,13 +1664,20 @@ object Dedup {
   val qPagerank: Q = (s, d) => pagerank(Tables.documents(s, d))
 
   /** Core of q_pagerank over any (doc_id, text) frame. */
-  def pagerank(docs: DataFrame): DataFrame = {
+  def pagerank(docs: DataFrame): DataFrame =
+    // The whole body executes in one action (the checkpoint tail), a
+    // deep fixed-iteration DAG over bounded inputs — the
+    // PlanMode.withoutAqe regime (per-query-stage replanning is pure
+    // driver latency on a ~10-stage power-iteration chain).
+    graft.PlanMode.withoutAqe(docs.sparkSession) { pagerankBody(docs) }
+
+  private def pagerankBody(docs: DataFrame): DataFrame = {
     // The verified edge list is the expensive input (signature scan +
     // banded self-join) and feeds deg, r0, adj AND the final join —
     // persist it, or the whole retrieval pipeline re-runs per consumer
     // (unpersisted: ~4 signature scans, measured 7.2 s → 2.4 s at
     // sf0.1).
-    val e = simhashHamming(docs).select(col("doc_a"), col("doc_b"))
+    val e = simhashEdges(docs).select(col("doc_a"), col("doc_b"))
       .persist()
     val sym = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(e.select(col("doc_b").as("u"), col("doc_a").as("v")))

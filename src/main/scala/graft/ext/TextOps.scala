@@ -494,14 +494,9 @@ object TextOps {
               when(col("lang") === QcTargetLang, 1.0).otherwise(0.0).as("y"))
       .persist()
     // Training is QcSteps serial micro-jobs over the persisted feature
-    // table — the bpeMerges situation: AQE's per-stage re-planning
-    // dominates bounded-key micro-aggregates, contributing nothing
-    // (no skew, no partition-size problem in a ≤QcDim-cell gradient).
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeBefore = docs.sparkSession.conf.get(aqeKey, "true")
-    docs.sparkSession.conf.set(aqeKey, "false")
-    try qcTrainScore(f)
-    finally docs.sparkSession.conf.set(aqeKey, aqeBefore)
+    // table — the PlanMode.withoutAqe regime (no skew, no
+    // partition-size problem in a ≤QcDim-cell gradient).
+    graft.PlanMode.withoutAqe(docs.sparkSession) { qcTrainScore(f) }
   }
 
   private def qcTrainScore(f: DataFrame): DataFrame = {
