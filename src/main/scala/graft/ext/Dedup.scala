@@ -1664,14 +1664,12 @@ object Dedup {
   val qPagerank: Q = (s, d) => pagerank(Tables.documents(s, d))
 
   /** Core of q_pagerank over any (doc_id, text) frame. */
-  def pagerank(docs: DataFrame): DataFrame =
-    // The whole body executes in one action (the checkpoint tail), a
-    // deep fixed-iteration DAG over bounded inputs — the
-    // PlanMode.withoutAqe regime (per-query-stage replanning is pure
-    // driver latency on a ~10-stage power-iteration chain).
-    graft.PlanMode.withoutAqe(docs.sparkSession) { pagerankBody(docs) }
-
-  private def pagerankBody(docs: DataFrame): DataFrame = {
+  // NOT a PlanMode.withoutAqe site: the body is one action whose input
+  // side is the corpus-sized signature scan, not a bounded per-round
+  // micro-frame — with AQE off the 100×-copy stressor regressed ~1.5×
+  // (10.4 s vs 6.8 s) while 1× gained ~0.2 s. AQE stays on; the scope
+  // is for loops that issue an action per round over bounded frames.
+  def pagerank(docs: DataFrame): DataFrame = {
     // The verified edge list is the expensive input (signature scan +
     // banded self-join) and feeds deg, r0, adj AND the final join —
     // persist it, or the whole retrieval pipeline re-runs per consumer
