@@ -390,6 +390,41 @@ object Dedup {
   /** Prefix-filtered candidate pairs (doc_a < doc_b, distinct) —
     * factored for PrefixJaccardSpec's losslessness pin. Input must be
     * a prefixJacDocs frame.
+    *
+    * Three LOSSLESS pruning layers beyond the bare 1-prefix index (all
+    * from the public set-similarity-join literature; the first
+    * formulation — emit on any shared prefix gram, then distinct —
+    * measured 60.4M candidates and a 357 s verify for ZERO output
+    * pairs on the 30× tiny-vocab stressor, because with a 31-token
+    * vocabulary every possible 3-gram exists and even each doc's
+    * rarest grams are shared by hundreds of docs):
+    *
+    *  1. LENGTH filter (Arasu et al. VLDB'06): J ≥ t ⟹
+    *     t·n_a ≤ n_b ≤ n_a/t, exact in integers for t = 8/10 as
+    *     8·n_a ≤ 10·n_b ∧ 8·n_b ≤ 10·n_a — applied inside the gram
+    *     self-join, before any per-pair state exists.
+    *  2. k-PREFIX count filter, k = 2 (Wang et al. SIGMOD'12 §3: the
+    *     ℓ-prefix scheme): index each doc's first
+    *     n − ⌈t·n⌉ + k grams in canonical (gram_df, gram) order.
+    *     If J(A,B) ≥ t then O = |A∩B| ≥ ⌈t·n_a⌉ (since n_b ≥ t·n_a),
+    *     so the k smallest common grams w_1..w_k each sit at canonical
+    *     rank ≤ k + n − ⌈t·n⌉ in BOTH docs — a qualifying pair shares
+    *     ≥ min(k, O_min) grams inside the two k-prefixes, where
+    *     O_min = ⌈t·(n_a+n_b)/(1+t)⌉ = (4·(n_a+n_b)+8) div 9. The
+    *     min(k, ·) guard keeps the n_a = n_b = 1 edge (O = 1 < k)
+    *     lossless. Requiring the pair to collide on ≥ 2 prefix grams
+    *     is the big lever on tiny-vocab corpora: a random colliding
+    *     pair shares a 2nd prefix gram with probability
+    *     ≈ (ℓ_a·ℓ_b)/|vocab| ≈ 0.5% on the stressor.
+    *  3. POSITIONAL filter (Xiao et al. WWW'08 Lemma 2, aggregated
+    *     form): every common gram outside the shared-prefix set ranks
+    *     after the LAST shared prefix gram in both docs (canonical
+    *     order is global), so O ≤ c + min(n_a − pmax_a, n_b − pmax_b);
+    *     prune when that bound < O_min. Free — it reads the same
+    *     (count, max-rank) aggregate the k-prefix filter needs.
+    *
+    * The groupBy(doc_a, doc_b) replaces the old `.distinct()` — the
+    * same pair-keyed shuffle now also carries the filter state.
     */
   private[graft] def prefixJacCandidates(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -399,13 +434,24 @@ object Dedup {
     val dfreq = inv.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
     val pref = inv.join(dfreq, Seq("gram"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= expr("n - ((8 * n + 9) div 10) + 1"))
-      .select(col("gram"), col("doc_id"))
-    pref.select(col("gram"), col("doc_id").as("doc_a"))
-      .join(pref.select(col("gram"), col("doc_id").as("doc_b")), Seq("gram"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("rn") <= expr("n - ((8 * n + 9) div 10) + 2"))
+      .select(col("gram"), col("doc_id"), col("n"), col("rn"))
+    pref.select(col("gram"), col("doc_id").as("doc_a"),
+                col("n").as("n_a"), col("rn").as("p_a"))
+      .join(pref.select(col("gram"), col("doc_id").as("doc_b"),
+                        col("n").as("n_b"), col("rn").as("p_b")),
+            Seq("gram"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("n_b") * 10 >= col("n_a") * 8 &&
+        col("n_a") * 10 >= col("n_b") * 8)
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("c"),
+           max(col("p_a")).as("pmax_a"), max(col("p_b")).as("pmax_b"))
+      .withColumn("o_min", expr("(4 * (n_a + n_b) + 8) div 9"))
+      .filter(col("c") >= least(lit(2L), col("o_min")) &&
+        col("c") + least(col("n_a") - col("pmax_a"),
+                         col("n_b") - col("pmax_b")) >= col("o_min"))
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
   }
 
   /** Core of q_prefix_jaccard over any (doc_id, text) frame. */
