@@ -805,6 +805,151 @@ object Corpus {
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_mix_temperature — temperature-scaled source-mixture weights, the
+  // multilingual sampling rule of mBERT / XLM-R / mT5 (Conneau et al.
+  // 2020 §3.1; Xue et al. 2021 §3.2): a language with raw token share
+  // p_l is sampled with probability q_l ∝ p_l^α, flattening the
+  // head-language dominance while keeping tail languages from
+  // overfitting through too many repeat epochs. Emitted per language:
+  // the raw share p, the temperature weight q, and boost = q/p — the
+  // per-language duplication factor a sampler applies (boost > 1 means
+  // the language is upsampled relative to its natural rate).
+  //
+  // Exactness: α = 0.5 so p^α is sqrt — correctly-rounded IEEE on both
+  // engines (libm sqrt / Math.sqrt), unlike pow. Each sqrt snaps to
+  // integer micro-units BEFORE the normalizing sum (the ln-snapping
+  // discipline), so the denominator is an order-free BIGINT at any
+  // parallelism; p, q, boost are then single divisions of identical
+  // integers, rounded to 6 places on both sides. The total-token factor
+  // cancels out of q (q_l = sqrt(tok_l)/Σ sqrt(tok_m)), so no double
+  // ever feeds another double.
+  //
+  // Scale shape: one partial-aggregated scan to per-language token
+  // totals (O(langs) rows), a 1-row global sum crossJoined back — the
+  // q_mixture_sample funnel with the temperature rule in place of the
+  // min-budget rule. Nothing here grows with corpus size but the scan.
+  // -------------------------------------------------------------------
+  val qMixTemperature: Q = (s, d) => {
+    val tot = Tables.documents(s, d)
+      .select(col("lang"),
+              size(Ops.tokens(col("text"))).cast("bigint").as("n_toks"))
+      .groupBy(col("lang")).agg(sum(col("n_toks")).as("lang_toks"))
+    val u = tot.withColumn("sqrt_u",
+      round(sqrt(col("lang_toks").cast("double")) * 1e6).cast("long"))
+    val denom = u.agg(sum(col("sqrt_u")).as("den_u"),
+                      sum(col("lang_toks")).as("tot_toks"))
+    u.crossJoin(denom)
+      .select(col("lang"), col("lang_toks"),
+        round(col("lang_toks").cast("double")
+                / col("tot_toks").cast("double"), 6).as("p"),
+        round(col("sqrt_u").cast("double")
+                / col("den_u").cast("double"), 6).as("q"),
+        round(col("sqrt_u").cast("double") * col("tot_toks").cast("double")
+                / (col("den_u").cast("double")
+                     * col("lang_toks").cast("double")), 6).as("boost"))
+      .orderBy(col("lang"))
+  }
+
+  val qMixTemperatureSql: String =
+    """WITH t AS (
+      |  SELECT lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |tot AS (SELECT lang, CAST(SUM(n_toks) AS BIGINT) AS lang_toks
+      |        FROM t GROUP BY 1),
+      |u AS (SELECT lang, lang_toks,
+      |             CAST(ROUND(SQRT(CAST(lang_toks AS DOUBLE)) * 1000000.0)
+      |                  AS BIGINT) AS sqrt_u
+      |      FROM tot),
+      |d AS (SELECT CAST(SUM(sqrt_u) AS BIGINT) AS den_u,
+      |             CAST(SUM(lang_toks) AS BIGINT) AS tot_toks FROM u)
+      |SELECT lang, lang_toks,
+      |       ROUND(CAST(lang_toks AS DOUBLE) / CAST(tot_toks AS DOUBLE), 6)
+      |         AS p,
+      |       ROUND(CAST(sqrt_u AS DOUBLE) / CAST(den_u AS DOUBLE), 6) AS q,
+      |       ROUND(CAST(sqrt_u AS DOUBLE) * CAST(tot_toks AS DOUBLE)
+      |             / (CAST(den_u AS DOUBLE) * CAST(lang_toks AS DOUBLE)), 6)
+      |         AS boost
+      |FROM u CROSS JOIN d ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_chunk_overlap — sliding-window chunking with overlap, the
+  // context-window shaping step of RAG indexing and long-document
+  // training prep: every document becomes ceil-spaced windows of
+  // ChunkWindow tokens advancing by ChunkStride (so consecutive chunks
+  // share ChunkWindow - ChunkStride boundary tokens and no sentence
+  // straddling a cut is lost from both sides). Emitted per chunk: its
+  // ordinal, its actual token count (the last window clamps at the
+  // document tail), and a 60-bit fingerprint of the chunk text — the
+  // join key downstream cross-document chunk dedup buckets on.
+  //
+  // n_chunks = max(1, ceil((n - overlap) / stride)): stride-spaced
+  // starts, the final window covering the tail; a document shorter than
+  // one window is exactly one clamped chunk. Both sides compute it with
+  // the same integer-division form ((n - overlap + stride - 1) div
+  // stride — `div`, not `/`, which is double division in Spark SQL).
+  //
+  // Scale shape: MAP-ONLY — one projection explodes each document into
+  // its chunk structs off the token array already in hand (the
+  // segments() discipline); no shuffle at all until a downstream
+  // consumer groups by fingerprint. At 100 TB this is the shape you
+  // want: chunking rides the ingest scan for free.
+  // -------------------------------------------------------------------
+  val ChunkWindow = 32
+  val ChunkStride = 24 // overlap = 8 tokens carried across boundaries
+
+  val qChunkOverlap: Q = (s, d) => chunkOverlap(Tables.documents(s, d))
+
+  /** Core of q_chunk_overlap over any (doc_id, text) frame — split out
+    * so specs can pin window arithmetic on crafted lengths.
+    */
+  def chunkOverlap(docs: DataFrame): DataFrame = {
+    val w = ChunkWindow; val st = ChunkStride; val ov = w - st
+    docs
+      .select(col("doc_id"), Ops.tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("bigint"))
+      .withColumn("n_chunks",
+        greatest(lit(1L),
+          expr(s"CAST((n_toks - $ov + ${st - 1}) div $st AS BIGINT)")))
+      .select(col("doc_id"), col("n_toks"), col("n_chunks"),
+        explode(transform(sequence(lit(0L), col("n_chunks") - 1), i =>
+          struct(i.as("chunk_id"),
+            array_join(slice(col("toks"), (i * st + 1).cast("int"), lit(w)),
+                       " ").as("ctext")))).as("c"))
+      .select(col("doc_id"), col("n_toks"), col("n_chunks"),
+        col("c.chunk_id").as("chunk_id"),
+        size(split(col("c.ctext"), " ")).cast("bigint").as("n_chunk_toks"),
+        Ops.md5Bits60(col("c.ctext")).as("chunk_sig"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val qChunkOverlapSql: String = {
+    val (w, st) = (ChunkWindow, ChunkStride)
+    val ov = w - st
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, toks, n_toks,
+      |         GREATEST(1, (n_toks - $ov + ${st - 1}) // $st) AS n_chunks
+      |  FROM t),
+      |pos AS (
+      |  SELECT doc_id, toks, n_toks, n_chunks,
+      |         unnest(range(0, n_chunks)) AS chunk_id
+      |  FROM base),
+      |ck AS (
+      |  SELECT doc_id, n_toks, n_chunks, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |         array_to_string(list_slice(toks, chunk_id * $st + 1,
+      |                                    chunk_id * $st + $w), ' ') AS ctext
+      |  FROM pos)
+      |SELECT doc_id, n_toks, n_chunks, chunk_id,
+      |       CAST(len(string_split(ctext, ' ')) AS BIGINT) AS n_chunk_toks,
+      |       ('0x' || substr(md5(ctext), 1, 15))::BIGINT AS chunk_sig
+      |FROM ck ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q_boilerplate — CCNet/RefinedWeb-style boilerplate removal by
   // corpus-frequency: cut every document into fixed 5-token segments
   // (the "paragraph" unit of this single-line corpus), count each
@@ -2012,16 +2157,23 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
-  val qBpeEncodeSql: String = {
-    // '|#|' can never occur in a '|'-wrapped [a-z]+ word, so an empty
-    // merge slot coalesces to a no-op replace — same as Spark folding
-    // over fewer-than-NumMerges merges.
-    val applied = (1 to NumMerges).foldLeft(
+  /** The learned merge table applied to a word column `w` as one nested
+    * replace chain over the '|'-wrapped symbol string — shared by the
+    * q_bpe_encode and q_tokenizer_fertility oracles. '|#|' can never
+    * occur in a '|'-wrapped [a-z]+ word, so an empty merge slot
+    * coalesces to a no-op replace — same as Spark folding over
+    * fewer-than-NumMerges merges.
+    */
+  private def bpeAppliedSql: String =
+    (1 to NumMerges).foldLeft(
       "'|' || regexp_replace(w, '(.)', '\\1|', 'g')") { (inner, it) =>
       s"""replace($inner,
          |  coalesce((SELECT '|' || l || '|' || r || '|' FROM t$it), '|#|'),
          |  coalesce((SELECT '|' || l || r || '|' FROM t$it), ''))""".stripMargin
     }
+
+  val qBpeEncodeSql: String = {
+    val applied = bpeAppliedSql
     bpeTrainingCtes + s""",
       |words AS (
       |  SELECT doc_id, w
@@ -2034,6 +2186,80 @@ object Corpus {
       |enc AS (SELECT doc_id, n_sub FROM words JOIN venc USING (w))
       |SELECT doc_id, count(*) AS n_words,
       |       CAST(sum(n_sub) AS BIGINT) AS n_subwords
+      |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q_tokenizer_fertility — the learned tokenizer GRADED per language:
+  // fertility (subwords per word) and compression (chars per subword)
+  // of the q_bpe_merges merge table, broken out by lang. The number a
+  // vocabulary-allocation pass reads: a language whose fertility runs
+  // high is under-served by the merge table (its words shatter into
+  // many subwords, inflating its sequence lengths and effective cost
+  // per document) — the standard multilingual-tokenizer audit
+  // (fertility per language, cf. the XLM-R/mT5 tokenizer analyses).
+  //
+  // Exactness: the encoder and its oracle are q_bpe_encode's verbatim
+  // (native BpeEncodeWord vs the replace-chain fold, spec-pinned
+  // byte-equal); everything aggregated is a BIGINT (word counts,
+  // subword counts, char counts) summed order-free, and fertility /
+  // chars_per_subword are single divisions of identical integers
+  // rounded to 6 places on both sides.
+  //
+  // Scale shape: training is the bounded NumMerges loop; encoding runs
+  // once per distinct word TYPE (language-bounded, not corpus-bounded)
+  // and fans back to occurrences through a broadcast join; the rollup
+  // is one partial-aggregated groupBy(lang) — O(langs) output rows.
+  // ------------------------------------------------------------------
+  val qTokenizerFertility: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = bpeMerges(s, docs)
+      .select(col("left_sym"), col("right_sym")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq // ≤ NumMerges rows
+    val alpha = docs
+      .select(col("lang"), explode(Ops.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+    import org.apache.spark.sql.graftshim.{BpeEncodeWord, Shim}
+    val vocabEnc = alpha.select(col("w")).distinct()
+      .select(col("w"),
+              size(Shim.column(BpeEncodeWord(Shim.expression(col("w")),
+                                             merges)))
+                .cast("long").as("n_sub"),
+              length(col("w")).cast("long").as("n_chars"))
+    alpha.join(broadcast(vocabEnc), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+           sum(col("n_sub")).as("n_subwords"),
+           sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_subwords"), col("n_chars"),
+              round(col("n_subwords").cast("double")
+                      / col("n_words").cast("double"), 6).as("fertility"),
+              round(col("n_chars").cast("double")
+                      / col("n_subwords").cast("double"), 6)
+                .as("chars_per_subword"))
+      .orderBy(col("lang"))
+  }
+
+  val qTokenizerFertilitySql: String = {
+    val applied = bpeAppliedSql
+    bpeTrainingCtes + s""",
+      |words AS (
+      |  SELECT lang, w
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2),
+      |venc AS (
+      |  SELECT w, len(string_split($applied, '|')) - 2 AS n_sub,
+      |         CAST(length(w) AS BIGINT) AS n_chars
+      |  FROM (SELECT DISTINCT w FROM words)),
+      |enc AS (SELECT lang, n_sub, n_chars FROM words JOIN venc USING (w))
+      |SELECT lang, count(*) AS n_words,
+      |       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+      |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |       ROUND(CAST(sum(n_sub) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |         AS fertility,
+      |       ROUND(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_sub) AS DOUBLE),
+      |             6) AS chars_per_subword
       |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
@@ -2515,6 +2741,9 @@ object Corpus {
     "q_bigram_logprob"   -> qBigramLogprob,
     "q_contamination"    -> qContamination,
     "q_mixture_sample"   -> qMixtureSample,
+    "q_mix_temperature"  -> qMixTemperature,
+    "q_chunk_overlap"    -> qChunkOverlap,
+    "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_perplexity_buckets" -> qPerplexityBuckets,
     "q_dedup_cluster"    -> qDedupCluster,
     "q_dedup_keep_best"  -> qDedupKeepBest,
@@ -2545,6 +2774,9 @@ object Corpus {
     "q_bigram_logprob"   -> qBigramLogprobSql,
     "q_contamination"    -> qContaminationSql,
     "q_mixture_sample"   -> qMixtureSampleSql,
+    "q_mix_temperature"  -> qMixTemperatureSql,
+    "q_chunk_overlap"    -> qChunkOverlapSql,
+    "q_tokenizer_fertility" -> qTokenizerFertilitySql,
     "q_perplexity_buckets" -> qPerplexityBucketsSql,
     "q_dedup_cluster"    -> qDedupClusterSql,
     "q_dedup_keep_best"  -> qDedupKeepBestSql,
