@@ -124,8 +124,13 @@ object Bench {
     def mapOf(dp: Int, f: R => Double): String =
       results.map(r => "\"" + r.name + "\":" + fmt(f(r), dp))
         .mkString("{", ",", "}")
+    // "cpus" is recorded because shuffle BYTES depend on it (more
+    // map/reduce partitions -> more per-block framing + worse per-block
+    // compression on MB-scale shuffles: measured q_quality_classifier
+    // 4.6 MB read at 8 threads vs 8.2 MB at 32, identical source) —
+    // tools/bench_bytes_diff.py refuses cross-environment comparisons.
     def fullLine(sf: String): String =
-      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","protocol":"min-of-2","queries":${mapOf(4, _.best)},"first_run":${mapOf(4, _.first)},"shuffle_read_mb":${mapOf(2, _.readMb)},"shuffle_write_mb":${mapOf(2, _.writeMb)},"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","protocol":"min-of-2","cpus":$cpus,"queries":${mapOf(4, _.best)},"first_run":${mapOf(4, _.first)},"shuffle_read_mb":${mapOf(2, _.readMb)},"shuffle_write_mb":${mapOf(2, _.writeMb)},"sf":"$sf"}"""
     def boundedLine(sf: String, budget: Int): String = {
       // Failures (-1) always surface; the rest slowest-first.
       val ranked = results.sortBy(r => if (r.best < 0) Double.MinValue else -r.best)

@@ -900,10 +900,12 @@ object Corpus {
 
   val qChunkOverlap: Q = (s, d) => chunkOverlap(Tables.documents(s, d))
 
-  /** Core of q_chunk_overlap over any (doc_id, text) frame — split out
-    * so specs can pin window arithmetic on crafted lengths.
+  /** Chunk rows (doc_id, n_toks, n_chunks, chunk_id, n_chunk_toks,
+    * chunk_sig) with NO output ordering — the shared core of
+    * q_chunk_overlap (which presents it ordered) and q_chunk_dedup
+    * (which aggregates it; a sort under the sig shuffle is dead weight).
     */
-  def chunkOverlap(docs: DataFrame): DataFrame = {
+  def chunkRows(docs: DataFrame): DataFrame = {
     val w = ChunkWindow; val st = ChunkStride; val ov = w - st
     docs
       .select(col("doc_id"), Ops.tokens(col("text")).as("toks"))
@@ -920,10 +922,19 @@ object Corpus {
         col("c.chunk_id").as("chunk_id"),
         size(split(col("c.ctext"), " ")).cast("bigint").as("n_chunk_toks"),
         Ops.md5Bits60(col("c.ctext")).as("chunk_sig"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
-  val qChunkOverlapSql: String = {
+  /** q_chunk_overlap over any (doc_id, text) frame — split out so specs
+    * can pin window arithmetic on crafted lengths.
+    */
+  def chunkOverlap(docs: DataFrame): DataFrame =
+    chunkRows(docs).orderBy(col("doc_id"), col("chunk_id"))
+
+  /** The chunker as CTEs ending in `chnk` (the unordered chunk rows) —
+    * shared by the q_chunk_overlap and q_chunk_dedup oracles so the SQL
+    * transliteration of the window arithmetic exists exactly once.
+    */
+  private def chunkCtesSql: String = {
     val (w, st) = (ChunkWindow, ChunkStride)
     val ov = w - st
     s"""WITH t AS (
@@ -942,12 +953,241 @@ object Corpus {
       |  SELECT doc_id, n_toks, n_chunks, CAST(chunk_id AS BIGINT) AS chunk_id,
       |         array_to_string(list_slice(toks, chunk_id * $st + 1,
       |                                    chunk_id * $st + $w), ' ') AS ctext
-      |  FROM pos)
-      |SELECT doc_id, n_toks, n_chunks, chunk_id,
-      |       CAST(len(string_split(ctext, ' ')) AS BIGINT) AS n_chunk_toks,
-      |       ('0x' || substr(md5(ctext), 1, 15))::BIGINT AS chunk_sig
-      |FROM ck ORDER BY doc_id, chunk_id""".stripMargin
+      |  FROM pos),
+      |chnk AS (
+      |  SELECT doc_id, n_toks, n_chunks, chunk_id,
+      |         CAST(len(string_split(ctext, ' ')) AS BIGINT) AS n_chunk_toks,
+      |         ('0x' || substr(md5(ctext), 1, 15))::BIGINT AS chunk_sig
+      |  FROM ck)""".stripMargin
   }
+
+  val qChunkOverlapSql: String = chunkCtesSql + """
+    |SELECT doc_id, n_toks, n_chunks, chunk_id, n_chunk_toks, chunk_sig
+    |FROM chnk ORDER BY doc_id, chunk_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_chunk_dedup — cross-document chunk-level dedup, the consumer the
+  // chunker's fingerprint column exists for: a chunk is SHARED when its
+  // 60-bit sig appears in >= 2 distinct documents (boilerplate windows,
+  // quoted passages, mirrored articles — text that survives document-
+  // level dedup because the containing documents differ). Emitted per
+  // document: chunk count, shared-chunk count, and the shared fraction —
+  // the per-doc number a chunk-aware filter thresholds on (RefinedWeb
+  // drops documents whose duplicated-window mass runs high; cf. the
+  // q_dup_span_mass discipline one level up).
+  //
+  // A chunk repeated only WITHIN one document is not shared (nd counts
+  // distinct docs); each chunk INSTANCE of a shared sig counts toward
+  // its document's n_shared_chunks.
+  //
+  // Scale shape: the map-only chunker feeds one partial-aggregated
+  // groupBy(chunk_sig) (distinct-doc counts ride the sig shuffle), the
+  // sig->hotness join is digest-keyed (uniform, never skewed — sigs of
+  // hot boilerplate collapse to ONE row on the build side), and the
+  // per-doc rollup is one more partial agg. No pair fan-out anywhere: a
+  // window shared by a million documents costs one counter, not C(1M,2)
+  // candidate pairs.
+  // -------------------------------------------------------------------
+  val qChunkDedup: Q = (s, d) => chunkDedup(Tables.documents(s, d))
+
+  /** Core of q_chunk_dedup over any (doc_id, text) frame — split out so
+    * specs can pin shared/within-doc/unique chunk classification on
+    * crafted corpora.
+    */
+  def chunkDedup(docs: DataFrame): DataFrame = {
+    // ch feeds BOTH the hotness agg and the join probe; persisted (slim
+    // 3-column rows) so the chunker's full-text scan + md5 runs once,
+    // not twice — at 100 TB the ingest scan dominates and doubling it
+    // for a re-derivation is the q_dedup_editdist mistake.
+    val ch = chunkRows(docs)
+      .select(col("doc_id"), col("n_chunks"), col("chunk_sig"))
+      .persist()
+    val hot = ch.groupBy(col("chunk_sig"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val out = ch.join(hot, Seq("chunk_sig"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_chunks")).as("n_chunks"),
+           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+        round(col("n_shared_chunks").cast("double")
+                / col("n_chunks").cast("double"), 6).as("shared_frac"))
+      .orderBy(col("doc_id"))
+    val ckpt = graft.PlanMode.checkpointTail(out)
+    ch.unpersist()
+    ckpt
+  }
+
+  val qChunkDedupSql: String = chunkCtesSql + """,
+    |hot AS (SELECT chunk_sig, COUNT(DISTINCT doc_id) AS nd
+    |        FROM chnk GROUP BY 1)
+    |SELECT c.doc_id, MAX(c.n_chunks) AS n_chunks,
+    |       CAST(SUM(CASE WHEN h.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    |         AS n_shared_chunks,
+    |       ROUND(CAST(SUM(CASE WHEN h.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+    |             / CAST(MAX(c.n_chunks) AS DOUBLE), 6) AS shared_frac
+    |FROM chnk c JOIN hot h USING (chunk_sig)
+    |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_repeat_epochs — data-constrained token-budget allocation
+  // (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+  // Models"): given a training budget of RepeatBudgetFactor x the
+  // corpus, split it across sources by the temperature rule (q ∝
+  // sqrt(share), the q_mix_temperature discipline keyed on `source`)
+  // and cap every source at MaxEpochs repeat epochs — the paper's
+  // finding that up to ~4 epochs of repetition is nearly as good as
+  // fresh data, beyond which returns decay sharply. Emitted per source:
+  // its tokens, temperature weight, budgeted target, raw and capped
+  // epoch counts, the effective tokens actually trainable, and the
+  // unused budget the cap strands (the number a second reallocation
+  // pass would redistribute).
+  //
+  // Exactness: sqrt snapped to integer micro-units before the
+  // normalizing sum (the q_mix_temperature discipline); target_toks =
+  // floor(sqrt_u * 2*tot / den_u) evaluated as the SAME left-associated
+  // double expression on both engines (single mul + div of identical
+  // binary64 inputs — deterministic IEEE, no order-dependent sum);
+  // everything downstream is BIGINT min/subtract plus single divisions
+  // rounded to 6 places identically.
+  //
+  // Scale shape: one partial-aggregated scan to O(sources) rows, a
+  // 1-row global crossJoined back. Nothing grows with corpus size.
+  // -------------------------------------------------------------------
+  val RepeatBudgetFactor = 2L
+  val MaxEpochs = 4L
+
+  val qRepeatEpochs: Q = (s, d) => {
+    val tot = Tables.documents(s, d)
+      .select(col("source"),
+              size(Ops.tokens(col("text"))).cast("bigint").as("n_toks"))
+      .groupBy(col("source")).agg(sum(col("n_toks")).as("src_toks"))
+    val u = tot.withColumn("sqrt_u",
+      round(sqrt(col("src_toks").cast("double")) * 1e6).cast("long"))
+    val denom = u.agg(sum(col("sqrt_u")).as("den_u"),
+                      sum(col("src_toks")).as("tot_toks"))
+    u.crossJoin(denom)
+      .withColumn("target_toks",
+        floor(col("sqrt_u").cast("double")
+                * (col("tot_toks") * RepeatBudgetFactor).cast("double")
+                / col("den_u").cast("double")).cast("long"))
+      .withColumn("effective_toks",
+        least(col("src_toks") * MaxEpochs, col("target_toks")))
+      .select(col("source"), col("src_toks"),
+        round(col("sqrt_u").cast("double")
+                / col("den_u").cast("double"), 6).as("weight"),
+        col("target_toks"),
+        round(col("target_toks").cast("double")
+                / col("src_toks").cast("double"), 6).as("epochs_raw"),
+        round(col("effective_toks").cast("double")
+                / col("src_toks").cast("double"), 6).as("epochs"),
+        col("effective_toks"),
+        (col("target_toks") - col("effective_toks")).as("unused_toks"))
+      .orderBy(col("source"))
+  }
+
+  val qRepeatEpochsSql: String =
+    s"""WITH t AS (
+      |  SELECT source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |tot AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS src_toks
+      |        FROM t GROUP BY 1),
+      |u AS (SELECT source, src_toks,
+      |             CAST(ROUND(SQRT(CAST(src_toks AS DOUBLE)) * 1000000.0)
+      |                  AS BIGINT) AS sqrt_u
+      |      FROM tot),
+      |d AS (SELECT CAST(SUM(sqrt_u) AS BIGINT) AS den_u,
+      |             CAST(SUM(src_toks) AS BIGINT) AS tot_toks FROM u),
+      |a AS (
+      |  SELECT source, src_toks, sqrt_u, den_u,
+      |         CAST(FLOOR(CAST(sqrt_u AS DOUBLE)
+      |                    * CAST(tot_toks * $RepeatBudgetFactor AS DOUBLE)
+      |                    / CAST(den_u AS DOUBLE)) AS BIGINT) AS target_toks
+      |  FROM u CROSS JOIN d),
+      |e AS (
+      |  SELECT *, LEAST(src_toks * $MaxEpochs, target_toks)
+      |              AS effective_toks
+      |  FROM a)
+      |SELECT source, src_toks,
+      |       ROUND(CAST(sqrt_u AS DOUBLE) / CAST(den_u AS DOUBLE), 6)
+      |         AS weight,
+      |       target_toks,
+      |       ROUND(CAST(target_toks AS DOUBLE) / CAST(src_toks AS DOUBLE), 6)
+      |         AS epochs_raw,
+      |       ROUND(CAST(effective_toks AS DOUBLE) / CAST(src_toks AS DOUBLE),
+      |             6) AS epochs,
+      |       effective_toks,
+      |       target_toks - effective_toks AS unused_toks
+      |FROM e ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_mlm_mask — deterministic BERT-style token masking, the map-only
+  // data-prep step of masked-LM training: position i of document d is
+  // masked iff md5Bits60(d:i) < floor(0.15 * 2^60) — the same
+  // coordination-free hash-threshold sampler as q_stratified_sample /
+  // q_mixture_sample, so any executor (or a re-run, or the streaming
+  // twin of an ingest) derives the identical mask with no shared RNG
+  // state. Emitted per document: token count, masked count, realized
+  // mask rate, and a 60-bit fingerprint of the masked position list —
+  // the value a downstream trainer checksums to prove the mask it saw
+  // is the mask this pass computed.
+  //
+  // MaskThrBits = floor(0.15 * 2^60) precomputed as a literal on both
+  // sides: 2^60 * 15 overflows BIGINT, so the arithmetic form is not
+  // portable but the 18-digit constant is.
+  //
+  // Scale shape: MAP-ONLY, the strongest posture in the registry — one
+  // projection computes the mask from the token array in hand (filter
+  // over sequence(0, n-1)); no shuffle, no state, output one row per
+  // document. At 100 TB this rides the ingest scan for free.
+  // -------------------------------------------------------------------
+  val MaskThrBits = 172938225691027046L // floor(0.15 * 2^60)
+
+  val qMlmMask: Q = (s, d) => mlmMask(Tables.documents(s, d))
+
+  /** Core of q_mlm_mask over any (doc_id, text) frame — split out so
+    * specs can recompute the hash-threshold mask independently on
+    * crafted documents.
+    */
+  def mlmMask(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("doc_id"), Ops.tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("bigint"))
+      .withColumn("masked",
+        filter(sequence(lit(0L), col("n_toks") - 1), i =>
+          Ops.md5Bits60(concat(col("doc_id").cast("string"), lit(":"),
+                               i.cast("string"))) < lit(MaskThrBits)))
+      .select(col("doc_id"), col("n_toks"),
+        size(col("masked")).cast("bigint").as("n_masked"),
+        round(size(col("masked")).cast("double")
+                / col("n_toks").cast("double"), 6).as("mask_frac"),
+        Ops.md5Bits60(array_join(
+          transform(col("masked"), _.cast("string")), ",")).as("mask_sig"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qMlmMaskSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, n_toks,
+      |         list_filter(range(0, n_toks), i ->
+      |           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+      |                               || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+      |             < $MaskThrBits) AS masked
+      |  FROM t)
+      |SELECT doc_id, n_toks,
+      |       CAST(len(masked) AS BIGINT) AS n_masked,
+      |       ROUND(CAST(len(masked) AS DOUBLE) / CAST(n_toks AS DOUBLE), 6)
+      |         AS mask_frac,
+      |       -- DuckDB array_to_string([]) is NULL where Spark's
+      |       -- array_join([]) is '' -- coalesce to the Spark value
+      |       ('0x' || substr(md5(COALESCE(array_to_string(
+      |          list_transform(masked, x -> CAST(x AS VARCHAR)), ','), '')),
+      |          1, 15))::BIGINT AS mask_sig
+      |FROM m ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // q_boilerplate — CCNet/RefinedWeb-style boilerplate removal by
@@ -2743,6 +2983,9 @@ object Corpus {
     "q_mixture_sample"   -> qMixtureSample,
     "q_mix_temperature"  -> qMixTemperature,
     "q_chunk_overlap"    -> qChunkOverlap,
+    "q_chunk_dedup"      -> qChunkDedup,
+    "q_repeat_epochs"    -> qRepeatEpochs,
+    "q_mlm_mask"         -> qMlmMask,
     "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_perplexity_buckets" -> qPerplexityBuckets,
     "q_dedup_cluster"    -> qDedupCluster,
@@ -2776,6 +3019,9 @@ object Corpus {
     "q_mixture_sample"   -> qMixtureSampleSql,
     "q_mix_temperature"  -> qMixTemperatureSql,
     "q_chunk_overlap"    -> qChunkOverlapSql,
+    "q_chunk_dedup"      -> qChunkDedupSql,
+    "q_repeat_epochs"    -> qRepeatEpochsSql,
+    "q_mlm_mask"         -> qMlmMaskSql,
     "q_tokenizer_fertility" -> qTokenizerFertilitySql,
     "q_perplexity_buckets" -> qPerplexityBucketsSql,
     "q_dedup_cluster"    -> qDedupClusterSql,

@@ -52,6 +52,18 @@ def main():
     else:
         ap.error("pass zero files (git mode) or exactly two")
 
+    # Shuffle bytes are deterministic for a given plan + data + THREAD
+    # COUNT: partitioning (local[N] sets shuffle.partitions=N) changes
+    # per-block framing and compression on MB-scale shuffles (measured
+    # 1.8x on identical source between 8 and 32 threads). Snapshots from
+    # different environments are not comparable — refuse, don't flag.
+    oc, nc = old.get("cpus"), new.get("cpus")
+    if oc != nc:
+        print(f"NOT COMPARABLE: baseline cpus={oc} vs current cpus={nc} "
+              f"(shuffle bytes depend on partition count; regenerate the "
+              f"baseline at the same SPARK_GRAFT_CPUS)")
+        return 2
+
     flagged = []
     for kind in ("shuffle_read_mb", "shuffle_write_mb"):
         o, n = old.get(kind, {}), new.get(kind, {})
