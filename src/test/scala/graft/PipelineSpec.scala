@@ -519,4 +519,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(stream == batch)
     assert(batch.nonEmpty)
   }
+
+  test("chunk ingest stream: ledger folds to the batch operator exactly, any order, idempotent") {
+    import graft.streaming.ChunkStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_chunkledger").toString + "/chunkledger"
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    // REVERSE-order micro-batches: chunk sharing is retroactive and the
+    // incidence ledger is order-insensitive, so parity must hold for
+    // any arrival order (unlike the first-seen-wins ledgers).
+    assert(ChunkStream.ingestBatch(docs.filter($"doc_id" >= 250), dir) > 0)
+    ChunkStream.ingestBatch(docs.filter($"doc_id" < 250), dir)
+    val got = ChunkStream.sharedStats(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val twin = graft.ext.Corpus.chunkDedup(docs)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == twin,
+           "incidence ledger must fold to the batch shared-chunk stats")
+    // Idempotent re-ingest: replaying the whole corpus admits nothing.
+    assert(ChunkStream.ingestBatch(docs, dir) == 0L)
+    // Retroactive sharing: a late verbatim copy of the first document
+    // flips every chunk of the ORIGINAL to shared.
+    val (d0, t0) = docs.orderBy($"doc_id").as[(Long, String)].head()
+    assert(ChunkStream.ingestBatch(
+      Seq((99000L, t0)).toDF("doc_id", "text"), dir) > 0L)
+    val after = ChunkStream.sharedStats(spark, dir)
+      .filter($"doc_id" === d0)
+      .as[(Long, Long, Long, Double)].head()
+    assert(after._2 == after._3 && after._4 == 1.0,
+           s"original doc $d0 must be fully shared after its copy arrives")
+    // Same staged-commit bucket layout as the other ledgers.
+    val entries = new java.io.File(dir).listFiles().map(_.getName)
+    assert(entries.nonEmpty && entries.forall(_.startsWith("bucket=")))
+  }
 }
