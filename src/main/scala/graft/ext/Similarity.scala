@@ -895,6 +895,83 @@ object Similarity {
        |$recallTailSql""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_mrl_recall — Matryoshka-style dimension-truncation eval
+  // (Kusupati et al. 2022, "Matryoshka Representation Learning"): grade
+  // brute-force cosine retrieval over only the FIRST MrlDim of Dim
+  // embedding dimensions against the full-dimension exact top-K. This
+  // is the storage/recall knob a 100 TB pipeline prices before
+  // committing to truncated vectors (16 of 64 dims = 4x smaller index,
+  // 4x cheaper scans — worth exactly as much recall as this number
+  // says); it completes the recall panel's fourth axis: IVF prunes
+  // CANDIDATES, LSH prunes BUCKETS, PQ compresses CODES, MRL truncates
+  // DIMENSIONS, all graded against one shared exact baseline.
+  //
+  // Exactness: the truncated side is the q_similarity_topk arithmetic
+  // verbatim on slice(embedding, 1, MrlDim) — same round-6 score, same
+  // (score DESC, vec_id) tiebreak — and the eval tail is the shared
+  // recallOf / recallTailSql pair, so every count is BIGINT and recall
+  // is one division of identical integers.
+  //
+  // Scale shape: identical to the panel siblings — the eval joins two
+  // K-bounded per-query lists (metadata-sized); the retrieval cost is
+  // the NumQueries-sampled brute-force scan, truncated-side reading
+  // MrlDim/Dim of the vector bytes (the knob's entire point).
+  // ------------------------------------------------------------------
+  val MrlDim = 16
+
+  /** Brute-force cosine top-K over the first `dims` dimensions —
+    * parametrized so the spec can pin dims = Dim ≡ the exact retrieval
+    * (structural self-consistency of the truncation pipeline).
+    */
+  def mrlTopk(s: SparkSession, d: String, dims: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), slice(col("embedding"), 1, dims).as("te"))
+      .select(col("vec_id"), col("te"),
+              VectorFunctions.vecNorm(col("te")).as("nrm"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("te").as("qe"),
+              col("nrm").as("qnrm"))
+    val cand = e
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("score",
+        round(VectorFunctions.vecDot(col("qe"), col("te"))
+                / (col("qnrm") * col("nrm")), 6))
+    Ops.topKPerGroup(cand, Seq("qid"), -col("score"), col("vec_id"), TopK)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  val qMrlRecall: Q = (s, d) => recallOf(
+    mrlTopk(s, d, MrlDim),
+    qSimilarityTopk(s, d).select(col("qid"), col("vec_id")))
+
+  val qMrlRecallSql: String =
+    s"""WITH nrm AS (
+       |  SELECT vec_id, sqrt((SELECT SUM(CAST(embedding[i.i] AS DOUBLE) ** 2)
+       |                       FROM generate_series(1, $Dim) i(i))) AS nrm
+       |  FROM embeddings),
+       |tnrm AS (
+       |  SELECT vec_id, sqrt((SELECT SUM(CAST(embedding[i.i] AS DOUBLE) ** 2)
+       |                       FROM generate_series(1, $MrlDim) i(i))) AS tn
+       |  FROM embeddings),
+       |mq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |       WHERE vec_id < $NumQueries),
+       |mcand AS (
+       |  SELECT mq.qid, e.vec_id,
+       |         round((SELECT SUM(CAST(qe[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))
+       |                FROM generate_series(1, $MrlDim) i(i)) / (tq.tn * te.tn), 6) AS score
+       |  FROM mq
+       |  JOIN embeddings e ON e.vec_id <> mq.qid
+       |  JOIN tnrm tq ON tq.vec_id = mq.qid
+       |  JOIN tnrm te ON te.vec_id = e.vec_id),
+       |approx_list AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY score DESC, vec_id) AS rn
+       |    FROM mcand) WHERE rn <= $TopK),
+       |$recallTailSql""".stripMargin
+
+  // ------------------------------------------------------------------
   // IVF-PQ (q_ann_ivfpq): the composed 100 TB ANN path — the IVF coarse
   // quantizer prunes the search to NProbe cells (read ~NProbe/NumCells
   // of the corpus), and WITHIN those cells candidates are scored by PQ
@@ -1912,6 +1989,7 @@ object Similarity {
     "q_ann_recall"      -> qAnnRecall,
     "q_lsh_recall"      -> qLshRecall,
     "q_pq_recall"       -> qPqRecall,
+    "q_mrl_recall"      -> qMrlRecall,
     "q_ann_lsh"         -> qAnnLsh,
     "q_ann_ivf"         -> qAnnIvf,
     "q_ann_pq"          -> qAnnPq,
@@ -1937,6 +2015,7 @@ object Similarity {
     "q_ann_recall"      -> qAnnRecallSql,
     "q_lsh_recall"      -> qLshRecallSql,
     "q_pq_recall"       -> qPqRecallSql,
+    "q_mrl_recall"      -> qMrlRecallSql,
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,
     "q_kmeans_cells"    -> qKmeansCellsSql,

@@ -159,4 +159,40 @@ class AnnClusteredSpec extends AnyFunSuite {
     // sign convention: the projections of increasing t must increase
     assert(got.last._3 > got.head._3)
   }
+
+  test("mrlTopk at full dimension IS the exact retrieval (recall 1.0)") {
+    // Structural self-consistency of the truncation pipeline: slicing
+    // to all Dim dims must reproduce q_similarity_topk's list exactly —
+    // same scores, same tiebreak, so the recall eval reads all-1.0.
+    val full = Similarity.mrlTopk(spark, TestSpark.Sf, Similarity.Dim)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val ex = Similarity.qSimilarityTopk(spark, TestSpark.Sf)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(full == ex)
+  }
+
+  test("MRL truncation on clustered data: within-cluster containment") {
+    // What a prefix of an untrained embedding genuinely preserves is the
+    // CENTROID's identity (any 16 dims of a random centroid separate the
+    // clusters), not the fine within-cluster ordering — so top-K recall
+    // reads a measured 0.34 here (vs ~0.08 on the near-uniform sf
+    // embeddings: the same data-geometry effect the LSH/IVF floors
+    // document, and the honest knob price absent MRL training, whose
+    // entire point is to pack ordering into the prefix). The structural
+    // pin is containment: truncated retrieval must stay within the
+    // query's cluster.
+    val approx = Similarity.mrlTopk(spark, dir, Similarity.MrlDim)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+    val label = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val within = approx.count { case (q, v) => label(q) == label(v) }
+    val frac = within.toDouble / approx.length
+    val r = recallOf(Similarity.mrlTopk(spark, dir, Similarity.MrlDim))
+    info(f"MRL (${Similarity.MrlDim} of ${Similarity.Dim} dims): " +
+         f"recall $r%.2f, within-cluster containment $frac%.2f")
+    assert(frac >= 0.9,
+           f"truncated retrieval left the query's cluster: $frac%.2f")
+    assert(r >= 0.2, f"clustered-MRL recall $r%.2f fell below the " +
+           "measured-geometry floor (0.34 at pin time, uniform ~0.08)")
+  }
 }
