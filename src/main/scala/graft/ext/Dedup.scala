@@ -32,6 +32,62 @@ object Dedup {
       |       count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_dup_profile — the dedup REPORT: the distribution of exact-
+  // duplicate cluster sizes (how many clusters of size k, how many
+  // documents they hold, what fraction of the corpus that is, and how
+  // many documents dedup would remove) — the headline table corpus
+  // papers publish (C4/CCNet/RefinedWeb all report duplicate-mass
+  // profiles) and the number that decides whether exact dedup is worth
+  // a pass at all before the near-dup stages run.
+  //
+  // Scale shape: one partial-aggregated scan to hash-clusters, a
+  // second partial agg over cluster SIZES (output = distinct sizes, a
+  // handful of rows at any corpus scale — the 100×-copy stressor's
+  // whole profile is one row at csize≈100), and a 1-row total
+  // crossJoined back. Every aggregate is a BIGINT; doc_frac is one
+  // division of identical integers rounded identically.
+  // ------------------------------------------------------------------
+  val qDupProfile: Q = (s, d) => dupProfile(Tables.documents(s, d))
+
+  /** Core of q_dup_profile over any (doc_id, text) frame — split out so
+    * specs can pin the multi-size distribution on a crafted corpus (the
+    * sf gates carry no exact duplicates, so their profile is one row).
+    */
+  def dupProfile(docs: DataFrame): DataFrame = {
+    val clusters = docs
+      .groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(count(lit(1)).as("csize"))
+    val dist = clusters.groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("csize"), col("n_clusters"),
+              (col("csize") * col("n_clusters")).as("n_docs"),
+              ((col("csize") - 1) * col("n_clusters")).as("removable"))
+    val tot = dist.agg(sum(col("n_docs")).as("tot_docs"))
+    dist.crossJoin(tot)
+      .select(col("csize"), col("n_clusters"), col("n_docs"),
+              col("removable"),
+              round(col("n_docs").cast("double")
+                      / col("tot_docs").cast("double"), 6).as("doc_frac"))
+      .orderBy(col("csize"))
+  }
+
+  val qDupProfileSql: String =
+    """WITH c AS (
+      |  SELECT sha256(text) AS text_hash,
+      |         CAST(count(*) AS BIGINT) AS csize
+      |  FROM documents GROUP BY 1),
+      |dist AS (
+      |  SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters
+      |  FROM c GROUP BY 1),
+      |t AS (SELECT CAST(SUM(csize * n_clusters) AS BIGINT) AS tot_docs
+      |      FROM dist)
+      |SELECT csize, n_clusters, csize * n_clusters AS n_docs,
+      |       (csize - 1) * n_clusters AS removable,
+      |       ROUND(CAST(csize * n_clusters AS DOUBLE)
+      |             / CAST(tot_docs AS DOUBLE), 6) AS doc_frac
+      |FROM dist CROSS JOIN t ORDER BY csize""".stripMargin
+
   // Blocking-signature near-dup: cheap deterministic signature
   // (lang, length bucket, normalized 40-char prefix) groups likely
   // duplicates without any pairwise work — the first stage of a
@@ -1921,6 +1977,7 @@ object Dedup {
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_exact"   -> qDedupExact,
+    "q_dup_profile"   -> qDupProfile,
     "q_dedup_block"   -> qDedupBlock,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_prefix_jaccard" -> qPrefixJaccard,
@@ -1945,6 +2002,7 @@ object Dedup {
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_dedup_exact"   -> qDedupExactSql,
+    "q_dup_profile"   -> qDupProfileSql,
     "q_dedup_block"   -> qDedupBlockSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_prefix_jaccard" -> qPrefixJaccardSql,

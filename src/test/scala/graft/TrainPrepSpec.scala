@@ -85,6 +85,22 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("dupProfile: multi-size cluster distribution on a crafted corpus") {
+    // 3 copies of A, 2 of B, 1 of C -> one cluster per size 1..3; the
+    // sf gates carry no exact duplicates (their profile is the single
+    // csize=1 row), so the interesting path is pinned here.
+    val docs = Seq((1L, "a a a"), (2L, "a a a"), (3L, "a a a"),
+                   (4L, "b b"), (5L, "b b"), (6L, "c"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.dupProfile(docs)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+           Seq((1L, 1L, 1L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L)))
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-6,
+           "doc_frac is a distribution over the corpus")
+    assert(got.map(_._4).sum == 3L, "dedup would remove 3 of 6 docs")
+  }
+
   test("q_mlm_mask: realized rate concentrates near 15%") {
     val agg = Corpus.qMlmMask(spark, sf)
       .agg(sum(col("n_masked")).cast("double") / sum(col("n_toks")))
