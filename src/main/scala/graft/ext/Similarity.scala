@@ -387,19 +387,41 @@ object Similarity {
 
   val qAnnIvf: Q = (s, d) => {
     val e0 = Tables.embeddings(s, d)
-    val mat = trainCodebook(e0)
+    ivfTopkWith(e0, trainCodebook(e0), NProbe)
+      .orderBy(col("qid"), col("rn"))
+  }
 
-    def rankedCells(emb: Column): Column =
-      VectorFunctions.matrixDotRank(emb, mat, Dim)
+  /** The IVF probe retrieval over a pre-trained codebook, parametrized
+    * by nprobe — shared by q_ann_ivf (nprobe = NProbe) and q_ivf_sweep
+    * (the tuning curve trains ONCE and sweeps nprobe over the same
+    * codebook, which is also what makes the curve comparable).
+    */
+  private[graft] def ivfTopkWith(e0: DataFrame, mat: Array[Float],
+                                 nprobe: Int): DataFrame =
+    ivfProbeTopk(ivfAssigned(e0, mat), e0, mat, nprobe)
 
-    val e = e0.select(col("vec_id"), col("embedding"),
-                      element_at(rankedCells(col("embedding")), 1)
-                        .cast("bigint").as("cell"),
-                      VectorFunctions.vecNorm(col("embedding")).as("nrm"))
+  /** The corpus side of the IVF index: every vector with its nearest
+    * cell and norm — the expensive full-scan half, split out so
+    * q_ivf_sweep can persist it ONCE across the whole nprobe curve.
+    */
+  private[graft] def ivfAssigned(e0: DataFrame, mat: Array[Float]): DataFrame =
+    e0.select(col("vec_id"), col("embedding"),
+              element_at(VectorFunctions.matrixDotRank(col("embedding"),
+                                                       mat, Dim), 1)
+                .cast("bigint").as("cell"),
+              VectorFunctions.vecNorm(col("embedding")).as("nrm"))
+
+  /** The query side: probe the top-nprobe cells of each query vector
+    * against a (possibly persisted) assigned corpus.
+    */
+  private[graft] def ivfProbeTopk(e: DataFrame, e0: DataFrame,
+                                  mat: Array[Float], nprobe: Int): DataFrame = {
     val q = e0.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
               VectorFunctions.vecNorm(col("embedding")).as("qnrm"),
-              explode(slice(rankedCells(col("embedding")), 1, NProbe)).as("pc"))
+              explode(slice(VectorFunctions.matrixDotRank(col("embedding"),
+                                                          mat, Dim),
+                            1, nprobe)).as("pc"))
       .select(col("qid"), col("qe"), col("qnrm"),
               col("pc").cast("bigint").as("probe_cell"))
     val cand = e.join(broadcast(q),
@@ -409,7 +431,6 @@ object Similarity {
                 (col("qnrm") * col("nrm")), 6))
     Ops.topKPerGroup(cand, Seq("qid"), -col("score"), col("vec_id"), TopK)
       .select(col("qid"), col("cell"), col("vec_id"), col("score"), col("rn"))
-      .orderBy(col("qid"), col("rn"))
   }
 
   /** DuckDB oracle for the sign-LSH ANN. The hyperplanes are re-derived
@@ -604,7 +625,11 @@ object Similarity {
     * CTE named `approx_list` (qid, vec_id) against brute-force cosine.
     * Expects a `nrm` CTE in scope (both retrieval chains define one).
     */
-  private def recallTailSql: String =
+  /** The exact brute-force top-K list as CTEs ending in `exact`
+    * (qid, vec_id) — the shared baseline of every recall oracle.
+    * Expects a `nrm` CTE in scope.
+    */
+  private def exactListCtesSql: String =
     s"""xq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |       WHERE vec_id < $NumQueries),
        |xcand AS (
@@ -620,7 +645,10 @@ object Similarity {
        |    SELECT qid, vec_id,
        |           row_number() OVER (PARTITION BY qid
        |             ORDER BY score DESC, vec_id) AS rn
-       |    FROM xcand) WHERE rn <= $TopK),
+       |    FROM xcand) WHERE rn <= $TopK)""".stripMargin
+
+  private def recallTailSql: String =
+    s"""$exactListCtesSql,
        |hits AS (
        |  SELECT x.qid, CAST(count(*) AS BIGINT) AS n_hits
        |  FROM exact x JOIN approx_list v
@@ -970,6 +998,94 @@ object Similarity {
        |             ORDER BY score DESC, vec_id) AS rn
        |    FROM mcand) WHERE rn <= $TopK),
        |$recallTailSql""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_ivf_sweep — the IVF TUNING CURVE: recall@TopK at nprobe ∈
+  // {1, 2, 4, 8} over ONE shared codebook, the number an ANN deployment
+  // reads to pick its scan-fraction/recall operating point (probing p
+  // of NumCells cells reads ~p/NumCells of the corpus — the entire
+  // point of the index — and this query prices what each step of that
+  // dial buys). The q_threshold_sweep discipline applied to retrieval:
+  // train once, sweep the knob, emit the curve.
+  //
+  // Exactness: each sweep point is the q_ann_ivf retrieval verbatim
+  // (shared ivfProbeTopk, shared kmeans funnel in the oracle) against
+  // the shared exact list; counts are BIGINTs and recall is one
+  // division of identical integers — micro-averaged over queries
+  // (Σhits/Σexact), matching the oracle's aggregate exactly.
+  //
+  // Scale shape: the corpus-side cell assignment (the expensive full
+  // scan) is computed ONCE and persisted across the whole curve; each
+  // sweep point adds only its probe join (p/NumCells of the corpus)
+  // and a K-bounded semi-join against the persisted exact list. The
+  // exact baseline is the NumQueries-sampled brute-force scan — the
+  // eval's documented fixed budget, not a corpus-scaling cost.
+  // ------------------------------------------------------------------
+  val SweepProbes = Seq(1, 2, 4, 8)
+
+  val qIvfSweep: Q = (s, d) => {
+    val e0 = Tables.embeddings(s, d)
+    val mat = trainCodebook(e0)
+    val e = ivfAssigned(e0, mat).persist() // one scan serves all points
+    val exact = qSimilarityTopk(s, d).select(col("qid"), col("vec_id"))
+      .persist() // 4 semi-joins + 4 counts
+    val rows = SweepProbes.map { p =>
+      val approx = ivfProbeTopk(e, e0, mat, p)
+        .select(col("qid"), col("vec_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(
+          exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hits")))
+        .select(lit(p.toLong).as("nprobe"), col("n_exact"), col("n_hits"),
+                round(col("n_hits").cast("double")
+                        / col("n_exact").cast("double"), 6).as("recall"))
+    }
+    val out = rows.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+    val ckpt = graft.PlanMode.checkpointTail(out)
+    e.unpersist()
+    exact.unpersist()
+    ckpt
+  }
+
+  val qIvfSweepSql: String = {
+    val per = SweepProbes.map { p =>
+      s"""sprobes_$p AS (
+         |  SELECT vec_id AS qid, cell AS probe_cell FROM dots
+         |  WHERE vec_id < $NumQueries AND cell_rn <= $p),
+         |scand_$p AS (
+         |  SELECT sp.qid, e.vec_id,
+         |         round((SELECT SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))
+         |                FROM generate_series(1, $Dim) i(i)) / (nq.nrm * ne.nrm), 6) AS score
+         |  FROM sprobes_$p sp
+         |  JOIN assigned a ON a.cell = sp.probe_cell
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  JOIN embeddings q ON q.vec_id = sp.qid
+         |  JOIN nrm nq ON nq.vec_id = sp.qid
+         |  JOIN nrm ne ON ne.vec_id = e.vec_id
+         |  WHERE e.vec_id <> sp.qid),
+         |sappx_$p AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY score DESC, vec_id) AS rn
+         |    FROM scand_$p) WHERE rn <= $TopK),
+         |srow_$p AS (
+         |  SELECT CAST($p AS BIGINT) AS nprobe,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM exact x
+         |          JOIN sappx_$p v ON v.qid = x.qid AND v.vec_id = x.vec_id)
+         |           AS n_hits)""".stripMargin
+    }
+    s"""WITH $kmeansFunnelCtes,
+       |$exactListCtesSql,
+       |${per.mkString(",\n")}
+       |SELECT nprobe, n_exact, n_hits,
+       |       ROUND(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+       |         AS recall
+       |FROM (${SweepProbes.map(p => s"SELECT * FROM srow_$p")
+                 .mkString(" UNION ALL ")})
+       |ORDER BY nprobe""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // IVF-PQ (q_ann_ivfpq): the composed 100 TB ANN path — the IVF coarse
@@ -1990,6 +2106,7 @@ object Similarity {
     "q_lsh_recall"      -> qLshRecall,
     "q_pq_recall"       -> qPqRecall,
     "q_mrl_recall"      -> qMrlRecall,
+    "q_ivf_sweep"       -> qIvfSweep,
     "q_ann_lsh"         -> qAnnLsh,
     "q_ann_ivf"         -> qAnnIvf,
     "q_ann_pq"          -> qAnnPq,
@@ -2016,6 +2133,7 @@ object Similarity {
     "q_lsh_recall"      -> qLshRecallSql,
     "q_pq_recall"       -> qPqRecallSql,
     "q_mrl_recall"      -> qMrlRecallSql,
+    "q_ivf_sweep"       -> qIvfSweepSql,
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,
     "q_kmeans_cells"    -> qKmeansCellsSql,

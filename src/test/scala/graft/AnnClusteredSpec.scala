@@ -195,4 +195,23 @@ class AnnClusteredSpec extends AnyFunSuite {
     assert(r >= 0.2, f"clustered-MRL recall $r%.2f fell below the " +
            "measured-geometry floor (0.34 at pin time, uniform ~0.08)")
   }
+
+  test("q_ivf_sweep: recall is monotone non-decreasing in nprobe") {
+    // Theorem, not luck: candidates(p) ⊆ candidates(p') for p < p', and
+    // an exact-top-K member present in the candidate set can only be
+    // outranked by fewer than K elements (all themselves exact-top-K),
+    // so it always survives the approx top-K — hits grow with p. The
+    // closed end (nprobe = NumCells ≡ brute force, recall 1.0) is
+    // ProductionPathSpec's existing full-probe pin.
+    val rows = Similarity.qIvfSweep(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Similarity.SweepProbes.map(_.toLong))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 <= b._4 + 1e-9,
+               s"recall fell from nprobe=${a._1} (${a._4}) to ${b._1} (${b._4})")
+      case _ => ()
+    }
+    assert(rows.forall(r => r._2 > 0 && r._3 >= 0 && r._3 <= r._2))
+  }
 }
