@@ -854,33 +854,49 @@ object Dedup {
   val DedupRecallJacT = 0.5
   val DedupRecallIdCap = 1000L
 
-  val qDedupRecall: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+  /** The recall-eval block: capped demo docs with grams + full MinHash
+    * signature — shared by q_dedup_recall and q_band_sweep (persist at
+    * the call site).
+    */
+  private def recallBlock(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .filter(col("doc_id") % 2 === 0 && col("doc_id") < DedupRecallIdCap)
       .select(col("doc_id"),
               Ops.shingles(Ops.tokens(col("text")), 3).as("grams"))
       .withColumn("sig", Ops.minHashSignatureMod(
         transform(col("grams"), g => Ops.md5Bits60(g) % Ops.HashModP),
         NumHashes))
-      .persist()
+
+  /** Star-edge banded candidates over a (doc_id, sig) frame for an
+    * arbitrary (bands × rowsPer = NumHashes) split — q_dedup_recall's
+    * generator with the banding parametrized so q_band_sweep can price
+    * the knob on the same signatures.
+    */
+  private def starCandidates(docs: DataFrame, bands: Int,
+                             rowsPer: Int): DataFrame = {
     val banded = docs.select(
       col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => array_join(transform(
-               slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand)),
+               slice(col("sig"), j * rowsPer + 1, lit(rowsPer)),
                _.cast("string")), ":"))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bucket")
     val bucketRep = banded.groupBy(col("band_id"), col("bucket"))
       .agg(min(col("doc_id")).as("rep"))
     // rep = bucket min, so star edges are already (doc_a < doc_b).
-    val cand = banded.join(bucketRep, Seq("band_id", "bucket"))
+    banded.join(bucketRep, Seq("band_id", "bucket"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
-      .persist()
-    val exact = docs.select(col("doc_id").as("doc_a"),
-                            col("grams").as("grams_a"))
+  }
+
+  /** Exact Jaccard-threshold ground-truth pairs over the recall block —
+    * all-pairs BY DESIGN on the fixed-budget frame (ground truth has no
+    * sublinear shortcut; the block cap is what keeps it affordable).
+    */
+  private def exactPairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
       .crossJoin(docs.select(col("doc_id").as("doc_b"),
                              col("grams").as("grams_b")))
       .filter(col("doc_a") < col("doc_b"))
@@ -889,7 +905,11 @@ object Dedup {
                 / size(array_union(col("grams_a"), col("grams_b")))
                 >= DedupRecallJacT)
       .select(col("doc_a"), col("doc_b"))
-      .persist()
+
+  val qDedupRecall: Q = (s, d) => {
+    val docs = recallBlock(s, d).persist()
+    val cand = starCandidates(docs, NumBands, RowsPerBand).persist()
+    val exact = exactPairs(docs).persist()
     val hits = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     val out = exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
@@ -948,6 +968,107 @@ object Dedup {
        |            THEN CAST((SELECT count(*) FROM hits) AS DOUBLE)
        |                   / CAST((SELECT count(*) FROM exact) AS DOUBLE)
        |            ELSE 1.0 END AS recall""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q_band_sweep — the LSH BANDING CURVE: candidate volume and recall
+  // for every (bands × rows_per_band = NumHashes) split of the SAME
+  // 32-hash MinHash signatures, against the same exact ground truth as
+  // q_dedup_recall. The b/r split is THE tuning knob of every
+  // MinHash-LSH deployment (the S-curve threshold sits near (1/b)^(1/r):
+  // more/narrower bands catch lower similarities at more candidate
+  // cost) — this query prices the knob empirically on the corpus's own
+  // signatures instead of trusting the analytic curve. The
+  // q_threshold_sweep / q_ivf_sweep discipline applied to dedup.
+  //
+  // Exactness: signatures, star-edge rule, and ground truth are
+  // q_dedup_recall's verbatim (shared recallBlock / starCandidates /
+  // exactPairs); every count is a BIGINT; recall is one division.
+  //
+  // Scale shape: the signature scan and the exact all-pairs ground
+  // truth (fixed-budget block, the documented eval cap) are computed
+  // ONCE and persisted across the whole curve; each sweep point adds
+  // only its banded shuffle over the persisted signatures — 8 slim
+  // rows per doc regardless of the split — and two bounded counts.
+  // ------------------------------------------------------------------
+  val BandConfigs = Seq((4, 8), (8, 4), (16, 2)) // b × r = NumHashes
+
+  val qBandSweep: Q = (s, d) => {
+    val docs = recallBlock(s, d).persist()
+    val exact = exactPairs(docs).persist()
+    val rows = BandConfigs.map { case (b, r) =>
+      val cand = starCandidates(docs, b, r)
+        .persist() // two consumers: volume count + hit semi-join
+      val hits = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(b.toLong).as("n_bands"),
+                lit(r.toLong).as("rows_per_band"),
+                col("n_exact"), col("n_candidates"), col("n_hits"),
+                when(col("n_exact") > 0L,
+                     col("n_hits").cast("double") /
+                       col("n_exact").cast("double"))
+                  .otherwise(lit(1.0)).as("recall"))
+    }
+    val out = rows.reduce(_.unionByName(_)).orderBy(col("n_bands"))
+    val ckpt = graft.PlanMode.checkpointTail(out)
+    exact.unpersist()
+    docs.unpersist()
+    ckpt
+  }
+
+  val qBandSweepSql: String = {
+    val gramsSql =
+      """list_distinct(list_transform(
+        |           range(greatest(len(string_split(text, ' ')) - 2, 1)),
+        |           i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))""".stripMargin
+    val per = BandConfigs.map { case (b, r) =>
+      s"""banded_$b AS (
+         |  SELECT doc_id, bb.b AS band_id,
+         |         array_to_string(sig[bb.b*$r+1 : bb.b*$r+$r], ':') AS bucket
+         |  FROM sigs CROSS JOIN generate_series(0, ${b - 1}) bb(b)),
+         |reps_$b AS (
+         |  SELECT band_id, bucket, min(doc_id) AS rep
+         |  FROM banded_$b GROUP BY 1, 2),
+         |cand_$b AS (
+         |  SELECT DISTINCT rr.rep AS doc_a, b2.doc_id AS doc_b
+         |  FROM banded_$b b2 JOIN reps_$b rr
+         |    ON rr.band_id = b2.band_id AND rr.bucket = b2.bucket
+         |  WHERE b2.doc_id <> rr.rep),
+         |srow_$b AS (
+         |  SELECT CAST($b AS BIGINT) AS n_bands,
+         |         CAST($r AS BIGINT) AS rows_per_band,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM cand_$b)
+         |           AS n_candidates,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM exact e
+         |          JOIN cand_$b c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b)
+         |           AS n_hits)""".stripMargin
+    }
+    s"""WITH docs AS (
+       |  SELECT doc_id, $gramsSql AS grams
+       |  FROM documents WHERE doc_id % 2 = 0 AND doc_id < $DedupRecallIdCap),
+       |sigs AS (
+       |  SELECT doc_id, grams,
+       |         list_transform(range($NumHashes), k -> list_min(list_transform(
+       |           list_transform(grams, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % 1000000007),
+       |           x -> ((2*k+1)*x + (1000003*k + 12345)) % 1000000007))) AS sig
+       |  FROM docs),
+       |exact AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.grams, b.grams)))
+       |          >= $DedupRecallJacT),
+       |${per.mkString(",\n")}
+       |SELECT n_bands, rows_per_band, n_exact, n_candidates, n_hits,
+       |       CASE WHEN n_exact > 0
+       |            THEN CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE)
+       |            ELSE 1.0 END AS recall
+       |FROM (${BandConfigs.map { case (b, _) => s"SELECT * FROM srow_$b" }
+                 .mkString(" UNION ALL ")})
+       |ORDER BY n_bands""".stripMargin
   }
 
   // SimHash: 60-bit signature where bit i is the sign of
@@ -1963,6 +2084,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "q_minhash_eval" -> qMinhashEval,
     "q_dedup_recall" -> qDedupRecall,
+    "q_band_sweep" -> qBandSweep,
     "q_pagerank"  -> qPagerank,
     "q_dedup_cdc" -> qDedupCdc,
     "q_ngram_novelty" -> qNgramNovelty,
@@ -1988,6 +2110,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q_minhash_eval" -> qMinhashEvalSql,
     "q_dedup_recall" -> qDedupRecallSql,
+    "q_band_sweep" -> qBandSweepSql,
     "q_pagerank"  -> qPagerankSql,
     "q_dedup_cdc" -> qDedupCdcSql,
     "q_ngram_novelty" -> qNgramNoveltySql,

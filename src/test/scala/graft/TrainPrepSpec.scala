@@ -101,6 +101,21 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(got.map(_._4).sum == 3L, "dedup would remove 3 of 6 docs")
   }
 
+  test("q_band_sweep: shared ground truth, bounded hits, config algebra") {
+    val rows = graft.ext.Dedup.qBandSweep(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == graft.ext.Dedup.BandConfigs.length)
+    // every config splits the same signature: b x r = NumHashes
+    rows.foreach { case (b, r, ne, nc, nh, rec) =>
+      assert(b * r == graft.ext.Dedup.NumHashes)
+      assert(nh <= math.min(ne, nc), s"hits bounded: ($b,$r)")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the exact side is computed once — identical in every row
+    assert(rows.map(_._3).distinct.length == 1,
+           "ground truth must be shared across configs")
+  }
+
   test("q_mlm_mask: realized rate concentrates near 15%") {
     val agg = Corpus.qMlmMask(spark, sf)
       .agg(sum(col("n_masked")).cast("double") / sum(col("n_toks")))
