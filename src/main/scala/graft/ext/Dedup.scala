@@ -900,6 +900,12 @@ object Dedup {
       .crossJoin(docs.select(col("doc_id").as("doc_b"),
                              col("grams").as("grams_b")))
       .filter(col("doc_a") < col("doc_b"))
+      // Measured non-win: the Arasu length filter prunes 40% of the
+      // block's 125k intersects but moves wall not at all — the cost
+      // here is crossJoin row materialization (2 KB gram arrays), not
+      // intersect compute, and the filter runs after rows materialize.
+      // Kept in prefixJaccard where it gates a corpus-sized GENERATOR;
+      // pointless on a capped eval block.
       .filter(size(array_intersect(col("grams_a"), col("grams_b")))
                 .cast("double")
                 / size(array_union(col("grams_a"), col("grams_b")))
