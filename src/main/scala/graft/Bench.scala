@@ -89,6 +89,16 @@ object Bench {
     def sweep(): Unit = {
       BusShim.drain(spark.sparkContext)
       spark.sharedState.cacheManager.clearCache()
+      // localCheckpoint blocks (the checkpointTail queries) are NOT in
+      // the cache manager and are otherwise freed only when the async
+      // ContextCleaner processes the weak-ref queue — at 100x block
+      // sizes they pile up faster than the cleaner drains, pin the
+      // unevictable storage fraction, and starve execution memory (the
+      // whole-registry 100x sweep OOM'd mid-alphabet in an agg merge
+      // while every query passed in isolation). Drop them eagerly: the
+      // previous query's frames are dead by construction here.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
