@@ -684,6 +684,157 @@ object Corpus {
        |FROM c, g GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_pad_waste — padding-waste audit of the two standard batching
+  // strategies: `arrival` (docs batched in corpus order) vs `sorted`
+  // (length-bucketed batching, the dynamic-batching trick every
+  // training/inference stack uses). Each batch pads its members to the
+  // batch max length; waste = Σ(count·max − Σlen) per batch. The table
+  // answers "what fraction of compute does length-sorting recover?".
+  //
+  // Scale shape: batching is per-shard in any real pipeline (a global
+  // sort of 100 TB just to batch would be absurd), so both strategies
+  // run inside md5-hash shards: the shard assignment is map-only, the
+  // row_number windows are PARTITIONED BY shard (all shards in
+  // parallel — no Exchange SinglePartition), and the two aggs funnel
+  // to O(shards) rows. All counters BIGINT; pad_frac is one double
+  // division of identical integers.
+  // -------------------------------------------------------------------
+  val PadShards = 8
+  val PadBatch = 32
+
+  val qPadWaste: Q = (s, d) => padWaste(Tables.documents(s, d))
+
+  /** Core of q_pad_waste over any (doc_id, text) frame — split out so
+    * specs can recompute both batching strategies independently on a
+    * crafted shard.
+    */
+  def padWaste(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs
+      .select(col("doc_id"),
+              (Ops.md5Bits60(col("doc_id").cast("string")) % PadShards)
+                .as("shard"),
+              size(Ops.tokens(col("text"))).cast("bigint").as("n_toks"))
+    val arrival = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val bySize = Window.partitionBy(col("shard"))
+      .orderBy(col("n_toks"), col("doc_id"))
+    val staged =
+      t.select(lit("arrival").as("strategy"), col("shard"), col("n_toks"),
+               ((row_number().over(arrival) - 1) / PadBatch).cast("bigint")
+                 .as("batch"))
+        .unionAll(
+          t.select(lit("sorted").as("strategy"), col("shard"), col("n_toks"),
+                   ((row_number().over(bySize) - 1) / PadBatch).cast("bigint")
+                     .as("batch")))
+    staged
+      .groupBy(col("strategy"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("cnt"), max(col("n_toks")).as("mx"),
+           sum(col("n_toks")).as("toks"))
+      .groupBy(col("strategy"), col("shard"))
+      .agg(count(lit(1)).as("n_batches"),
+           sum(col("cnt") * col("mx") - col("toks")).as("pad_tokens"),
+           round(sum(col("cnt") * col("mx") - col("toks")).cast("double")
+                   / sum(col("cnt") * col("mx")).cast("double"), 6)
+             .as("pad_frac"))
+      .orderBy(col("strategy"), col("shard"))
+  }
+
+  val qPadWasteSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |           % $PadShards AS shard,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |staged AS (
+       |  SELECT 'arrival' AS strategy, shard, n_toks,
+       |         (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) - 1)
+       |           // $PadBatch AS batch
+       |  FROM t
+       |  UNION ALL
+       |  SELECT 'sorted', shard, n_toks,
+       |         (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n_toks, doc_id)
+       |            - 1) // $PadBatch
+       |  FROM t),
+       |b AS (
+       |  SELECT strategy, shard, batch, COUNT(*) AS cnt,
+       |         MAX(n_toks) AS mx, SUM(n_toks) AS toks
+       |  FROM staged GROUP BY 1, 2, 3)
+       |SELECT strategy, shard, COUNT(*) AS n_batches,
+       |       CAST(SUM(cnt * mx - toks) AS BIGINT) AS pad_tokens,
+       |       ROUND(CAST(SUM(cnt * mx - toks) AS DOUBLE)
+       |             / CAST(SUM(cnt * mx) AS DOUBLE), 6) AS pad_frac
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_global_shuffle — the seeded deterministic corpus shuffle every
+  // training run performs before sharding: order docs by a keyed hash
+  // (md5 of seed:doc_id — reproducible across runs and engines), deal
+  // them into hash shards, and fingerprint each shard's exact read
+  // order so a resumed / re-run job can prove it sees the same
+  // permutation. Contrast q_token_shards (contiguous token-balanced
+  // split in CANONICAL order): this one exists to DESTROY order.
+  //
+  // Order fingerprint: Σ (pos·h mod P) mod P over the shard — order-
+  // SENSITIVE (position-weighted) yet computed distributively from the
+  // per-shard row_number window; no corpus-sized string_agg. Factors
+  // (pos mod P)·(h mod P) < 1e18 stay in BIGINT; the running sum rides
+  // DECIMAL(38,0) in Spark (DuckDB sums in HUGEINT) before the final
+  // mod snaps it back to BIGINT.
+  //
+  // Scale shape: one map-only hash projection, one window partitioned
+  // by shard (all shards parallel), one partial agg to O(shards) rows.
+  // -------------------------------------------------------------------
+  val ShuffleSeed = "shuf42:"
+  val ShuffleShards = 16
+
+  val qGlobalShuffle: Q = (s, d) => globalShuffle(Tables.documents(s, d))
+
+  /** Core of q_global_shuffle over any (doc_id, text) frame — split out
+    * so specs can replay the keyed-hash permutation and the
+    * position-weighted fingerprint independently.
+    */
+  def globalShuffle(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs
+      .select(col("doc_id"),
+              size(Ops.tokens(col("text"))).cast("bigint").as("n_toks"),
+              Ops.md5Bits60(concat(lit(ShuffleSeed),
+                                   col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard", col("h") % ShuffleShards)
+    val order = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    t.withColumn("pos", row_number().over(order).cast("bigint"))
+      .withColumn("term",
+        (col("pos") % Ops.HashModP) * (col("h") % Ops.HashModP) % Ops.HashModP)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_toks")).as("n_tokens"),
+           min_by(col("doc_id"), col("pos")).as("first_doc"),
+           (sum(col("term").cast("decimal(38,0)")) % Ops.HashModP)
+             .cast("bigint").as("order_fp"))
+      .orderBy(col("shard"))
+  }
+
+  val qGlobalShuffleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |         ('0x' || substr(md5('$ShuffleSeed' || CAST(doc_id AS VARCHAR)),
+       |                         1, 15))::BIGINT AS h
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, n_toks, h, h % $ShuffleShards AS shard,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY h % $ShuffleShards
+       |                                 ORDER BY h, doc_id) AS BIGINT) AS pos
+       |  FROM t)
+       |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |       ARG_MIN(doc_id, pos) AS first_doc,
+       |       CAST(SUM((pos % ${Ops.HashModP}) * (h % ${Ops.HashModP})
+       |                % ${Ops.HashModP}) % ${Ops.HashModP} AS BIGINT)
+       |         AS order_fp
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // q_contamination — benchmark decontamination: for every corpus doc,
   // its word-5-gram overlap with a deterministic "benchmark" subset
   // (doc_id % 50 == 0, so the set scales with the corpus). The classic
@@ -1188,6 +1339,92 @@ object Corpus {
       |          list_transform(masked, x -> CAST(x AS VARCHAR)), ','), '')),
       |          1, 15))::BIGINT AS mask_sig
       |FROM m ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_span_corruption — deterministic T5-style span corruption (the
+  // denoising objective's data-prep step): a corruption SPAN starts at
+  // position i of document d iff md5Bits60(sp:d:i) < floor(0.05·2^60)
+  // and covers SpanLen = 3 tokens, so the expected corrupted fraction
+  // is ≈ 15% in mean-length-3 spans — T5's published noise recipe —
+  // while staying coordination-free and replayable like q_mlm_mask
+  // (distinct hash domain: the "sp:" prefix keeps the span draw
+  // independent of the MLM mask draw on the same corpus). Overlapping
+  // and adjacent windows merge, exactly as T5 merges spans; n_spans is
+  // the number of sentinel tokens the encoder input would carry.
+  //
+  // Per document: token count, merged-span count, corrupted-token
+  // count/fraction, and a 60-bit fingerprint of the covered-position
+  // list (the trainer-side checksum of the exact corruption pattern).
+  //
+  // Scale shape: MAP-ONLY like q_mlm_mask — all work is lambda
+  // arithmetic over the token-index range in hand; per-doc cost is
+  // O(n·starts) for coverage and O(covered²) for merged-span counting
+  // (positions per doc are bounded by sequence length, not corpus
+  // size). No shuffle; rides the ingest scan at 100 TB.
+  // -------------------------------------------------------------------
+  val SpanThrBits = 57646075230342348L // floor(0.05 * 2^60)
+  val SpanLen = 3
+
+  val qSpanCorruption: Q = (s, d) => spanCorrupt(Tables.documents(s, d))
+
+  /** Core of q_span_corruption over any (doc_id, text) frame — split
+    * out so specs can recompute the span draw independently and pin the
+    * merge algebra on crafted documents.
+    */
+  def spanCorrupt(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("doc_id"), Ops.tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("bigint"))
+      .withColumn("starts",
+        filter(sequence(lit(0L), col("n_toks") - 1), i =>
+          Ops.md5Bits60(concat(lit("sp:"), col("doc_id").cast("string"),
+                               lit(":"), i.cast("string")))
+            < lit(SpanThrBits)))
+      .withColumn("covered",
+        filter(sequence(lit(0L), col("n_toks") - 1), p =>
+          exists(col("starts"), st => st <= p && p < st + SpanLen)))
+      .select(col("doc_id"), col("n_toks"),
+        size(filter(col("covered"),
+                    p => !array_contains(col("covered"), p - 1)))
+          .cast("bigint").as("n_spans"),
+        size(col("covered")).cast("bigint").as("n_corrupted"),
+        round(size(col("covered")).cast("double")
+                / col("n_toks").cast("double"), 6).as("corrupt_frac"),
+        Ops.md5Bits60(array_join(
+          transform(col("covered"), _.cast("string")), ",")).as("span_sig"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSpanCorruptionSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, n_toks,
+       |         list_filter(range(0, n_toks), i ->
+       |           ('0x' || substr(md5('sp:' || CAST(doc_id AS VARCHAR) || ':'
+       |                               || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+       |             < $SpanThrBits) AS starts
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id, n_toks,
+       |         list_filter(range(0, n_toks), p ->
+       |           len(list_filter(starts,
+       |                           x -> x <= p AND p < x + $SpanLen)) > 0)
+       |           AS covered
+       |  FROM st)
+       |SELECT doc_id, n_toks,
+       |       CAST(len(list_filter(covered,
+       |                p -> NOT list_contains(covered, p - 1))) AS BIGINT)
+       |         AS n_spans,
+       |       CAST(len(covered) AS BIGINT) AS n_corrupted,
+       |       ROUND(CAST(len(covered) AS DOUBLE) / CAST(n_toks AS DOUBLE), 6)
+       |         AS corrupt_frac,
+       |       ('0x' || substr(md5(COALESCE(array_to_string(
+       |          list_transform(covered, x -> CAST(x AS VARCHAR)), ','), '')),
+       |          1, 15))::BIGINT AS span_sig
+       |FROM c ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // q_boilerplate — CCNet/RefinedWeb-style boilerplate removal by
@@ -2986,6 +3223,7 @@ object Corpus {
     "q_chunk_dedup"      -> qChunkDedup,
     "q_repeat_epochs"    -> qRepeatEpochs,
     "q_mlm_mask"         -> qMlmMask,
+    "q_span_corruption"  -> qSpanCorruption,
     "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_perplexity_buckets" -> qPerplexityBuckets,
     "q_dedup_cluster"    -> qDedupCluster,
@@ -2997,6 +3235,8 @@ object Corpus {
     "q_pii_scrub"        -> qPiiScrub,
     "q_pack_sequences"   -> qPackSequences,
     "q_token_shards"     -> qTokenShards,
+    "q_pad_waste"        -> qPadWaste,
+    "q_global_shuffle"   -> qGlobalShuffle,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3022,6 +3262,7 @@ object Corpus {
     "q_chunk_dedup"      -> qChunkDedupSql,
     "q_repeat_epochs"    -> qRepeatEpochsSql,
     "q_mlm_mask"         -> qMlmMaskSql,
+    "q_span_corruption"  -> qSpanCorruptionSql,
     "q_tokenizer_fertility" -> qTokenizerFertilitySql,
     "q_perplexity_buckets" -> qPerplexityBucketsSql,
     "q_dedup_cluster"    -> qDedupClusterSql,
@@ -3033,5 +3274,7 @@ object Corpus {
     "q_pii_scrub"        -> qPiiScrubSql,
     "q_pack_sequences"   -> qPackSequencesSql,
     "q_token_shards"     -> qTokenShardsSql,
+    "q_pad_waste"        -> qPadWasteSql,
+    "q_global_shuffle"   -> qGlobalShuffleSql,
   )
 }

@@ -88,6 +88,62 @@ object Dedup {
       |             / CAST(tot_docs AS DOUBLE), 6) AS doc_frac
       |FROM dist CROSS JOIN t ORDER BY csize""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_soft_dedup — duplication DOWN-WEIGHTING instead of removal (the
+  // SoftDeDup idea: keep every copy but give each duplicate cluster a
+  // total weight of one, i.e. per-doc weight 1/cluster_size), reported
+  // as per-source raw vs effective doc counts and token mass. The
+  // number a mixture designer reads: "source X is 40 M docs but only
+  // 9 M effective docs after duplication re-weighting".
+  //
+  // Exactness: the per-doc weight is snapped to integer micro-units
+  // (1e6 DIV csize) so the per-source sums are pure BIGINT on both
+  // engines; eff_docs / eff_tokens are a single double division of
+  // identical integers, rounded identically. (eff_tokens_micro peaks
+  // at n_toks·1e6 per row — a 1e12-token source stays far below
+  // BIGINT range after division-by-csize re-weighting.)
+  //
+  // Scale shape: the cluster size arrives by a window over the same
+  // sha-256 digest shuffle q_dedup_exact rides (perfectly balanced
+  // keys, no join back), then one partial agg funnels to O(sources)
+  // rows. Nothing pairwise anywhere.
+  // ------------------------------------------------------------------
+  val qSoftDedup: Q = (s, d) => softDedup(Tables.documents(s, d))
+
+  /** Core of q_soft_dedup over any (source, text) frame — split out so
+    * specs can pin the cross-source cluster weighting on a crafted
+    * corpus (the sf gates carry no exact duplicates).
+    */
+  def softDedup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy(sha2(col("text"), 256))
+    docs
+      .select(col("source"),
+              size(Ops.tokens(col("text"))).cast("bigint").as("n_toks"),
+              count(lit(1)).over(byHash).as("csize"))
+      .withColumn("w_micro", expr("CAST(1000000 AS BIGINT) DIV csize"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_toks")).as("n_tokens"),
+           round(sum(col("w_micro")).cast("double") / 1e6, 6).as("eff_docs"),
+           round(sum(col("n_toks") * col("w_micro")).cast("double") / 1e6, 6)
+             .as("eff_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val qSoftDedupSql: String =
+    """WITH c AS (
+      |  SELECT source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         COUNT(*) OVER (PARTITION BY sha256(text)) AS csize
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |       ROUND(CAST(SUM(1000000 // csize) AS DOUBLE) / 1e6, 6) AS eff_docs,
+      |       ROUND(CAST(SUM(n_toks * (1000000 // csize)) AS DOUBLE) / 1e6, 6)
+      |         AS eff_tokens
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   // Blocking-signature near-dup: cheap deterministic signature
   // (lang, length bucket, normalized 40-char prefix) groups likely
   // duplicates without any pairwise work — the first stage of a
@@ -2106,6 +2162,7 @@ object Dedup {
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_exact"   -> qDedupExact,
     "q_dup_profile"   -> qDupProfile,
+    "q_soft_dedup"    -> qSoftDedup,
     "q_dedup_block"   -> qDedupBlock,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_prefix_jaccard" -> qPrefixJaccard,
@@ -2132,6 +2189,7 @@ object Dedup {
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_dedup_exact"   -> qDedupExactSql,
     "q_dup_profile"   -> qDupProfileSql,
+    "q_soft_dedup"    -> qSoftDedupSql,
     "q_dedup_block"   -> qDedupBlockSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_prefix_jaccard" -> qPrefixJaccardSql,

@@ -769,7 +769,20 @@ object Similarity {
     }: _*)
 
   val qAnnPq: Q = (s, d) => {
-    val e0 = Tables.embeddings(s, d)
+    val rer = pqRerankedShortlist(s, Tables.embeddings(s, d))
+    Ops.topKPerGroup(rer, Seq("qid"), -col("score"), col("vec_id"), TopK)
+      .select(col("qid"), col("vec_id"), col("adc"), col("score"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** The PQ funnel through the exact-cosine re-rank of the ADC
+    * shortlist, ADC rank (`srn`) retained — shared by q_ann_pq (final
+    * top-K over the full PqShortlist) and q_refine_sweep (recall as a
+    * function of re-rank DEPTH over the same codes and shortlist).
+    * Returns (qid, vec_id, srn, adc, score).
+    */
+  private[graft] def pqRerankedShortlist(s: SparkSession,
+                                         e0: DataFrame): DataFrame = {
     val cents = trainPqCodebook(e0)
     val centsDf = s.createDataFrame(
       for (m <- 0 until PqM; c <- 0 until PqKSub)
@@ -802,16 +815,13 @@ object Similarity {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid2"), col("embedding").as("qe"),
               col("nrm").as("qnrm"))
-    val rer = short
+    short
       .join(e, Seq("vec_id"))
       .join(broadcast(q), col("qid") === col("qid2"))
-      .select(col("qid"), col("vec_id"),
+      .select(col("qid"), col("vec_id"), col("srn"),
               round(col("adc_micro").cast("double") / 1e6, 6).as("adc"),
               round(VectorFunctions.vecDot(col("qe"), col("embedding")) /
                       (col("qnrm") * col("nrm")), 6).as("score"))
-    Ops.topKPerGroup(rer, Seq("qid"), -col("score"), col("vec_id"), TopK)
-      .select(col("qid"), col("vec_id"), col("adc"), col("score"), col("rn"))
-      .orderBy(col("qid"), col("rn"))
   }
 
   /** Shared oracle CTE chain for the PQ funnel, pq_-prefixed so it can
@@ -892,7 +902,7 @@ object Similarity {
        |                       FROM generate_series(1, $Dim) i(i))) AS nrm
        |  FROM embeddings),
        |rer AS (
-       |  SELECT s.qid, s.vec_id,
+       |  SELECT s.qid, s.vec_id, s.srn,
        |         round(CAST(s.adc_micro AS DOUBLE) / 1000000.0, 6) AS adc,
        |         round((SELECT SUM(CAST(qe.embedding[i.i] AS DOUBLE)
        |                           * CAST(e.embedding[i.i] AS DOUBLE))
@@ -921,6 +931,81 @@ object Similarity {
     s"""WITH $pqChainCtesSql,
        |approx_list AS (SELECT qid, vec_id FROM ranked WHERE rn <= $TopK),
        |$recallTailSql""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_refine_sweep — the RE-RANK DEPTH tuning curve, the third knob of
+  // the ANN operating point after nprobe (q_ivf_sweep) and b×r
+  // (q_band_sweep): recall@TopK when only the top-`depth` ADC
+  // candidates are re-ranked with exact cosine, for depth ∈
+  // RefineDepths over ONE code table and ONE ADC pass (train once,
+  // sweep the knob — the house sweep discipline). This is the
+  // compute/recall trade every two-stage retrieval deployment prices:
+  // each re-ranked candidate costs a full-vector fetch + Dim mults, so
+  // depth is the dominant per-query cost term once codes fit in cache.
+  //
+  // Recall is monotone nondecreasing in depth — re-ranking BY EXACT
+  // SCORE from a superset candidate set can never evict a true-top-K
+  // member (fewer than K vectors beat it globally, so fewer than K can
+  // beat it in any candidate subset); RefineSweepSpec states and pins
+  // the theorem, with q_pq_recall (depth = PqShortlist) as the curve's
+  // closed end.
+  //
+  // Scale shape: the ADC scan + shortlist runs once (persisted,
+  // K-bounded per query); each sweep point adds only a filter over the
+  // ≤PqShortlist-per-query re-ranked list and two bounded counts —
+  // the whole curve is one index pass plus metadata-sized evals.
+  // ------------------------------------------------------------------
+  val RefineDepths: Seq[Int] = Seq(5, 10, 20, PqShortlist)
+
+  val qRefineSweep: Q = (s, d) => {
+    val e0 = Tables.embeddings(s, d)
+    val rer = pqRerankedShortlist(s, e0).persist() // one funnel, 4 points
+    val exact = qSimilarityTopk(s, d).select(col("qid"), col("vec_id"))
+      .persist() // 4 semi-joins + 4 counts
+    val rows = RefineDepths.map { c =>
+      val approx = Ops.topKPerGroup(rer.filter(col("srn") <= c), Seq("qid"),
+                                    -col("score"), col("vec_id"), TopK)
+        .select(col("qid"), col("vec_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(
+          exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hits")))
+        .select(lit(c.toLong).as("depth"), col("n_exact"), col("n_hits"),
+                round(col("n_hits").cast("double")
+                        / col("n_exact").cast("double"), 6).as("recall"))
+    }
+    val out = rows.reduce(_.unionByName(_)).orderBy(col("depth"))
+    val ckpt = graft.PlanMode.checkpointTail(out)
+    rer.unpersist()
+    exact.unpersist()
+    ckpt
+  }
+
+  val qRefineSweepSql: String = {
+    val per = RefineDepths.map { c =>
+      s"""rappx_$c AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY score DESC, vec_id) AS rn
+         |    FROM rer WHERE srn <= $c) WHERE rn <= $TopK),
+         |rrow_$c AS (
+         |  SELECT CAST($c AS BIGINT) AS depth,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM exact x
+         |          JOIN rappx_$c v ON v.qid = x.qid AND v.vec_id = x.vec_id)
+         |           AS n_hits)""".stripMargin
+    }
+    s"""WITH $pqChainCtesSql,
+       |$exactListCtesSql,
+       |${per.mkString(",\n")}
+       |SELECT depth, n_exact, n_hits,
+       |       ROUND(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+       |         AS recall
+       |FROM (${RefineDepths.map(c => s"SELECT * FROM rrow_$c")
+                 .mkString(" UNION ALL ")})
+       |ORDER BY depth""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // q_mrl_recall — Matryoshka-style dimension-truncation eval
@@ -2107,6 +2192,7 @@ object Similarity {
     "q_pq_recall"       -> qPqRecall,
     "q_mrl_recall"      -> qMrlRecall,
     "q_ivf_sweep"       -> qIvfSweep,
+    "q_refine_sweep"    -> qRefineSweep,
     "q_ann_lsh"         -> qAnnLsh,
     "q_ann_ivf"         -> qAnnIvf,
     "q_ann_pq"          -> qAnnPq,
@@ -2134,6 +2220,7 @@ object Similarity {
     "q_pq_recall"       -> qPqRecallSql,
     "q_mrl_recall"      -> qMrlRecallSql,
     "q_ivf_sweep"       -> qIvfSweepSql,
+    "q_refine_sweep"    -> qRefineSweepSql,
     "q_ann_lsh"         -> qAnnLshSql,
     "q_ann_ivf"         -> qAnnIvfSql,
     "q_kmeans_cells"    -> qKmeansCellsSql,

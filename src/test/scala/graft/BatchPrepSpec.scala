@@ -1,0 +1,151 @@
+package graft
+
+import graft.ext.{Corpus, Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-11 batch-prep operators that the
+  * DuckDB hash-compare can't express: independent Scala recomputation of
+  * the seeded-shuffle permutation fingerprint, both padding-waste
+  * batching strategies, and the T5 span draw + merge algebra; the
+  * cross-source cluster weighting of soft dedup on a crafted corpus; and
+  * the re-rank-depth monotonicity theorem with q_pq_recall as the
+  * curve's closed end.
+  */
+class BatchPrepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.Sf
+
+  private def bits60(s: String): BigInt = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    BigInt(md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  test("softDedup: cross-source cluster weighting on a crafted corpus") {
+    // "x x" appears 3x ACROSS sources (csize 3 everywhere); "y" once.
+    val docs = Seq(("A", "x x"), ("A", "x x"), ("A", "y"), ("B", "x x"))
+      .toDF("source", "text")
+    val got = Dedup.softDedup(docs)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 3L, 5L, 1.666666, 2.333332)))
+    assert(got("B") == (("B", 1L, 2L, 0.333333, 0.666666)))
+  }
+
+  test("padWaste: both strategies recomputed independently per shard") {
+    // Lengths chosen so batches are heterogeneous; PadBatch = 32 means
+    // each shard holds partial batches too.
+    val docs = (1 to 90).map { i =>
+      (i.toLong, (1 to (i * 7 % 23 + 1)).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val lens = (1 to 90).map(i => i.toLong -> (i * 7 % 23 + 1).toLong).toMap
+    val shardOf = (id: Long) =>
+      (bits60(id.toString) % Corpus.PadShards).toLong
+    def waste(ordered: Seq[Long]): (Long, Long) = {
+      val batches = ordered.map(lens).grouped(Corpus.PadBatch).toSeq
+      (batches.size.toLong,
+       batches.map(b => b.size * b.max - b.sum).sum)
+    }
+    val expect = (1 to 90).map(_.toLong).groupBy(shardOf).flatMap {
+      case (sh, ids) =>
+        val arrival = waste(ids.sorted)
+        val bySize = waste(ids.sortBy(id => (lens(id), id)))
+        Seq(("arrival", sh) -> arrival, ("sorted", sh) -> bySize)
+    }
+    val got = Corpus.padWaste(docs)
+      .select(col("strategy"), col("shard"), col("n_batches"),
+              col("pad_tokens"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == expect)
+  }
+
+  test("globalShuffle: permutation + order fingerprint recomputed") {
+    val docs = (1 to 60).map { i =>
+      (i.toLong, (1 to (i % 5 + 1)).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val P = graft.ops.Ops.HashModP
+    val rows = (1 to 60).map { i =>
+      val h = bits60(Corpus.ShuffleSeed + i.toString)
+      (i.toLong, (i % 5 + 1).toLong, h, (h % Corpus.ShuffleShards).toLong)
+    }
+    val expect = rows.groupBy(_._4).map { case (sh, rs) =>
+      val ordered = rs.sortBy(r => (r._3, r._1))
+      val fp = ordered.zipWithIndex.map { case (r, i) =>
+        (BigInt(i + 1) % P) * (r._3 % P) % P
+      }.sum % P
+      sh -> ((rs.size.toLong, rs.map(_._2).sum, ordered.head._1,
+              fp.toLong))
+    }
+    val got = Corpus.globalShuffle(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expect)
+    // order-sensitivity: permuting two positions changes the fingerprint
+    // (h values are distinct, so distinct position weights differ)
+    val anyShard = expect.keys.head
+    val swapped = rows.filter(_._4 == anyShard).sortBy(r => (r._3, r._1))
+    if (swapped.size >= 2) {
+      val fpSwapped = swapped.reverse.zipWithIndex.map { case (r, i) =>
+        (BigInt(i + 1) % P) * (r._3 % P) % P
+      }.sum % P
+      assert(fpSwapped.toLong != expect(anyShard)._4)
+    }
+  }
+
+  test("spanCorrupt: independent recompute of draw, merge, fingerprint") {
+    val docs = Seq((7L, (1 to 200).map(i => s"w$i").mkString(" ")),
+                   (9L, "one two three"))
+      .toDF("doc_id", "text")
+    val expect = Map(7L -> 200, 9L -> 3).map { case (id, n) =>
+      val starts = (0 until n).filter(i =>
+        bits60(s"sp:$id:$i") < BigInt(Corpus.SpanThrBits))
+      val covered = (0 until n).filter(p =>
+        starts.exists(st => st <= p && p < st + Corpus.SpanLen))
+      val nSpans = covered.count(p => !covered.contains(p - 1))
+      id -> ((n.toLong, nSpans.toLong, covered.size.toLong,
+              bits60(covered.mkString(",")).toLong))
+    }
+    val got = Corpus.spanCorrupt(docs)
+      .select(col("doc_id"), col("n_toks"), col("n_spans"),
+              col("n_corrupted"), col("span_sig"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expect)
+  }
+
+  test("q_span_corruption: corpus-wide realized rate near T5's 15%") {
+    // start prob 0.05 x span 3 => coverage ~ 1 - 0.95^3 ~ 0.143
+    val rows = Corpus.qSpanCorruption(spark, sf)
+      .select(col("n_toks"), col("n_corrupted"), col("n_spans"))
+      .as[(Long, Long, Long)].collect()
+    val rate = rows.map(_._2).sum.toDouble / rows.map(_._1).sum
+    assert(rate > 0.10 && rate < 0.20, s"realized corruption rate $rate")
+    rows.foreach { case (_, nc, ns) =>
+      assert(ns <= nc, "every merged span covers at least one token")
+    }
+  }
+
+  test("refine sweep: recall monotone in depth; closed end == q_pq_recall") {
+    val curve = Similarity.qRefineSweep(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq ==
+             Similarity.RefineDepths.map(_.toLong).sorted)
+    // Re-ranking BY EXACT SCORE from a superset candidate set can never
+    // evict a true-top-K member: fewer than K vectors beat it globally,
+    // so fewer than K can beat it in any candidate subset.
+    curve.sliding(2).foreach {
+      case Array(lo, hi) => assert(lo._4 <= hi._4 + 1e-9,
+        s"recall must not drop with depth: $lo vs $hi")
+      case _ => ()
+    }
+    // depth = PqShortlist IS q_pq_recall, micro-averaged
+    val pq = Similarity.qPqRecall(spark, sf)
+      .select(col("n_exact"), col("n_hits"))
+      .as[(Long, Long)].collect()
+    val last = curve.last
+    assert(last._2 == pq.map(_._1).sum && last._3 == pq.map(_._2).sum)
+  }
+}
