@@ -1008,6 +1008,109 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // q_sq_recall — scalar-quantization (int8) retrieval eval, the FIFTH
+  // axis of the recall panel: IVF prunes CANDIDATES, LSH prunes
+  // BUCKETS, PQ compresses CODES, MRL truncates DIMENSIONS, SQ shrinks
+  // BITS-PER-VALUE — each vector stored as 64 one-byte codes under the
+  // per-vector (min, max) affine map q_embed_quantize audits, cutting
+  // the float32 store 4× with no codebook to train. Retrieval is
+  // brute-force cosine over the RECONSTRUCTED (dequantized) vectors —
+  // the symmetric-distance regime an SQ8 index actually scans in —
+  // graded against the full-precision exact top-K via the shared
+  // recallOf / recallTailSql pair.
+  //
+  // Exactness: reconstruction is the floor-based double arithmetic of
+  // q_embed_quantize verbatim, snapped to REAL per element (DuckDB's
+  // CAST(… AS REAL) ≡ Java's .toFloat — the planeSqlReal precedent),
+  // so both engines score the identical float vectors with the same
+  // in-index-order double folds and round-6 tiebreak.
+  //
+  // Scale shape: the recon projection is map-only and the retrieval +
+  // eval are exactly q_similarity_topk's (NumQueries-sampled scan,
+  // K-bounded tail) — the operator prices the 4× bandwidth cut, it
+  // does not add plan weight.
+  // ------------------------------------------------------------------
+  val SqLevels = 255
+
+  /** Map-only dequantized corpus: per-vector affine int8 round trip,
+    * reconstructed values snapped to float.
+    */
+  private[graft] def sqReconstructed(e0: DataFrame): DataFrame = {
+    val xd = (c: Column) => c.cast("double")
+    e0.select(col("vec_id"), col("embedding"),
+              xd(array_min(col("embedding"))).as("mn"),
+              xd(array_max(col("embedding"))).as("mx"))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(SqLevels.toDouble))
+      .select(col("vec_id"),
+              transform(col("embedding"), x =>
+                when(col("scale") === 0.0, col("mn")).otherwise(
+                  col("mn") + floor((xd(x) - col("mn")) / col("scale"))
+                    * col("scale")).cast("float")).as("recon"))
+  }
+
+  val qSqRecall: Q = (s, d) => {
+    val r = sqReconstructed(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("recon"),
+              VectorFunctions.vecNorm(col("recon")).as("nrm"))
+    val q = r.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("recon").as("qrecon"),
+              col("nrm").as("qnrm"))
+    val cand = r.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("score",
+        round(VectorFunctions.vecDot(col("qrecon"), col("recon"))
+                / (col("qnrm") * col("nrm")), 6))
+    val approx = Ops.topKPerGroup(cand, Seq("qid"), -col("score"),
+                                  col("vec_id"), TopK)
+      .select(col("qid"), col("vec_id"))
+    recallOf(approx, qSimilarityTopk(s, d).select(col("qid"), col("vec_id")))
+  }
+
+  val qSqRecallSql: String = {
+    val recon =
+      s"""CAST(CASE WHEN scale = 0 THEN mn
+         |          ELSE mn + floor((CAST(x AS DOUBLE) - mn) / scale) * scale
+         |     END AS REAL)""".stripMargin.replace("\n", " ")
+    s"""WITH nrm AS (
+       |  SELECT vec_id, sqrt((SELECT SUM(CAST(embedding[i.i] AS DOUBLE) ** 2)
+       |                       FROM generate_series(1, $Dim) i(i))) AS nrm
+       |  FROM embeddings),
+       |sq AS (
+       |  SELECT vec_id, embedding,
+       |         CAST(list_min(embedding) AS DOUBLE) AS mn,
+       |         (CAST(list_max(embedding) AS DOUBLE)
+       |            - CAST(list_min(embedding) AS DOUBLE)) / $SqLevels.0
+       |           AS scale
+       |  FROM embeddings),
+       |rq AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> $recon) AS recon
+       |  FROM sq),
+       |rnrm AS (
+       |  SELECT vec_id, sqrt((SELECT SUM(CAST(recon[i.i] AS DOUBLE) ** 2)
+       |                       FROM generate_series(1, $Dim) i(i))) AS rn
+       |  FROM rq),
+       |sqq AS (SELECT vec_id AS qid, recon AS qrecon FROM rq
+       |        WHERE vec_id < $NumQueries),
+       |scand AS (
+       |  SELECT sqq.qid, e.vec_id,
+       |         round((SELECT SUM(CAST(qrecon[i.i] AS DOUBLE)
+       |                           * CAST(e.recon[i.i] AS DOUBLE))
+       |                FROM generate_series(1, $Dim) i(i)) / (nq.rn * ne.rn),
+       |               6) AS score
+       |  FROM sqq
+       |  JOIN rq e ON e.vec_id <> sqq.qid
+       |  JOIN rnrm nq ON nq.vec_id = sqq.qid
+       |  JOIN rnrm ne ON ne.vec_id = e.vec_id),
+       |approx_list AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY score DESC, vec_id) AS rn
+       |    FROM scand) WHERE rn <= $TopK),
+       |$recallTailSql""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // q_mrl_recall — Matryoshka-style dimension-truncation eval
   // (Kusupati et al. 2022, "Matryoshka Representation Learning"): grade
   // brute-force cosine retrieval over only the FIRST MrlDim of Dim
@@ -2191,6 +2294,7 @@ object Similarity {
     "q_lsh_recall"      -> qLshRecall,
     "q_pq_recall"       -> qPqRecall,
     "q_mrl_recall"      -> qMrlRecall,
+    "q_sq_recall"       -> qSqRecall,
     "q_ivf_sweep"       -> qIvfSweep,
     "q_refine_sweep"    -> qRefineSweep,
     "q_ann_lsh"         -> qAnnLsh,
@@ -2219,6 +2323,7 @@ object Similarity {
     "q_lsh_recall"      -> qLshRecallSql,
     "q_pq_recall"       -> qPqRecallSql,
     "q_mrl_recall"      -> qMrlRecallSql,
+    "q_sq_recall"       -> qSqRecallSql,
     "q_ivf_sweep"       -> qIvfSweepSql,
     "q_refine_sweep"    -> qRefineSweepSql,
     "q_ann_lsh"         -> qAnnLshSql,

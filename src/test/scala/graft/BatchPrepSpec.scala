@@ -128,6 +128,34 @@ class BatchPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("sqReconstructed: affine int8 round trip recomputed; scale-0 edge") {
+    val xs = Seq(0.1f, 0.5f, -0.3f, 0.9f)
+    val e = Seq((1L, xs), (2L, Seq(0.25f, 0.25f, 0.25f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.sqReconstructed(e)
+      .as[(Long, Seq[Float])].collect().toMap
+    val mn = xs.min.toDouble
+    val scale = (xs.max.toDouble - mn) / Similarity.SqLevels
+    val expect = xs.map(x =>
+      (mn + math.floor((x.toDouble - mn) / scale) * scale).toFloat)
+    assert(got(1L) == expect)
+    // constant vector: scale = 0 reconstructs exactly (no NaN from 0/0)
+    assert(got(2L) == Seq(0.25f, 0.25f, 0.25f, 0.25f))
+    // reconstruction error bounded by one quantization step
+    got(1L).zip(xs).foreach { case (r, x) =>
+      assert(math.abs(r - x) <= scale + 1e-6) // + float-snap half-ULP
+    }
+  }
+
+  test("q_sq_recall: int8 quantization is near-lossless at the gate") {
+    val rows = Similarity.qSqRecall(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == Similarity.NumQueries)
+    // measured 1.0 for every query at both sf gates; pin a safe floor
+    assert(rows.forall(_._4 >= 0.8),
+           s"int8 recall collapsed: ${rows.mkString(",")}")
+  }
+
   test("refine sweep: recall monotone in depth; closed end == q_pq_recall") {
     val curve = Similarity.qRefineSweep(spark, sf)
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
