@@ -1356,11 +1356,18 @@ object Corpus {
   // count/fraction, and a 60-bit fingerprint of the covered-position
   // list (the trainer-side checksum of the exact corruption pattern).
   //
-  // Scale shape: MAP-ONLY like q_mlm_mask — all work is lambda
-  // arithmetic over the token-index range in hand; per-doc cost is
-  // O(n·starts) for coverage and O(covered²) for merged-span counting
-  // (positions per doc are bounded by sequence length, not corpus
-  // size). No shuffle; rides the ingest scan at 100 TB.
+  // Scale shape: one position explode (corpus-token-linear) into a
+  // doc-partitioned window pair (coverage = max(is_start) over the
+  // trailing SpanLen frame; span starts = covered minus lag) and one
+  // doc-keyed partial agg that rides the window's exchange. The md5
+  // draw is evaluated exactly ONCE per token. The obvious nested-array
+  // formulation (filter positions against an `exists` over a reused
+  // `starts` array) is NOT used deliberately: Catalyst's
+  // CollapseProject inlines the reused array alias into every consumer
+  // lambda, re-deriving the n-hash starts array per position — O(n²)
+  // md5s per document, measured 38 s vs ~1.5 s for this shape at
+  // sf0.1. All shuffles are doc-keyed; per-doc state is bounded by
+  // sequence length, not corpus size.
   // -------------------------------------------------------------------
   val SpanThrBits = 57646075230342348L // floor(0.05 * 2^60)
   val SpanLen = 3
@@ -1372,26 +1379,37 @@ object Corpus {
     * merge algebra on crafted documents.
     */
   def spanCorrupt(docs: DataFrame): DataFrame = {
-    docs
-      .select(col("doc_id"), Ops.tokens(col("text")).as("toks"))
-      .withColumn("n_toks", size(col("toks")).cast("bigint"))
-      .withColumn("starts",
-        filter(sequence(lit(0L), col("n_toks") - 1), i =>
-          Ops.md5Bits60(concat(lit("sp:"), col("doc_id").cast("string"),
-                               lit(":"), i.cast("string")))
-            < lit(SpanThrBits)))
-      .withColumn("covered",
-        filter(sequence(lit(0L), col("n_toks") - 1), p =>
-          exists(col("starts"), st => st <= p && p < st + SpanLen)))
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .select(col("doc_id"),
+              size(Ops.tokens(col("text"))).cast("bigint").as("n_toks"))
       .select(col("doc_id"), col("n_toks"),
-        size(filter(col("covered"),
-                    p => !array_contains(col("covered"), p - 1)))
-          .cast("bigint").as("n_spans"),
-        size(col("covered")).cast("bigint").as("n_corrupted"),
-        round(size(col("covered")).cast("double")
-                / col("n_toks").cast("double"), 6).as("corrupt_frac"),
-        Ops.md5Bits60(array_join(
-          transform(col("covered"), _.cast("string")), ",")).as("span_sig"))
+              explode(sequence(lit(0L), col("n_toks") - 1)).as("p"))
+      .withColumn("is_start",
+        (Ops.md5Bits60(concat(lit("sp:"), col("doc_id").cast("string"),
+                              lit(":"), col("p").cast("string")))
+           < lit(SpanThrBits)).cast("int"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(-(SpanLen - 1), 0)
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    pos
+      .withColumn("covered", max(col("is_start")).over(frame))
+      .withColumn("prev_cov", coalesce(lag(col("covered"), 1).over(byPos),
+                                       lit(0)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_toks")).as("n_toks"),
+           sum(when(col("covered") === 1 && col("prev_cov") === 0, 1L)
+                 .otherwise(0L)).as("n_spans"),
+           sum(col("covered").cast("bigint")).as("n_corrupted"),
+           sort_array(collect_list(when(col("covered") === 1, col("p"))))
+             .as("cov_list"))
+      .select(col("doc_id"), col("n_toks"), col("n_spans"),
+              col("n_corrupted"),
+              round(col("n_corrupted").cast("double")
+                      / col("n_toks").cast("double"), 6).as("corrupt_frac"),
+              Ops.md5Bits60(array_join(
+                transform(col("cov_list"), _.cast("string")), ","))
+                .as("span_sig"))
       .orderBy(col("doc_id"))
   }
 
