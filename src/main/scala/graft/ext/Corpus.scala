@@ -794,14 +794,28 @@ object Corpus {
     * so specs can replay the keyed-hash permutation and the
     * position-weighted fingerprint independently.
     */
-  def globalShuffle(docs: DataFrame): DataFrame = {
+  def globalShuffle(docs: DataFrame): DataFrame =
+    shuffleFold(shuffleKeyed(docs))
+
+  /** The keyed projection (doc_id, n_toks, h) the shuffle is defined
+    * over — h is the seeded permutation key. Shared with the streaming
+    * ledger (ShuffleStream ingests exactly these rows), so stream and
+    * batch agree on the permutation by construction.
+    */
+  def shuffleKeyed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+                size(Ops.tokens(col("text"))).cast("bigint").as("n_toks"),
+                Ops.md5Bits60(concat(lit(ShuffleSeed),
+                                     col("doc_id").cast("string"))).as("h"))
+
+  /** Fold a (doc_id, n_toks, h) frame to the per-shard shuffle view —
+    * the tail of q_global_shuffle, also the ledger fold of
+    * ShuffleStream (positions derive from h order, never from arrival
+    * order, so the fold is ingest-order-free by construction).
+    */
+  def shuffleFold(keyed: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = docs
-      .select(col("doc_id"),
-              size(Ops.tokens(col("text"))).cast("bigint").as("n_toks"),
-              Ops.md5Bits60(concat(lit(ShuffleSeed),
-                                   col("doc_id").cast("string"))).as("h"))
-      .withColumn("shard", col("h") % ShuffleShards)
+    val t = keyed.withColumn("shard", col("h") % ShuffleShards)
     val order = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     t.withColumn("pos", row_number().over(order).cast("bigint"))
       .withColumn("term",

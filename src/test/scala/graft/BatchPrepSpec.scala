@@ -128,6 +128,35 @@ class BatchPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle ingest stream: ledger folds to the batch shuffle, any order, idempotent, retroactive") {
+    import graft.streaming.ShuffleStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shufledger").toString + "/shufledger"
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    // REVERSE-order micro-batches: positions derive from h order, not
+    // arrival order, so parity must hold for any batching.
+    assert(ShuffleStream.ingestBatch(docs.filter($"doc_id" >= 250), dir) > 0)
+    ShuffleStream.ingestBatch(docs.filter($"doc_id" < 250), dir)
+    val got = ShuffleStream.shuffleView(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val twin = Corpus.globalShuffle(docs).as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == twin, "ledger fold must equal the batch shuffle view")
+    // Idempotent re-ingest: replaying the whole corpus admits nothing.
+    assert(ShuffleStream.ingestBatch(docs, dir) == 0L)
+    // Retroactive positions: a late arrival re-ranks its shard; the
+    // folded view still equals the batch operator over the union.
+    val extra = Seq((99001L, "x y z")).toDF("doc_id", "text")
+    assert(ShuffleStream.ingestBatch(extra, dir) == 1L)
+    val after = ShuffleStream.shuffleView(spark, dir).as[(Long, Long, Long, Long, Long)].collect().toSet
+    val twin2 = Corpus.globalShuffle(docs.unionByName(extra))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(after == twin2 && after != got,
+           "late arrival must re-rank, and the fold must track the batch twin")
+    // Same staged-commit bucket layout as the other ledgers.
+    val entries = new java.io.File(dir).listFiles().map(_.getName)
+    assert(entries.nonEmpty && entries.forall(_.startsWith("bucket=")))
+  }
+
   test("sqReconstructed: affine int8 round trip recomputed; scale-0 edge") {
     val xs = Seq(0.1f, 0.5f, -0.3f, 0.9f)
     val e = Seq((1L, xs), (2L, Seq(0.25f, 0.25f, 0.25f, 0.25f)))
