@@ -1427,6 +1427,85 @@ object Similarity {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_cluster_purity — the external clustering eval: per k-means cell,
+  // the majority gold label, its count, and purity = majority/size,
+  // plus the corpus-level weighted purity as a sentinel cell = -1 row
+  // (Σ majority / Σ size — the one number a curriculum/mixture
+  // designer reads before trusting cells as topic units). Majority
+  // ties break (count DESC, label ASC) — deterministic on both
+  // engines. On the sf gates' near-uniform embeddings purity sits near
+  // 1/|labels| (the honest geometry baseline, same caveat as the
+  // recall panel); on clustered embeddings it approaches 1 — the spec
+  // pins the fold algebra on a crafted assignment and the bounds at
+  // the gate.
+  //
+  // Scale shape: one (cell, label)-keyed partial agg — bounded output
+  // (NumCells × |labels| rows) from the same map-only assignment scan
+  // q_kmeans_cells rides; everything downstream is arithmetic over
+  // that bounded table.
+  // ------------------------------------------------------------------
+  val qClusterPurity: Q = (s, d) => {
+    val e0 = Tables.embeddings(s, d)
+    val mat = trainCodebook(e0)
+    purityOf(e0.select(
+      col("label").cast("bigint").as("label"),
+      element_at(VectorFunctions.matrixDotRank(col("embedding"), mat, Dim), 1)
+        .cast("bigint").as("cell")))
+  }
+
+  /** The purity fold over any (cell, label) assignment frame — split
+    * out so specs can pin the majority/tie/total algebra exactly on a
+    * crafted assignment.
+    */
+  def purityOf(asg: DataFrame): DataFrame = {
+    val cl = asg.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n")) // bounded: cells × labels
+    val top = Ops.topKPerGroup(cl, Seq("cell"), -col("n"), col("label"), 1)
+      .select(col("cell"), col("label").as("top_label"), col("n").as("top_n"))
+    val size = cl.groupBy(col("cell")).agg(sum(col("n")).as("n_vecs"))
+    val per = size.join(top, Seq("cell"))
+      .select(col("cell"), col("n_vecs"), col("top_label"), col("top_n"),
+              round(col("top_n").cast("double")
+                      / col("n_vecs").cast("double"), 6).as("purity"))
+    val tot = per
+      .agg(sum(col("n_vecs")).as("n_vecs"), sum(col("top_n")).as("top_n"))
+      .select(lit(-1L).as("cell"), col("n_vecs"),
+              lit(-1L).as("top_label"), col("top_n"),
+              round(col("top_n").cast("double")
+                      / col("n_vecs").cast("double"), 6).as("purity"))
+    per.unionByName(tot).orderBy(col("cell"))
+  }
+
+  val qClusterPuritySql: String =
+    s"""WITH $kmeansFunnelCtes,
+       |cl AS (
+       |  SELECT a.cell, CAST(e.label AS BIGINT) AS label,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT cell, label AS top_label, n AS top_n FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cell
+       |                                 ORDER BY n DESC, label) AS rn
+       |    FROM cl) WHERE rn = 1),
+       |sz AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vecs
+       |       FROM cl GROUP BY 1),
+       |per AS (
+       |  SELECT s.cell, s.n_vecs, t.top_label, t.top_n,
+       |         ROUND(CAST(t.top_n AS DOUBLE) / CAST(s.n_vecs AS DOUBLE), 6)
+       |           AS purity
+       |  FROM sz s JOIN top t ON t.cell = s.cell),
+       |tot AS (
+       |  SELECT CAST(-1 AS BIGINT) AS cell,
+       |         CAST(SUM(n_vecs) AS BIGINT) AS n_vecs,
+       |         CAST(-1 AS BIGINT) AS top_label,
+       |         CAST(SUM(top_n) AS BIGINT) AS top_n,
+       |         ROUND(CAST(SUM(top_n) AS DOUBLE)
+       |               / CAST(SUM(n_vecs) AS DOUBLE), 6) AS purity
+       |  FROM per)
+       |SELECT * FROM per UNION ALL SELECT * FROM tot ORDER BY cell""".stripMargin
+
+  // ------------------------------------------------------------------
   // Int8 range quantization audit: per-vector (min, max) affine code
   // (the storage format that cuts a float32 embedding store 4×), with
   // the reconstruction MSE aggregated per label. All quantization math
@@ -2295,6 +2374,7 @@ object Similarity {
     "q_pq_recall"       -> qPqRecall,
     "q_mrl_recall"      -> qMrlRecall,
     "q_sq_recall"       -> qSqRecall,
+    "q_cluster_purity"  -> qClusterPurity,
     "q_ivf_sweep"       -> qIvfSweep,
     "q_refine_sweep"    -> qRefineSweep,
     "q_ann_lsh"         -> qAnnLsh,
@@ -2324,6 +2404,7 @@ object Similarity {
     "q_pq_recall"       -> qPqRecallSql,
     "q_mrl_recall"      -> qMrlRecallSql,
     "q_sq_recall"       -> qSqRecallSql,
+    "q_cluster_purity"  -> qClusterPuritySql,
     "q_ivf_sweep"       -> qIvfSweepSql,
     "q_refine_sweep"    -> qRefineSweepSql,
     "q_ann_lsh"         -> qAnnLshSql,

@@ -185,6 +185,37 @@ class BatchPrepSpec extends AnyFunSuite {
            s"int8 recall collapsed: ${rows.mkString(",")}")
   }
 
+  test("purityOf: majority, tie-break, and total algebra on a crafted assignment") {
+    // cell 0: labels 1x3, 2x1 -> top (1,3), purity .75
+    // cell 1: tie 3x2, 4x2   -> label ASC wins: top (3,2), purity .5
+    // cell 2: pure 5x4       -> purity 1.0
+    val asg = (Seq.fill(3)((0L, 1L)) ++ Seq((0L, 2L)) ++
+               Seq((1L, 3L), (1L, 3L), (1L, 4L), (1L, 4L)) ++
+               Seq.fill(4)((2L, 5L)))
+      .toDF("cell", "label")
+    val got = Similarity.purityOf(asg)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val expect = Set(
+      (0L, 4L, 1L, 3L, 0.75),
+      (1L, 4L, 3L, 2L, 0.5),
+      (2L, 4L, 5L, 4L, 1.0),
+      (-1L, 12L, -1L, 9L, 0.75))
+    assert(got == expect)
+  }
+
+  test("q_cluster_purity: bounds and consistency at the gate") {
+    val rows = Similarity.qClusterPurity(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val (tot, per) = rows.partition(_._1 == -1L)
+    assert(tot.length == 1 && per.nonEmpty)
+    per.foreach { case (_, n, _, topN, p) =>
+      assert(topN >= 1 && topN <= n && p > 0.0 && p <= 1.0)
+    }
+    assert(tot.head._2 == per.map(_._2).sum &&
+           tot.head._4 == per.map(_._4).sum,
+           "sentinel row must be the exact fold of the per-cell rows")
+  }
+
   test("refine sweep: recall monotone in depth; closed end == q_pq_recall") {
     val curve = Similarity.qRefineSweep(spark, sf)
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
