@@ -365,6 +365,82 @@ object Corpus {
        |ORDER BY c.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_split_leakage — train→eval leakage audit OF the split itself:
+  // for every holdout document under q_split_holdout's component-based
+  // assignment, its worst word-ContamN-gram contaminator on the TRAIN
+  // side (q_contamination's shape, sides defined by the split instead
+  // of a benchmark subset). This is the check that a dedup-aware split
+  // actually bought something: verbatim/near-dup pairs never straddle
+  // the split by construction (they share a component), so surviving
+  // overlap is sub-near-dup leakage — shared idioms, templates,
+  // boilerplate — the residue a gram-level decontamination pass would
+  // chase next.
+  //
+  // Scale shape: the component labels are the dedup-cluster funnel
+  // (star-edge buckets, no all-pairs); the leakage measure is one
+  // gram-keyed equi-join (never holdout×train pairs) + a per-doc
+  // bounded window — q_contamination's posture with a ~5% probe side.
+  // -------------------------------------------------------------------
+  val ContamN = 5 // word-n-gram width shared with q_contamination
+
+  val qSplitLeakage: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val split = clusterLabels(s, d)
+      .withColumn("split",
+        when(Ops.md5Bits60(concat(col("label").cast("string"), lit(":split")))
+               % HoldoutMod === 0, "holdout").otherwise("train"))
+      .select(col("doc_id"), col("split"))
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+              Ops.shingles(Ops.tokens(col("text")), ContamN).as("grams"))
+      .join(split, Seq("doc_id"))
+    val hold = grams.filter(col("split") === "holdout")
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val train = grams.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), explode(col("grams")).as("gram"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_common").desc, col("train_id").asc)
+    hold.join(train, Seq("gram"))
+      .groupBy(col("doc_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("train_id"), col("n_common"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSplitLeakageSql: String =
+    s"""$clusterCteSql,
+       |sp AS (
+       |  SELECT doc_id,
+       |         CASE WHEN ('0x' || substr(md5(component_id || ':split'), 1,
+       |                                   15))::BIGINT % $HoldoutMod = 0
+       |              THEN 'holdout' ELSE 'train' END AS split
+       |  FROM comp),
+       |g AS (
+       |  SELECT d.doc_id, sp.split,
+       |         list_distinct(list_transform(
+       |           range(greatest(len(string_split(d.text, ' ')) - ${ContamN - 1}, 1)),
+       |           i -> array_to_string(string_split(d.text, ' ')[i+1:i+$ContamN], ' ')))
+       |           AS grams
+       |  FROM documents d JOIN sp ON sp.doc_id = d.doc_id),
+       |hold AS (
+       |  SELECT doc_id, unnest(grams) AS gram FROM g WHERE split = 'holdout'),
+       |train AS (
+       |  SELECT doc_id AS train_id, unnest(grams) AS gram FROM g
+       |  WHERE split = 'train'),
+       |counted AS (
+       |  SELECT h.doc_id, t.train_id, COUNT(*) AS n_common
+       |  FROM hold h JOIN train t ON h.gram = t.gram
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY n_common DESC, train_id ASC) AS rn
+       |  FROM counted)
+       |SELECT doc_id, train_id, n_common FROM ranked WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q_inverted_index — the classic MapReduce inverted-index build
   // (token → document postings), the missing canonical shape from the
   // reference's MapReduce family: explode-to-postings is one shuffle on
@@ -858,7 +934,9 @@ object Corpus {
   // At 100 TB the benchmark side is small and broadcast; the corpus side
   // streams through one shuffle on the gram.
   // -------------------------------------------------------------------
-  val ContamN = 5
+  // (declared up at q_split_leakage, which initializes first and
+  // interpolates it into its oracle SQL — object vals run in
+  // declaration order)
 
   val qContamination: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -3261,6 +3339,7 @@ object Corpus {
     "q_dedup_cluster"    -> qDedupCluster,
     "q_dedup_keep_best"  -> qDedupKeepBest,
     "q_split_holdout"    -> qSplitHoldout,
+    "q_split_leakage"    -> qSplitLeakage,
     "q_inverted_index"   -> qInvertedIndex,
     "q_tfidf_topterms"   -> qTfidfTopterms,
     "q_repetition_score" -> qRepetitionScore,
@@ -3300,6 +3379,7 @@ object Corpus {
     "q_dedup_cluster"    -> qDedupClusterSql,
     "q_dedup_keep_best"  -> qDedupKeepBestSql,
     "q_split_holdout"    -> qSplitHoldoutSql,
+    "q_split_leakage"    -> qSplitLeakageSql,
     "q_inverted_index"   -> qInvertedIndexSql,
     "q_tfidf_topterms"   -> qTfidfToptermsSql,
     "q_repetition_score" -> qRepetitionScoreSql,

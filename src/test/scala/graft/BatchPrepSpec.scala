@@ -185,6 +185,21 @@ class BatchPrepSpec extends AnyFunSuite {
            s"int8 recall collapsed: ${rows.mkString(",")}")
   }
 
+  test("q_split_leakage: sides respect the component split") {
+    val split = Corpus.qSplitHoldout(spark, sf)
+      .select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    val rows = Corpus.qSplitLeakage(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (h, t, n) =>
+      assert(split(h) == "holdout" && split(t) == "train" && n >= 1,
+             s"leakage row ($h, $t, $n) must pair a holdout doc with a train doc")
+    }
+    // one row per contaminated holdout doc (the worst-contaminator cut)
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
   test("purityOf: majority, tie-break, and total algebra on a crafted assignment") {
     // cell 0: labels 1x3, 2x1 -> top (1,3), purity .75
     // cell 1: tie 3x2, 4x2   -> label ASC wins: top (3,2), purity .5
