@@ -441,6 +441,39 @@ object Corpus {
        |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_cc_profile — the NEAR-DUP component-size profile: q_dup_profile's
+  // report (n_clusters / n_docs / removable / doc_frac per size) over
+  // the blocking-signature connected components instead of exact-hash
+  // clusters — the number that says how much mass near-dup dedup would
+  // remove beyond the exact pass, and the report a split designer reads
+  // before trusting component-based holdout sizing. Shares
+  // Dedup.sizeProfile verbatim (same fold, different cluster notion) so
+  // the two reports can never drift semantically.
+  //
+  // Scale shape: the component labels are the dedup-cluster funnel
+  // (star-edge buckets, O(log diameter) pointer-doubling rounds);
+  // the profile adds two bounded partial aggs (components → distinct
+  // sizes) and a 1-row total.
+  // -------------------------------------------------------------------
+  val qCcProfile: Q = (s, d) =>
+    Dedup.sizeProfile(
+      clusterLabels(s, d).groupBy(col("label")).agg(count(lit(1)).as("csize")))
+
+  val qCcProfileSql: String =
+    s"""$clusterCteSql,
+       |dist AS (
+       |  SELECT component_size AS csize,
+       |         CAST(count(*) AS BIGINT) AS n_clusters
+       |  FROM sizes GROUP BY 1),
+       |t AS (SELECT CAST(SUM(csize * n_clusters) AS BIGINT) AS tot_docs
+       |      FROM dist)
+       |SELECT csize, n_clusters, csize * n_clusters AS n_docs,
+       |       (csize - 1) * n_clusters AS removable,
+       |       ROUND(CAST(csize * n_clusters AS DOUBLE)
+       |             / CAST(tot_docs AS DOUBLE), 6) AS doc_frac
+       |FROM dist CROSS JOIN t ORDER BY csize""".stripMargin
+
+  // -------------------------------------------------------------------
   // q_inverted_index — the classic MapReduce inverted-index build
   // (token → document postings), the missing canonical shape from the
   // reference's MapReduce family: explode-to-postings is one shuffle on
@@ -3340,6 +3373,7 @@ object Corpus {
     "q_dedup_keep_best"  -> qDedupKeepBest,
     "q_split_holdout"    -> qSplitHoldout,
     "q_split_leakage"    -> qSplitLeakage,
+    "q_cc_profile"       -> qCcProfile,
     "q_inverted_index"   -> qInvertedIndex,
     "q_tfidf_topterms"   -> qTfidfTopterms,
     "q_repetition_score" -> qRepetitionScore,
@@ -3380,6 +3414,7 @@ object Corpus {
     "q_dedup_keep_best"  -> qDedupKeepBestSql,
     "q_split_holdout"    -> qSplitHoldoutSql,
     "q_split_leakage"    -> qSplitLeakageSql,
+    "q_cc_profile"       -> qCcProfileSql,
     "q_inverted_index"   -> qInvertedIndexSql,
     "q_tfidf_topterms"   -> qTfidfToptermsSql,
     "q_repetition_score" -> qRepetitionScoreSql,

@@ -54,10 +54,17 @@ object Dedup {
     * specs can pin the multi-size distribution on a crafted corpus (the
     * sf gates carry no exact duplicates, so their profile is one row).
     */
-  def dupProfile(docs: DataFrame): DataFrame = {
-    val clusters = docs
+  def dupProfile(docs: DataFrame): DataFrame =
+    sizeProfile(docs
       .groupBy(sha2(col("text"), 256).as("text_hash"))
-      .agg(count(lit(1)).as("csize"))
+      .agg(count(lit(1)).as("csize")))
+
+  /** The cluster-size histogram fold over any one-row-per-cluster frame
+    * with a `csize` column — shared by q_dup_profile (exact-hash
+    * clusters) and q_cc_profile (near-dup components), so both reports
+    * carry identical semantics.
+    */
+  def sizeProfile(clusters: DataFrame): DataFrame = {
     val dist = clusters.groupBy(col("csize"))
       .agg(count(lit(1)).as("n_clusters"))
       .select(col("csize"), col("n_clusters"),

@@ -200,6 +200,19 @@ class BatchPrepSpec extends AnyFunSuite {
     assert(rows.map(_._1).distinct.length == rows.length)
   }
 
+  test("q_cc_profile: conserves the corpus and agrees with q_dedup_cluster") {
+    val prof = Corpus.qCcProfile(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(prof.map(_._3).sum == 500L,
+           "profile n_docs must conserve the corpus")
+    // removable mass == what the cluster view (size > 1 components) shows
+    val clusters = Corpus.qDedupCluster(spark, sf)
+      .select(col("component_id"), col("component_size"))
+      .as[(Long, Long)].collect().distinct
+    assert(prof.map(_._4).sum == clusters.map(_._2 - 1).sum,
+           "removable must equal sum(size-1) over multi-doc components")
+  }
+
   test("purityOf: majority, tie-break, and total algebra on a crafted assignment") {
     // cell 0: labels 1x3, 2x1 -> top (1,3), purity .75
     // cell 1: tie 3x2, 4x2   -> label ASC wins: top (3,2), purity .5
