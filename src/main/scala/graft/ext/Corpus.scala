@@ -383,14 +383,66 @@ object Corpus {
   // -------------------------------------------------------------------
   val ContamN = 5 // word-n-gram width shared with q_contamination
 
-  val qSplitLeakage: Q = (s, d) => {
+  // Hot-gram document-frequency cap for the contamination family — the
+  // MaxGramDf discipline (Dedup.scala's inverted-index funnels) applied
+  // to the two gram-keyed audit joins. Pre-aggregation pair volume of a
+  // gram equi-join is Σ_gram df_left(g)·df_right(g): on Zipfian natural
+  // text, stopword-headed 5-grams ("in the middle of the") reach df in
+  // the millions on BOTH sides at 100 TB — a quadratic-in-df fan-out on
+  // a skewed key. Dropping grams whose LARGER-side df exceeds the cap
+  // bounds pair volume at ContamMaxDf × |other-side postings| — linear
+  // in corpus size by construction. Semantically right too: a 5-gram
+  // shared by 64+ documents is an idiom / template / boilerplate, not
+  // evidence that one specific document leaked into the other side.
+  // (Wider than dedup's MaxGramDf=16: contamination evidence is a
+  // COUNT of shared grams per pair, so moderately-common grams still
+  // carry signal; only the unbounded stopword head is noise.)
+  val ContamMaxDf = 64L
+
+  /** Drop grams whose document frequency WITHIN this (the structurally
+    * large) side exceeds ContamMaxDf. One window keyed on the gram —
+    * the same key the downstream join shuffles on, so the exchange is
+    * reused. Oracle mirror: `QUALIFY count(*) OVER (PARTITION BY gram)
+    * <= ContamMaxDf` (grams are list_distinct per doc on both engines,
+    * so count(*) per gram IS document frequency).
+    */
+  private[graft] def capHotGrams(large: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val split = clusterLabels(s, d)
-      .withColumn("split",
-        when(Ops.md5Bits60(concat(col("label").cast("string"), lit(":split")))
-               % HoldoutMod === 0, "holdout").otherwise("train"))
-      .select(col("doc_id"), col("split"))
-    val grams = Tables.documents(s, d)
+    large
+      .withColumn("gram_df",
+        count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("gram_df") <= ContamMaxDf)
+      .drop("gram_df")
+  }
+
+  /** Shared tail of the contamination family: for every probe doc, its
+    * worst overlap partner. `probe` = (doc_id, gram); `partner` =
+    * (partnerCol, gram). Callers MUST wrap their structurally-large
+    * side in capHotGrams first (q_contamination caps the corpus/probe
+    * side, q_split_leakage the train/partner side) — the cap is the
+    * scale guarantee of this whole family.
+    */
+  private[graft] def worstGramOverlap(probe: DataFrame, partner: DataFrame,
+                                    partnerCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_common").desc, col(partnerCol).asc)
+    probe.join(partner, Seq("gram"))
+      .groupBy(col("doc_id"), col(partnerCol))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col(partnerCol), col("n_common"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_split_leakage over an externally supplied (doc_id, split) frame
+    * — factored so crafted-corpus specs can pin the cap's behavior
+    * without routing through clusterLabels.
+    */
+  private[graft] def splitLeakagePairs(docsIn: DataFrame,
+                                     split: DataFrame): DataFrame = {
+    val grams = docsIn
       .select(col("doc_id"),
               Ops.shingles(Ops.tokens(col("text")), ContamN).as("grams"))
       .join(split, Seq("doc_id"))
@@ -398,15 +450,17 @@ object Corpus {
       .select(col("doc_id"), explode(col("grams")).as("gram"))
     val train = grams.filter(col("split") === "train")
       .select(col("doc_id").as("train_id"), explode(col("grams")).as("gram"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("n_common").desc, col("train_id").asc)
-    hold.join(train, Seq("gram"))
-      .groupBy(col("doc_id"), col("train_id"))
-      .agg(count(lit(1)).as("n_common"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("train_id"), col("n_common"))
-      .orderBy(col("doc_id"))
+    // train is the ~95% side: cap ITS per-gram df before the join.
+    worstGramOverlap(hold, capHotGrams(train), "train_id")
+  }
+
+  val qSplitLeakage: Q = (s, d) => {
+    val split = clusterLabels(s, d)
+      .withColumn("split",
+        when(Ops.md5Bits60(concat(col("label").cast("string"), lit(":split")))
+               % HoldoutMod === 0, "holdout").otherwise("train"))
+      .select(col("doc_id"), col("split"))
+    splitLeakagePairs(Tables.documents(s, d), split)
   }
 
   val qSplitLeakageSql: String =
@@ -429,9 +483,12 @@ object Corpus {
        |train AS (
        |  SELECT doc_id AS train_id, unnest(grams) AS gram FROM g
        |  WHERE split = 'train'),
+       |train_capped AS (
+       |  SELECT train_id, gram FROM train
+       |  QUALIFY count(*) OVER (PARTITION BY gram) <= $ContamMaxDf),
        |counted AS (
        |  SELECT h.doc_id, t.train_id, COUNT(*) AS n_common
-       |  FROM hold h JOIN train t ON h.gram = t.gram
+       |  FROM hold h JOIN train_capped t ON h.gram = t.gram
        |  GROUP BY 1, 2),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -971,27 +1028,26 @@ object Corpus {
   // interpolates it into its oracle SQL — object vals run in
   // declaration order)
 
-  val qContamination: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val grams = Tables.documents(s, d)
+  val qContamination: Q = (s, d) =>
+    contaminationPairs(Tables.documents(s, d))
+
+  /** q_contamination's core over any documents-shaped frame (doc_id,
+    * text) — factored so crafted-corpus specs can pin the hot-gram cap.
+    * Benchmark membership is the deterministic doc_id % 50 == 0 rule.
+    */
+  private[graft] def contaminationPairs(docsIn: DataFrame): DataFrame = {
+    val grams = docsIn
       .select(col("doc_id"),
               Ops.shingles(Ops.tokens(col("text")), ContamN).as("grams"))
     val bench = grams.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("bench_id"), explode(col("grams")).as("gram"))
     val corpus = grams.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), explode(col("grams")).as("gram"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("n_common").desc, col("bench_id").asc)
     // No broadcast hint: a real decontamination benchmark is a small
     // fixed set (AQE will broadcast it), but THIS demo's benchmark is a
     // corpus fraction, so the plan must stay a shuffle join at scale.
-    corpus.join(bench, Seq("gram"))
-      .groupBy(col("doc_id"), col("bench_id"))
-      .agg(count(lit(1)).as("n_common"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("bench_id"), col("n_common"))
-      .orderBy(col("doc_id"))
+    // corpus is the 49/50 side: cap ITS per-gram df before the join.
+    worstGramOverlap(capHotGrams(corpus), bench, "bench_id")
   }
 
   val qContaminationSql: String =
@@ -1007,9 +1063,12 @@ object Corpus {
        |  WHERE doc_id % 50 = 0),
        |corpus AS (
        |  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0),
+       |corpus_capped AS (
+       |  SELECT doc_id, gram FROM corpus
+       |  QUALIFY count(*) OVER (PARTITION BY gram) <= $ContamMaxDf),
        |counted AS (
        |  SELECT c.doc_id, b.bench_id, COUNT(*) AS n_common
-       |  FROM corpus c JOIN bench b ON c.gram = b.gram
+       |  FROM corpus_capped c JOIN bench b ON c.gram = b.gram
        |  GROUP BY 1, 2),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY doc_id

@@ -106,7 +106,12 @@ object Dedup {
   // Exactness: the per-doc weight is snapped to integer micro-units
   // (1e6 DIV csize) so the per-source sums are pure BIGINT on both
   // engines; eff_docs / eff_tokens are a single double division of
-  // identical integers, rounded identically. (eff_tokens_micro peaks
+  // identical integers, rounded identically. The DIV truncates, so a
+  // cluster's total mass is csize·(1e6 DIV csize) ≤ 1e6 — "weight of
+  // one" holds only up to a downward bias bounded by (csize-1)
+  // micro-units per cluster (a csize-3 cluster totals 0.999999).
+  // Accepted: the bias is ≤1e-6 relative and both engines truncate
+  // identically, which is what keeps the row exact-oracle-able. (eff_tokens_micro peaks
   // at n_toks·1e6 per row — a 1e12-token source stays far below
   // BIGINT range after division-by-csize re-weighting.)
   //
@@ -1065,11 +1070,11 @@ object Dedup {
   val qBandSweep: Q = (s, d) => {
     val docs = recallBlock(s, d).persist()
     val exact = exactPairs(docs).persist()
-    val rows = BandConfigs.map { case (b, r) =>
+    val perConfig = BandConfigs.map { case (b, r) =>
       val cand = starCandidates(docs, b, r)
         .persist() // two consumers: volume count + hit semi-join
       val hits = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-      exact.agg(count(lit(1)).as("n_exact"))
+      val row = exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
         .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
         .select(lit(b.toLong).as("n_bands"),
@@ -1079,9 +1084,17 @@ object Dedup {
                      col("n_hits").cast("double") /
                        col("n_exact").cast("double"))
                   .otherwise(lit(1.0)).as("recall"))
+      (row, cand)
     }
-    val out = rows.reduce(_.unionByName(_)).orderBy(col("n_bands"))
+    val out = perConfig.map(_._1).reduce(_.unionByName(_))
+      .orderBy(col("n_bands"))
+    // checkpointTail is eager (localCheckpoint(true)), so every cached
+    // frame is consumed by the time it returns — release ALL of them,
+    // including the per-config candidate frames (q_dedup_recall's
+    // hygiene; a library caller must not accumulate 3 cached frames
+    // per invocation).
     val ckpt = graft.PlanMode.checkpointTail(out)
+    perConfig.foreach(_._2.unpersist())
     exact.unpersist()
     docs.unpersist()
     ckpt

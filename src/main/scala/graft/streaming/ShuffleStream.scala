@@ -47,7 +47,14 @@ object ShuffleStream {
     */
   private[graft] def ingestBatch(batch: DataFrame, ledgerDir: String): Long = {
     val spark = batch.sparkSession
+    // Collapse in-batch duplicate doc_ids BEFORE the ledger probe
+    // (CorpusStream.ingestBatch's discipline): the anti-join only
+    // dedupes against history, so without this a doc_id repeated
+    // WITHIN one micro-batch would be ledgered twice and permanently
+    // break the shuffleView == globalShuffle parity. h and n_toks are
+    // functions of the row, so any copy is equivalent.
     val keyed = graft.ext.Corpus.shuffleKeyed(batch)
+      .dropDuplicates("doc_id")
       .withColumn("bucket", format_string("%02x", pmod(col("h"), lit(256L))))
       .localCheckpoint(true) // one stable snapshot: bucket list + probe + write
     val batchBuckets = keyed.select(col("bucket")).distinct()

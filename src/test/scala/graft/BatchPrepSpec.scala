@@ -155,6 +155,21 @@ class BatchPrepSpec extends AnyFunSuite {
     // Same staged-commit bucket layout as the other ledgers.
     val entries = new java.io.File(dir).listFiles().map(_.getName)
     assert(entries.nonEmpty && entries.forall(_.startsWith("bucket=")))
+    // In-batch duplicates: the ledger anti-join only screens against
+    // HISTORY, so a doc_id repeated within one micro-batch must be
+    // collapsed before the probe or it is ledgered twice and the
+    // shuffleView == globalShuffle parity breaks permanently.
+    val dupBatch = Seq((99002L, "p q r"), (99002L, "p q r"))
+      .toDF("doc_id", "text")
+    assert(ShuffleStream.ingestBatch(dupBatch, dir) == 1L,
+           "a doc_id duplicated within one micro-batch is admitted once")
+    val after2 = ShuffleStream.shuffleView(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val twin3 = Corpus.globalShuffle(
+        docs.unionByName(extra).unionByName(dupBatch.dropDuplicates("doc_id")))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(after2 == twin3,
+           "fold must still equal the batch twin after an in-batch-dup ingest")
   }
 
   test("sqReconstructed: affine int8 round trip recomputed; scale-0 edge") {
