@@ -24,7 +24,14 @@ import org.apache.spark.sql.functions._
   *    uniform vectors are the worst case, not the typical one).
   *    Other fact tables fall back to key-shifted copies.
   *
-  *   runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sfbig 10 [diverse]
+  *  - `stress`: diverse + a StopMix fraction of every document drawn
+  *    from a fixed 24-word stopword head — the Zipfian function-word
+  *    regime where stopword 5-grams repeat across thousands of
+  *    documents. The adversarial gate for every gram-df-capped
+  *    operator (ContamMaxDf, MaxGramDf): uncapped gram joins go
+  *    quadratic here; capped ones stay linear.
+  *
+  *   runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sfbig 10 [diverse|stress]
   */
 object ScaleGen {
   val Offset = 10000000L
@@ -62,8 +69,24 @@ object ScaleGen {
     * literal (language-bounded; capped below — at a vocabulary too big
     * for a literal this becomes a broadcast index join on word rank).
     */
+  // `stress` mode's stopword head: a fixed 24-word function-word list
+  // mixed into every regenerated document at StopMix rate. Natural text
+  // is Zipf-headed — ~40% of tokens are function words — which is
+  // exactly what the diverse generator's u² skew over a 65k vocabulary
+  // CANNOT produce (its most common word lands in ~1/256 of positions,
+  // so no 5-gram ever repeats across documents and gram-df caps never
+  // bind). The stress corpus makes stopword-headed 5-grams ("the of
+  // and to in") appear in THOUSANDS of documents — the adversarial
+  // Zipfian regime the contamination family's ContamMaxDf cap exists
+  // for.
+  val StopMix = 0.4
+  val StressStopwords: Seq[String] = Seq(
+    "the", "of", "and", "to", "in", "a", "is", "that", "it", "for",
+    "was", "on", "are", "as", "with", "his", "they", "at", "be", "this",
+    "have", "from", "or", "by")
+
   def diverseDocuments(spark: SparkSession, docs: DataFrame,
-                       copies: Int): DataFrame = {
+                       copies: Int, stopMix: Double = 0.0): DataFrame = {
     val vocab = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
@@ -71,18 +94,28 @@ object ScaleGen {
       .collect().map(_.getString(0))
     require(vocab.nonEmpty, "diverse mode needs an alphabetic vocabulary")
     val vlit = array(vocab.map(lit): _*)
+    val slit = array(StressStopwords.map(lit): _*)
     val base = docs.select(col("doc_id"), col("lang"), col("source"),
                            size(split(col("text"), " ")).as("n_toks"))
     (0 until copies).map { i =>
       base
         .withColumn("doc_id", col("doc_id") + i * Offset)
         .withColumn("text", array_join(
-          transform(sequence(lit(1), col("n_toks")), j =>
-            element_at(
+          transform(sequence(lit(1), col("n_toks")), j => {
+            val zipfWord = element_at(
               vlit,
               (floor(lit(vocab.length) *
                      pow(u01(concat_ws(":", col("doc_id"), j, lit("w"))),
-                         2.0)) + 1).cast("int"))),
+                         2.0)) + 1).cast("int"))
+            if (stopMix <= 0.0) zipfWord
+            else when(
+              u01(concat_ws(":", col("doc_id"), j, lit("m"))) < stopMix,
+              element_at(slit,
+                (floor(lit(StressStopwords.length) *
+                       u01(concat_ws(":", col("doc_id"), j, lit("s"))))
+                   + 1).cast("int")))
+              .otherwise(zipfWord)
+          }),
           " "))
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
                 length(col("text")).cast("bigint").as("n_chars"))
@@ -118,7 +151,9 @@ object ScaleGen {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sfbig")
     val copies = args.lift(2).getOrElse("10").toInt
-    val diverse = args.lift(3).contains("diverse")
+    val mode = args.lift(3).getOrElse("copy") // copy | diverse | stress
+    val diverse = mode == "diverse" || mode == "stress"
+    val stopMix = if (mode == "stress") StopMix else 0.0
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions",
@@ -145,7 +180,7 @@ object ScaleGen {
     ShiftCols.foreach { case (t, cols) =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       val out = (t, diverse) match {
-        case ("documents", true)  => diverseDocuments(spark, df, copies)
+        case ("documents", true)  => diverseDocuments(spark, df, copies, stopMix)
         case ("embeddings", true) => clusteredEmbeddings(spark, df, copies)
         case _                    => scaled(df, cols, copies)
       }

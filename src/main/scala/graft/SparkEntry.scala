@@ -9,11 +9,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the semantics are ANSI-SQL-expressible.
   */
 object SparkEntry {
-  /** Flagship query (the full UserHotcar-shaped recommendation pipeline)
-    * on /root/testdata/sf0.001; driver smoke-checks rows>0.
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Since round 12 this is q_pipeline_run — the end-to-end
+    * curation run (quarantine → quality → exact + near dedup →
+    * decontamination → source caps → pack) with its per-stage
+    * doc/token attrition table: the LLM-data-pipeline deliverable the
+    * library exists for, composing the standalone registry operators
+    * through shared code. (The previous flagship, the UserHotcar-shaped
+    * q_recommend, remains oracle-gated in the registry.)
     */
   def entry(spark: SparkSession): DataFrame =
-    jobs.RecPipeline.qRecommend(spark, "/root/testdata/sf0.001")
+    ext.Pipeline.qPipelineRun(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 plus the
     * LLM-pipeline extensions (dedup, similarity, text, temporal,

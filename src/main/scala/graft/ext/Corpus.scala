@@ -162,8 +162,16 @@ object Corpus {
     * survivors. One code path so the two queries can never disagree on
     * what a cluster is.
     */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    clusterLabelsOf(Tables.documents(s, d))
+
+  /** Same labeling over any documents-shaped frame (doc_id, lang,
+    * n_chars, text) — the composed pipeline runs it on the exact-dedup
+    * SURVIVORS, where components differ from the whole-corpus ones by
+    * construction.
+    */
+  private[graft] def clusterLabelsOf(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), col("lang"),
               floor(col("n_chars") / 100.0).cast("bigint").as("len_bucket"),
               Ops.normalizeText(col("text")).as("nt"))
@@ -210,11 +218,15 @@ object Corpus {
     * `clusterLabels` into `comp(doc_id, component_id)` + `sizes` — the
     * reachable-label minimum of each vertex equals the Spark fixpoint.
     */
-  private val clusterCteSql: String =
-    """WITH RECURSIVE docs AS (
-      |  SELECT doc_id, lang, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_bucket,
-      |         lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS nt
-      |  FROM documents),
+  /** The star-edge recursive-CTE chain over an arbitrary source CTE /
+    * table (must expose doc_id, lang, n_chars, text) — `clusterCteSql`
+    * instantiates it on `documents`; the composed pipeline oracle on
+    * its exact-dedup survivor CTE. Emitted WITHOUT the leading `WITH
+    * RECURSIVE` so it can sit mid-chain (DuckDB scopes one RECURSIVE
+    * keyword over the whole WITH list).
+    */
+  private val clusterCtesTail: String =
+    """
       |keyed AS (
       |  SELECT doc_id, lang || '|' || len_bucket || '|' || substring(nt, 1, 40) AS key
       |  FROM docs
@@ -234,6 +246,22 @@ object Corpus {
       |comp AS (SELECT v AS doc_id, min(l) AS component_id FROM reach GROUP BY 1),
       |sizes AS (SELECT component_id, count(*) AS component_size
       |          FROM comp GROUP BY 1)""".stripMargin
+
+  /** The star-edge recursive-CTE chain over an arbitrary source CTE /
+    * table (must expose doc_id, lang, n_chars, text) — `clusterCteSql`
+    * instantiates it on `documents`; the composed pipeline oracle on
+    * its exact-dedup survivor CTE. Emitted WITHOUT the leading `WITH
+    * RECURSIVE` so it can sit mid-chain (DuckDB scopes one RECURSIVE
+    * keyword over the whole WITH list).
+    */
+  private[graft] def clusterCtesFrom(src: String): String =
+    s"""docs AS (
+      |  SELECT doc_id, lang, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_bucket,
+      |         lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS nt
+      |  FROM $src),""".stripMargin + clusterCtesTail
+
+  private val clusterCteSql: String =
+    "WITH RECURSIVE " + clusterCtesFrom("documents")
 
   val qDedupClusterSql: String =
     s"""$clusterCteSql

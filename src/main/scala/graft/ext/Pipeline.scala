@@ -387,9 +387,231 @@ object Pipeline {
        |FROM ranked r JOIN sidx s ON r.source = s.source CROSS JOIN n
        |ORDER BY pos ASC LIMIT $CurriculumK""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_pipeline_run — the END-TO-END CURATION RUN: every stage of a real
+  // training-data preparation composed into one lineage-accounted pass,
+  // emitting the per-stage doc/token attrition table a curation run is
+  // actually judged by ("raw 60k docs / 3.1M tokens → 54k after
+  // benchmark quarantine → 31k after quality → ... → 412 sequences").
+  // Stages, each reusing the EXACT operator the standalone registry row
+  // ships (shared code, not re-implementations — the two can never
+  // drift):
+  //   0_raw          — the corpus as scanned
+  //   1_quarantine   — benchmark docs (doc_id % 50 == 0, the
+  //                    q_contamination eval set) removed from the
+  //                    trainable pool: eval data is never trained on
+  //   2_quality      — TextOps.funnelStage first-failing-rule gate,
+  //                    keep '5_pass' (q_filter_funnel's rules)
+  //   3_exact_dedup  — keep min doc_id per normalized-text md5
+  //                    (q_fingerprint / q_training_pipeline rule)
+  //   4_near_dedup   — star-edge component labels over the exact
+  //                    survivors (Corpus.clusterLabelsOf), keep the
+  //                    component-minimum doc
+  //   5_decontam     — drop survivors sharing ANY df-capped word-5-gram
+  //                    with the quarantined benchmark (q_contamination's
+  //                    capped gram join, threshold = 1 shared gram)
+  //   6_source_caps  — greedy per-source token budget (q_source_caps'
+  //                    window, CapTokens)
+  //   7_pack         — q_pack_sequences' shard-and-fill over the final
+  //                    pool; reports the packed-sequence count
+  //
+  // Scale shape: each stage is the standalone operator's plan (all
+  // individually audited); the composition adds per-stage bounded
+  // 1-row aggregates and one 8-row lag window. Stage pools are
+  // persisted because each feeds both its attrition row and the next
+  // stage (released before return — CacheHygieneSpec discipline); a
+  // production 100 TB run would checkpoint each pool to the cluster
+  // filesystem instead, which also gives restartability between
+  // stages.
+  // ------------------------------------------------------------------
+  val qPipelineRun: Q = (s, d) => pipelineRun(Tables.documents(s, d))
+
+  /** The composed run over any documents-shaped frame (doc_id, source,
+    * lang, n_chars, text) — factored for stage-invariant specs.
+    */
+  private[graft] def pipelineRun(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d0 = docsIn
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+              col("text"),
+              size(Ops.tokens(col("text"))).cast("bigint").as("n_toks"))
+      .persist()
+    val bench = d0.filter(col("doc_id") % 50 === 0)
+    val pool1 = d0.filter(col("doc_id") % 50 =!= 0).persist()
+    val pool2 = pool1.filter(TextOps.funnelStage === "5_pass").persist()
+    val pool3 = pool2
+      .withColumn("fpr", md5(Ops.normalizeText(col("text"))))
+      .withColumn("min_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fpr"))))
+      .filter(col("doc_id") === col("min_id"))
+      .drop("fpr", "min_id")
+      .persist()
+    val pool4 = pool3
+      .join(Corpus.clusterLabelsOf(pool3)
+              .filter(col("label") === col("doc_id")).select(col("doc_id")),
+            Seq("doc_id"))
+      .persist()
+    val survGrams = pool4.select(col("doc_id"),
+      explode(Ops.shingles(Ops.tokens(col("text")), Corpus.ContamN))
+        .as("gram"))
+    val benchGrams = bench.select(
+        explode(Ops.shingles(Ops.tokens(col("text")), Corpus.ContamN))
+          .as("gram"))
+      .distinct()
+    val contaminated = Corpus.capHotGrams(survGrams)
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val pool5 = pool4.join(contaminated, Seq("doc_id"), "left_anti").persist()
+    val wcap = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pool6 = pool5
+      .withColumn("h",
+        Ops.md5Bits60(concat(col("doc_id").cast("string"), lit(":cap"))))
+      .withColumn("cum", sum(col("n_toks")).over(wcap))
+      .filter(col("cum") <= CapTokens)
+      .drop("h", "cum")
+      .persist()
+    val wpack = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nSeqs = pool6
+      .select(col("doc_id"),
+              (Ops.md5Bits60(col("doc_id").cast("string"))
+                 % Corpus.NumShards).as("shard"),
+              col("n_toks"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_toks")).over(wpack), lit(0L)))
+      .select(col("shard"), expr(s"cum_before DIV ${Corpus.SeqLen}").as("seq_id"))
+      .distinct()
+      .agg(count(lit(1)).as("n_seqs"))
+
+    def stat(name: String, pool: DataFrame): DataFrame =
+      pool.agg(count(lit(1)).as("n_docs"),
+               coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+
+    val stageRows = Seq(
+      stat("0_raw", d0), stat("1_quarantine", pool1),
+      stat("2_quality", pool2), stat("3_exact_dedup", pool3),
+      stat("4_near_dedup", pool4), stat("5_decontam", pool5),
+      stat("6_source_caps", pool6), stat("7_pack", pool6))
+      .reduce(_.unionByName(_))
+    // 8 fixed rows: the lag window's single partition is bounded by
+    // construction (docs/PLANS.md global-final rule).
+    val wlag = Window.orderBy(col("stage"))
+    val out = stageRows
+      .withColumn("docs_dropped",
+        coalesce(lag(col("n_docs"), 1).over(wlag) - col("n_docs"), lit(0L)))
+      .withColumn("tokens_dropped",
+        coalesce(lag(col("n_tokens"), 1).over(wlag) - col("n_tokens"),
+                 lit(0L)))
+      .crossJoin(nSeqs)
+      .select(col("stage"), col("n_docs"), col("n_tokens"),
+              col("docs_dropped"), col("tokens_dropped"),
+              when(col("stage") === "7_pack", col("n_seqs"))
+                .otherwise(lit(0L)).as("n_seqs"))
+      .orderBy(col("stage"))
+    val ckpt = graft.PlanMode.checkpointTail(out)
+    Seq(d0, pool1, pool2, pool3, pool4, pool5, pool6).foreach(_.unpersist())
+    ckpt
+  }
+
+  val qPipelineRunSql: String = {
+    val shingleList =
+      s"""list_distinct(list_transform(
+         |      range(greatest(len(string_split(text, ' ')) - ${Corpus.ContamN - 1}, 1)),
+         |      i -> array_to_string(string_split(text, ' ')[i+1:i+${Corpus.ContamN}], ' ')))""".stripMargin
+    s"""WITH RECURSIVE d0 AS (
+       |  SELECT doc_id, source, lang, n_chars, text,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |pool1 AS (SELECT * FROM d0 WHERE doc_id % 50 <> 0),
+       |pool2 AS (
+       |  SELECT * FROM pool1
+       |  WHERE (${TextOps.funnelStageSqlExpr}) = '5_pass'),
+       |pool3 AS (
+       |  SELECT * FROM (
+       |    SELECT *,
+       |           md5(lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
+       |             AS fpr
+       |    FROM pool2)
+       |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fpr)),
+       |${Corpus.clusterCtesFrom("pool3")},
+       |pool4 AS (
+       |  SELECT p.* FROM pool3 p JOIN comp c ON c.doc_id = p.doc_id
+       |  WHERE c.component_id = p.doc_id),
+       |sg AS (
+       |  SELECT doc_id, unnest(grams) AS gram FROM (
+       |    SELECT doc_id, $shingleList AS grams FROM pool4)),
+       |sgc AS (
+       |  SELECT doc_id, gram FROM sg
+       |  QUALIFY count(*) OVER (PARTITION BY gram) <= ${Corpus.ContamMaxDf}),
+       |bg AS (
+       |  SELECT DISTINCT gram FROM (
+       |    SELECT unnest(grams) AS gram FROM (
+       |      SELECT $shingleList AS grams FROM d0 WHERE doc_id % 50 = 0))),
+       |contam AS (SELECT DISTINCT s.doc_id FROM sgc s JOIN bg USING (gram)),
+       |pool5 AS (
+       |  SELECT * FROM pool4
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |pool6 AS (
+       |  SELECT * FROM (
+       |    SELECT *,
+       |           SUM(n_toks) OVER (
+       |             PARTITION BY source
+       |             ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+       |                                          || ':cap'), 1, 15))::BIGINT ASC,
+       |                      doc_id ASC
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM pool5)
+       |  WHERE cum <= $CapTokens),
+       |packed AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_seqs FROM (
+       |    SELECT DISTINCT shard, cum_before // ${Corpus.SeqLen} AS seq_id FROM (
+       |      SELECT shard,
+       |             COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING
+       |                        AND 1 PRECEDING), 0) AS cum_before
+       |      FROM (SELECT doc_id,
+       |                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |                     % ${Corpus.NumShards} AS shard,
+       |                   n_toks
+       |            FROM pool6)))),
+       |stages AS (
+       |  SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens FROM d0
+       |  UNION ALL SELECT '1_quarantine', CAST(count(*) AS BIGINT),
+       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM pool1
+       |  UNION ALL SELECT '2_quality', CAST(count(*) AS BIGINT),
+       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM pool2
+       |  UNION ALL SELECT '3_exact_dedup', CAST(count(*) AS BIGINT),
+       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM pool3
+       |  UNION ALL SELECT '4_near_dedup', CAST(count(*) AS BIGINT),
+       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM pool4
+       |  UNION ALL SELECT '5_decontam', CAST(count(*) AS BIGINT),
+       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM pool5
+       |  UNION ALL SELECT '6_source_caps', CAST(count(*) AS BIGINT),
+       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM pool6
+       |  UNION ALL SELECT '7_pack', CAST(count(*) AS BIGINT),
+       |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM pool6),
+       |lagged AS (
+       |  SELECT stage, n_docs, n_tokens,
+       |         CAST(COALESCE(LAG(n_docs) OVER (ORDER BY stage) - n_docs, 0)
+       |              AS BIGINT) AS docs_dropped,
+       |         CAST(COALESCE(LAG(n_tokens) OVER (ORDER BY stage) - n_tokens, 0)
+       |              AS BIGINT) AS tokens_dropped
+       |  FROM stages)
+       |SELECT l.stage, l.n_docs, l.n_tokens, l.docs_dropped, l.tokens_dropped,
+       |       CAST(CASE WHEN l.stage = '7_pack' THEN p.n_seqs ELSE 0 END
+       |            AS BIGINT) AS n_seqs
+       |FROM lagged l CROSS JOIN packed p
+       |ORDER BY l.stage""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_curriculum_order"   -> qCurriculumOrder,
     "q_gini_concentration" -> qGiniConcentration,
+    "q_pipeline_run"      -> qPipelineRun,
     "q_training_pipeline" -> qTrainingPipeline,
     "q_stratified_sample" -> qStratifiedSample,
     "q_group_sample"      -> qGroupSample,
@@ -398,6 +620,7 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "q_curriculum_order"   -> qCurriculumOrderSql,
     "q_gini_concentration" -> qGiniConcentrationSql,
+    "q_pipeline_run"      -> qPipelineRunSql,
     "q_training_pipeline" -> qTrainingPipelineSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
     "q_group_sample"      -> qGroupSampleSql,

@@ -183,7 +183,11 @@ object TextOps {
   /** The transform itself, over any (text) frame — shared with the
     * crafted-corpus spec so invariants pin the same code path.
     */
-  def filterFunnel(docs: DataFrame): DataFrame = {
+  /** The first-failing-rule stage label over `text` — one definition
+    * shared by q_filter_funnel and the composed pipeline's quality gate
+    * so the two can never disagree on what "passes".
+    */
+  private[graft] def funnelStage: org.apache.spark.sql.Column = {
     val toks = size(Ops.tokens(col("text")))
     // chars excluding separators / token count: one IEEE division, no
     // re-association anywhere, so the rule boundary is bit-identical in
@@ -191,15 +195,36 @@ object TextOps {
     val meanWordLen =
       length(regexp_replace(col("text"), " ", "")).cast("double") /
         toks.cast("double")
-    val stage =
-      when(toks < MinFunnelToks, lit("1_too_short"))
-        .when(toks > MaxFunnelToks, lit("2_too_long"))
-        .when(meanWordLen < MinMeanWordLen || meanWordLen > MaxMeanWordLen,
-              lit("3_word_len"))
-        .when(hits(col("text"), EnStop) < MinEvidence, lit("4_low_stopword"))
-        .otherwise(lit("5_pass"))
+    when(toks < MinFunnelToks, lit("1_too_short"))
+      .when(toks > MaxFunnelToks, lit("2_too_long"))
+      .when(meanWordLen < MinMeanWordLen || meanWordLen > MaxMeanWordLen,
+            lit("3_word_len"))
+      .when(hits(col("text"), EnStop) < MinEvidence, lit("4_low_stopword"))
+      .otherwise(lit("5_pass"))
+  }
+
+  /** funnelStage's DuckDB face, inlined over a relation exposing
+    * `text` (no precomputed helper columns, so it can sit in any CTE).
+    */
+  private[graft] def funnelStageSqlExpr: String = {
+    val stopHits = EnStop
+      .map(w => s"CASE WHEN ' ' || text || ' ' LIKE '% $w %' THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""CASE WHEN len(string_split(text, ' ')) < $MinFunnelToks THEN '1_too_short'
+       |     WHEN len(string_split(text, ' ')) > $MaxFunnelToks THEN '2_too_long'
+       |     WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |            / len(string_split(text, ' ')) < CAST($MinMeanWordLen AS DOUBLE)
+       |       OR CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |            / len(string_split(text, ' ')) > CAST($MaxMeanWordLen AS DOUBLE)
+       |       THEN '3_word_len'
+       |     WHEN $stopHits < $MinEvidence THEN '4_low_stopword'
+       |     ELSE '5_pass' END""".stripMargin
+  }
+
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val toks = size(Ops.tokens(col("text")))
     docs
-      .select(stage.as("stage"), toks.cast("bigint").as("n_toks"))
+      .select(funnelStage.as("stage"), toks.cast("bigint").as("n_toks"))
       .groupBy(col("stage"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
       .orderBy(col("stage"))

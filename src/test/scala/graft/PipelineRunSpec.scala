@@ -1,0 +1,89 @@
+package graft
+
+import graft.ext.Pipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stage-order invariants of the composed curation run (q_pipeline_run)
+  * on a crafted corpus where EVERY stage drops something — the sf
+  * gates leave several stages at zero attrition (their duplicates die
+  * earlier in the chain), so only a crafted corpus pins that each drop
+  * is attributed to the intended stage and the lag accounting is
+  * conserved.
+  *
+  * Corpus: 90 "big"-source docs of exactly 60 tokens each (5400 tokens
+  * offered > CapTokens=5000, so greedy caps admit exactly 83), plus one
+  * benchmark doc (id 50), one too-short doc, one exact-dup pair, one
+  * near-dup pair (shared 40-char normalized prefix, same length
+  * bucket), and one doc sharing a 5-gram with the benchmark.
+  */
+class PipelineRunSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def doc(id: Long, source: String, text: String) =
+    (id, source, "en", text.length.toLong, text)
+
+  private val corpus: Seq[(Long, String, String, Long, String)] = {
+    // 90 odd ids (never % 50 == 0), every word unique to its doc so no
+    // star keys or 5-grams are shared within the group.
+    val big = (0 until 90).map { i =>
+      val id = 1001L + 2 * i
+      val words = (0 until 58).map(j => f"d$i%03dw$j%03dx")
+      val text = (words.take(29) ++ Seq("the", "and") ++ words.drop(29))
+        .mkString(" ")
+      doc(id, "big", text)
+    }
+    val cText = ((0 until 28).map(j => f"cdup0w$j%03dx").take(14) ++
+      Seq("the", "and") ++ (0 until 28).map(j => f"cdup0w$j%03dx").drop(14))
+      .mkString(" ")
+    val dPrefix = (0 until 5).map(j => s"neard00$j").mkString(" ")
+    def dTail(tag: String) = (0 until 23).map(j => f"$tag%sw$j%03dx").mkString(" ")
+    val eFill = (0 until 21).map(j => f"eonly0w$j%03dx").mkString(" ")
+    big ++ Seq(
+      doc(50L, "bench", "aaaa bbbb leak1 leak2 leak3 leak4 leak5 cccc"),
+      doc(41L, "misc", "x y z"), // too short -> quality drop
+      doc(11L, "misc", cText),   // exact-dup pair
+      doc(13L, "misc", cText),
+      doc(21L, "misc", s"$dPrefix the and ${dTail("dn1")}"), // near-dup pair
+      doc(23L, "misc", s"$dPrefix the and ${dTail("dn2")}"),
+      doc(31L, "misc", s"eonly0a0 eonly0b0 the and leak1 leak2 leak3 leak4 leak5 $eFill"))
+  }
+
+  test("q_pipeline_run: every stage's attrition lands on the intended docs") {
+    val df = corpus.toDF("doc_id", "source", "lang", "n_chars", "text")
+    val rows = Pipeline.pipelineRun(df)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq("0_raw", "1_quarantine", "2_quality",
+      "3_exact_dedup", "4_near_dedup", "5_decontam", "6_source_caps",
+      "7_pack"))
+    val byStage = rows.map(r => r._1 -> r).toMap
+
+    // Doc attrition, stage by stage: 97 raw, bench quarantine takes the
+    // one % 50 doc, quality the 3-token doc, exact dedup one copy of
+    // the identical pair, near dedup one of the shared-prefix pair,
+    // decontam the leak-gram carrier, caps 7 of the 90 big docs
+    // (83 * 60 = 4980 <= 5000 < 84 * 60).
+    val expectedDocs = Seq(97L, 96L, 95L, 94L, 93L, 92L, 85L, 85L)
+    assert(rows.map(_._2).toSeq == expectedDocs)
+
+    // Lag accounting is conserved: per-stage drops sum to raw - final,
+    // and each row's (docs_dropped, tokens_dropped) equals the delta
+    // from the previous row.
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur._4 == prev._2 - cur._2, s"docs_dropped at ${cur._1}")
+      assert(cur._5 == prev._3 - cur._3, s"tokens_dropped at ${cur._1}")
+    }
+    assert(rows.head._4 == 0L && rows.head._5 == 0L)
+
+    // Caps stage: exactly 7 big docs of 60 tokens each.
+    assert(byStage("6_source_caps")._4 == 7L)
+    assert(byStage("6_source_caps")._5 == 420L)
+
+    // Pack: sequences appear only on the final row, and token mass is
+    // untouched by packing.
+    assert(rows.init.forall(_._6 == 0L))
+    val fin = byStage("7_pack")
+    assert(fin._6 > 0L && fin._6 <= fin._2)
+    assert(fin._3 == byStage("6_source_caps")._3)
+  }
+}
