@@ -85,6 +85,19 @@ object ScaleGen {
     "was", "on", "are", "as", "with", "his", "they", "at", "be", "this",
     "have", "from", "or", "by")
 
+  // Single-token stopword mixing alone cannot make a specific 5-gram
+  // hot (five independent 1.7% draws ≈ 1e-9 per position); natural
+  // text gets its hot 5-grams from TEMPLATE PHRASES ("in the middle of
+  // the") repeated verbatim across documents. Stress mode appends one
+  // seeded template per document, so each template's document
+  // frequency is ~corpus/|templates| — thousands of docs at 10×, far
+  // past ContamMaxDf: the uncapped gram join would fan out
+  // df_left × df_right per template, the capped one drops them.
+  val TemplateGrams: Seq[String] = Seq(
+    "in the middle of the", "at the end of the", "as a result of the",
+    "on the other hand the", "it is important to note",
+    "in the case of the", "at the time of the", "for the rest of the")
+
   def diverseDocuments(spark: SparkSession, docs: DataFrame,
                        copies: Int, stopMix: Double = 0.0): DataFrame = {
     val vocab = docs
@@ -117,6 +130,13 @@ object ScaleGen {
               .otherwise(zipfWord)
           }),
           " "))
+        .withColumn("text",
+          if (stopMix <= 0.0) col("text")
+          else concat(col("text"), lit(" "),
+            element_at(array(TemplateGrams.map(lit): _*),
+              (floor(lit(TemplateGrams.length) *
+                     u01(concat_ws(":", col("doc_id"), lit("tpl"))))
+                 + 1).cast("int"))))
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
                 length(col("text")).cast("bigint").as("n_chars"))
     }.reduce(_.unionByName(_))
