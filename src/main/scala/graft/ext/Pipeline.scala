@@ -426,10 +426,11 @@ object Pipeline {
   // ------------------------------------------------------------------
   val qPipelineRun: Q = (s, d) => pipelineRun(Tables.documents(s, d))
 
-  /** The composed run over any documents-shaped frame (doc_id, source,
-    * lang, n_chars, text) — factored for stage-invariant specs.
+  /** The shared stage-pool chain: each pool PERSISTED (it feeds both
+    * its attrition row(s) and the next stage); callers must unpersist
+    * every returned frame after materializing their report.
     */
-  private[graft] def pipelineRun(docsIn: DataFrame): DataFrame = {
+  private def stagePools(docsIn: DataFrame): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.expressions.Window
     val d0 = docsIn
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
@@ -472,6 +473,18 @@ object Pipeline {
       .filter(col("cum") <= CapTokens)
       .drop("h", "cum")
       .persist()
+    Seq("0_raw" -> d0, "1_quarantine" -> pool1, "2_quality" -> pool2,
+        "3_exact_dedup" -> pool3, "4_near_dedup" -> pool4,
+        "5_decontam" -> pool5, "6_source_caps" -> pool6)
+  }
+
+  /** The composed run over any documents-shaped frame (doc_id, source,
+    * lang, n_chars, text) — factored for stage-invariant specs.
+    */
+  private[graft] def pipelineRun(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pools = stagePools(docsIn)
+    val pool6 = pools.last._2
     val wpack = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val nSeqs = pool6
@@ -490,12 +503,8 @@ object Pipeline {
                coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"))
         .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
 
-    val stageRows = Seq(
-      stat("0_raw", d0), stat("1_quarantine", pool1),
-      stat("2_quality", pool2), stat("3_exact_dedup", pool3),
-      stat("4_near_dedup", pool4), stat("5_decontam", pool5),
-      stat("6_source_caps", pool6), stat("7_pack", pool6))
-      .reduce(_.unionByName(_))
+    val stageRows = (pools.map { case (n, p) => stat(n, p) } :+
+      stat("7_pack", pool6)).reduce(_.unionByName(_))
     // 8 fixed rows: the lag window's single partition is bounded by
     // construction (docs/PLANS.md global-final rule).
     val wlag = Window.orderBy(col("stage"))
@@ -512,11 +521,61 @@ object Pipeline {
                 .otherwise(lit(0L)).as("n_seqs"))
       .orderBy(col("stage"))
     val ckpt = graft.PlanMode.checkpointTail(out)
-    Seq(d0, pool1, pool2, pool3, pool4, pool5, pool6).foreach(_.unpersist())
+    pools.foreach(_._2.unpersist())
     ckpt
   }
 
-  val qPipelineRunSql: String = {
+  // ------------------------------------------------------------------
+  // q_pipeline_by_source — the curation run's attrition PER SOURCE:
+  // the lineage table a mixture designer actually reads ("source X
+  // loses 60% of its mass at the quality gate; source Y survives
+  // everything but the cap"). Same stage pools as q_pipeline_run
+  // (shared stagePools — the two can never disagree), grouped by
+  // source with a dense (source × stage) grid so zeroed-out sources
+  // keep their rows and the per-source lag accounting stays exact.
+  //
+  // Scale shape: per stage, one partial-agg groupBy(source) to
+  // O(sources) rows; the grid fill and lag window run on the
+  // O(sources × 7) report — bounded finals per docs/PLANS.md.
+  // ------------------------------------------------------------------
+  val qPipelineBySource: Q = (s, d) => pipelineBySource(Tables.documents(s, d))
+
+  private[graft] def pipelineBySource(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pools = stagePools(docsIn)
+    val perStage = pools.map { case (name, p) =>
+      p.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"))
+        .select(col("source"), lit(name).as("stage"),
+                col("n_docs"), col("n_tokens"))
+    }.reduce(_.unionByName(_))
+    val stageNames = pools.map(_._1)
+    val stageDf = docsIn.sparkSession.range(1)
+      .select(explode(array(stageNames.map(lit): _*)).as("stage"))
+    val grid = pools.head._2.select(col("source")).distinct()
+      .crossJoin(stageDf)
+    val filled = grid.join(perStage, Seq("source", "stage"), "left")
+      .na.fill(0L, Seq("n_docs", "n_tokens"))
+    val wlag = Window.partitionBy(col("source")).orderBy(col("stage"))
+    val out = filled
+      .withColumn("docs_dropped",
+        coalesce(lag(col("n_docs"), 1).over(wlag) - col("n_docs"), lit(0L)))
+      .withColumn("tokens_dropped",
+        coalesce(lag(col("n_tokens"), 1).over(wlag) - col("n_tokens"),
+                 lit(0L)))
+      .select(col("source"), col("stage"), col("n_docs"), col("n_tokens"),
+              col("docs_dropped"), col("tokens_dropped"))
+      .orderBy(col("source"), col("stage"))
+    val ckpt = graft.PlanMode.checkpointTail(out)
+    pools.foreach(_._2.unpersist())
+    ckpt
+  }
+
+  /** Shared oracle CTE chain through pool6 — one definition for the
+    * global and the per-source attrition tails.
+    */
+  private val pipelineCtes: String = {
     val shingleList =
       s"""list_distinct(list_transform(
          |      range(greatest(len(string_split(text, ' ')) - ${Corpus.ContamN - 1}, 1)),
@@ -564,8 +623,14 @@ object Pipeline {
        |                      doc_id ASC
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |    FROM pool5)
-       |  WHERE cum <= $CapTokens),
-       |packed AS (
+       |  WHERE cum <= $CapTokens)""".stripMargin
+  }
+
+  // NOTE: pipelineCtes is concatenated, never interpolated into a
+  // stripMargin literal — a second stripMargin pass would eat one pipe
+  // of its `||` continuation lines.
+  val qPipelineRunSql: String = pipelineCtes + ",\n" +
+    s"""packed AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_seqs FROM (
        |    SELECT DISTINCT shard, cum_before // ${Corpus.SeqLen} AS seq_id FROM (
        |      SELECT shard,
@@ -606,12 +671,48 @@ object Pipeline {
        |            AS BIGINT) AS n_seqs
        |FROM lagged l CROSS JOIN packed p
        |ORDER BY l.stage""".stripMargin
+
+  val qPipelineBySourceSql: String = {
+    val stageVals = Seq("0_raw", "1_quarantine", "2_quality",
+      "3_exact_dedup", "4_near_dedup", "5_decontam", "6_source_caps")
+      .map(s => s"('$s')").mkString(", ")
+    val perPool = Seq("d0" -> "0_raw", "pool1" -> "1_quarantine",
+      "pool2" -> "2_quality", "pool3" -> "3_exact_dedup",
+      "pool4" -> "4_near_dedup", "pool5" -> "5_decontam",
+      "pool6" -> "6_source_caps")
+      .map { case (cte, st) =>
+        s"""  SELECT source, '$st' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens
+           |  FROM $cte GROUP BY 1""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+    pipelineCtes + ",\n" +
+    s"""per AS (
+       |$perPool),
+       |grid AS (
+       |  SELECT s.source, v.stage
+       |  FROM (SELECT DISTINCT source FROM d0) s
+       |  CROSS JOIN (SELECT * FROM (VALUES $stageVals) AS t(stage)) v),
+       |filled AS (
+       |  SELECT g.source, g.stage,
+       |         COALESCE(p.n_docs, 0) AS n_docs,
+       |         COALESCE(p.n_tokens, 0) AS n_tokens
+       |  FROM grid g LEFT JOIN per p
+       |    ON p.source = g.source AND p.stage = g.stage)
+       |SELECT source, stage, n_docs, n_tokens,
+       |       CAST(COALESCE(LAG(n_docs) OVER (PARTITION BY source
+       |                                       ORDER BY stage) - n_docs, 0)
+       |            AS BIGINT) AS docs_dropped,
+       |       CAST(COALESCE(LAG(n_tokens) OVER (PARTITION BY source
+       |                                         ORDER BY stage) - n_tokens, 0)
+       |            AS BIGINT) AS tokens_dropped
+       |FROM filled ORDER BY source, stage""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
     "q_curriculum_order"   -> qCurriculumOrder,
     "q_gini_concentration" -> qGiniConcentration,
     "q_pipeline_run"      -> qPipelineRun,
+    "q_pipeline_by_source" -> qPipelineBySource,
     "q_training_pipeline" -> qTrainingPipeline,
     "q_stratified_sample" -> qStratifiedSample,
     "q_group_sample"      -> qGroupSample,
@@ -621,6 +722,7 @@ object Pipeline {
     "q_curriculum_order"   -> qCurriculumOrderSql,
     "q_gini_concentration" -> qGiniConcentrationSql,
     "q_pipeline_run"      -> qPipelineRunSql,
+    "q_pipeline_by_source" -> qPipelineBySourceSql,
     "q_training_pipeline" -> qTrainingPipelineSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
     "q_group_sample"      -> qGroupSampleSql,

@@ -86,4 +86,25 @@ class PipelineRunSpec extends AnyFunSuite {
     assert(fin._6 > 0L && fin._6 <= fin._2)
     assert(fin._3 == byStage("6_source_caps")._3)
   }
+
+  test("q_pipeline_by_source sums to the global attrition table") {
+    val df = corpus.toDF("doc_id", "source", "lang", "n_chars", "text")
+    val global = Pipeline.pipelineRun(df)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .filter(_._1 != "7_pack") // per-source table has no pack row
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val bySrc = Pipeline.pipelineBySource(df)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    val summed = bySrc.groupBy(_._2).map { case (st, rs) =>
+      st -> ((rs.map(_._3).sum, rs.map(_._4).sum,
+              rs.map(_._5).sum, rs.map(_._6).sum))
+    }
+    assert(summed == global,
+           "per-source rows must partition the global attrition exactly")
+    // The crafted caps drop is attributed to the 'big' source alone.
+    val bigCaps = bySrc.find(r => r._1 == "big" && r._2 == "6_source_caps").get
+    assert(bigCaps._5 == 7L && bigCaps._6 == 420L)
+    assert(bySrc.filter(r => r._1 != "big" && r._2 == "6_source_caps")
+             .forall(_._5 == 0L))
+  }
 }
