@@ -452,12 +452,37 @@ object Corpus {
     * (grams are list_distinct per doc on both engines, so the count
     * IS document frequency).
     */
-  private[graft] def capHotGrams(large: DataFrame): DataFrame = {
-    val hot = large.groupBy(col("gram"))
+  /** Grams whose document frequency in `large` exceeds ContamMaxDf —
+    * the Zipf head, tiny and broadcastable by construction. The
+    * groupBy ships map-side-combined (gram, count) partials only.
+    */
+  private[graft] def hotGrams(large: DataFrame): DataFrame =
+    large.groupBy(col("gram"))
       .agg(count(lit(1)).as("gram_df"))
       .filter(col("gram_df") > ContamMaxDf)
       .select(col("gram"))
-    large.join(hot, Seq("gram"), "left_anti")
+
+  private[graft] def capHotGrams(large: DataFrame): DataFrame =
+    large.join(hotGrams(large), Seq("gram"), "left_anti")
+
+  /** Same kept set as capHotGrams, formulated as a count window over
+    * the postings. Use when the DOWNSTREAM join shuffles on the gram
+    * anyway (q_split_leakage: the train side must hash-partition for
+    * the hold⋈train join, so the window's exchange is REUSED and the
+    * cap is bytes-free); use capHotGrams when the downstream join
+    * broadcasts the other side (q_contamination: the window would
+    * force a corpus-postings shuffle nothing else needs — measured
+    * 1.7× total shuffle bytes the other way around on q_split_leakage
+    * when the anti formulation added its df-partials exchange to a
+    * join that shuffles regardless).
+    */
+  private[graft] def capHotGramsColocated(large: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    large
+      .withColumn("gram_df",
+        count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("gram_df") <= ContamMaxDf)
+      .drop("gram_df")
   }
 
   /** Shared tail of the contamination family: for every probe doc, its
@@ -495,8 +520,10 @@ object Corpus {
       .select(col("doc_id"), explode(col("grams")).as("gram"))
     val train = grams.filter(col("split") === "train")
       .select(col("doc_id").as("train_id"), explode(col("grams")).as("gram"))
-    // train is the ~95% side: cap ITS per-gram df before the join.
-    worstGramOverlap(hold, capHotGrams(train), "train_id")
+    // train is the ~95% side: cap ITS per-gram df before the join —
+    // window form, since the join hash-partitions train on gram anyway
+    // and reuses the window's exchange.
+    worstGramOverlap(hold, capHotGramsColocated(train), "train_id")
   }
 
   val qSplitLeakage: Q = (s, d) => {

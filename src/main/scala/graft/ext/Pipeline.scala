@@ -459,8 +459,13 @@ object Pipeline {
         explode(Ops.shingles(Ops.tokens(col("text")), Corpus.ContamN))
           .as("gram"))
       .distinct()
-    val contaminated = Corpus.capHotGrams(survGrams)
+    // Semi against the (small) benchmark FIRST, then anti against the
+    // (tiny Zipf-head) hot set: survivor postings only ever meet
+    // broadcastable sides, so the decontamination stage adds no
+    // postings-sized shuffle — only the hot set's slim df partials.
+    val contaminated = survGrams
       .join(benchGrams, Seq("gram"), "left_semi")
+      .join(Corpus.hotGrams(survGrams), Seq("gram"), "left_anti")
       .select(col("doc_id")).distinct()
     val pool5 = pool4.join(contaminated, Seq("doc_id"), "left_anti").persist()
     val wcap = Window.partitionBy(col("source"))

@@ -169,8 +169,9 @@ object PipelineStream {
     val benchGrams = bench.select(
         explode(Ops.shingles(Ops.tokens(col("text")), Corpus.ContamN))
           .as("gram")).distinct()
-    val contaminated = Corpus.capHotGrams(survGrams)
+    val contaminated = survGrams
       .join(benchGrams, Seq("gram"), "left_semi")
+      .join(Corpus.hotGrams(survGrams), Seq("gram"), "left_anti")
       .select(col("doc_id")).distinct()
     val pool5 = pool4.join(contaminated, Seq("doc_id"), "left_anti")
     // 6: source caps — greedy admission against the ledgered per-source
