@@ -238,6 +238,33 @@ object PipelineStream {
     admitted
   }
 
+  /** Drive curation over a static documents dir to completion
+    * (AvailableNow — the plane's standard harness for exercising the
+    * real Structured Streaming source/sink wiring): each micro-batch
+    * runs the full stage chain against the ledgers; `bench` is read
+    * once up front (the benchmark is static eval data by definition).
+    * Returns the folded attrition view as of completion.
+    */
+  def runOnce(spark: SparkSession, srcDir: String, bench: DataFrame,
+              rootDir: String,
+              name: String = "graft_pipeline_ingest"): DataFrame = {
+    val benchStable = bench.localCheckpoint(true) // one snapshot, all batches
+    val q = spark.readStream
+      .schema(CorpusStream.docsSchema)
+      .option("pathGlobFilter", "documents*.parquet")
+      .parquet(srcDir)
+      .writeStream
+      .queryName(name)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, benchStable, rootDir); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    attritionView(spark, rootDir)
+  }
+
   /** Fold the attrition ledger (plus a pack pass over the admitted
     * ledger) into exactly the batch operator's attrition table:
     * (stage, n_docs, n_tokens, docs_dropped, tokens_dropped, n_seqs).

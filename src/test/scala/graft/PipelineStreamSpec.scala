@@ -58,6 +58,21 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(first > 0)
   }
 
+  test("runOnce: real AvailableNow stream over the sf dir folds to the batch table") {
+    val root = freshRoot("runonce")
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val got = PipelineStream.runOnce(spark, sf, bench, root)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val want = Pipeline.pipelineRun(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // The sf dir is one parquet file -> AvailableNow delivers one
+    // micro-batch, so the fold must equal the batch operator exactly
+    // (the single-batch parity contract through the REAL streaming
+    // source/sink wiring, not a hand-fed frame).
+    assert(got == want)
+  }
+
   test("per-source caps hold across batches via the caps ledger") {
     val root = freshRoot("caps")
     // Two batches from one source, each under the cap alone, together
