@@ -44,6 +44,26 @@ class HotGramCapSpec extends AnyFunSuite {
     assert(got == warmIds.map(i => (i, 100L, 1L)).toSet)
   }
 
+  test("capHotGrams and capHotGramsColocated keep the identical posting set") {
+    // The two formulations exist for plan reasons only (broadcast-anti
+    // vs window-exchange-reuse); this pins that they can never drift
+    // semantically. Frame straddles the boundary: grams at df 1,
+    // ContamMaxDf, and ContamMaxDf+1.
+    val cap = Corpus.ContamMaxDf.toInt
+    val postings =
+      (1 to cap + 1).map(i => (i.toLong, "hotgram")) ++   // df = cap+1 -> drop
+      (1 to cap).map(i => (1000L + i, "warmgram")) ++     // df = cap   -> keep
+      Seq((5000L, "raregram"))                            // df = 1     -> keep
+    val df = postings.toDF("doc_id", "gram")
+    val a = Corpus.capHotGrams(df).select($"doc_id", $"gram")
+      .as[(Long, String)].collect().toSet
+    val b = Corpus.capHotGramsColocated(df).select($"doc_id", $"gram")
+      .as[(Long, String)].collect().toSet
+    assert(a == b)
+    assert(a.map(_._2) == Set("warmgram", "raregram"))
+    assert(a.size == cap + 1)
+  }
+
   test("q_split_leakage: gram above ContamMaxDf on the train side is dropped") {
     val trainHot = (1L to 70L).map(i => (i, hot))
     val docs = (trainHot :+ ((201L, rare))
