@@ -165,11 +165,6 @@ object Corpus {
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
     clusterLabelsOf(Tables.documents(s, d))
 
-  /** Same labeling over any documents-shaped frame (doc_id, lang,
-    * n_chars, text) — the composed pipeline runs it on the exact-dedup
-    * SURVIVORS, where components differ from the whole-corpus ones by
-    * construction.
-    */
   /** The blocking signature keys of each document — (doc_id, key), two
     * rows per doc (normalized-prefix and normalized-suffix star keys).
     * ONE definition shared by clusterLabelsOf and the streaming
@@ -191,6 +186,11 @@ object Corpus {
     pre.unionByName(suf)
   }
 
+  /** Same labeling over any documents-shaped frame (doc_id, lang,
+    * n_chars, text) — the composed pipeline runs it on the exact-dedup
+    * SURVIVORS, where components differ from the whole-corpus ones by
+    * construction.
+    */
   private[graft] def clusterLabelsOf(docsIn: DataFrame): DataFrame = {
     val keyed = starKeyed(docsIn)
     val star = keyed.groupBy(col("key")).agg(min(col("doc_id")).as("rep"))
@@ -221,20 +221,11 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB resolves the same star-edge graph with a recursive CTE: the
-    * reachable-label set of each vertex is its connected component (edges
-    * are symmetric), so min(label) over it equals the Spark fixpoint.
-    */
-  /** Shared recursive-CTE prefix: resolves the same star-edge graph as
+  /** Shared recursive-CTE tail: resolves the same star-edge graph as
     * `clusterLabels` into `comp(doc_id, component_id)` + `sizes` — the
-    * reachable-label minimum of each vertex equals the Spark fixpoint.
-    */
-  /** The star-edge recursive-CTE chain over an arbitrary source CTE /
-    * table (must expose doc_id, lang, n_chars, text) — `clusterCteSql`
-    * instantiates it on `documents`; the composed pipeline oracle on
-    * its exact-dedup survivor CTE. Emitted WITHOUT the leading `WITH
-    * RECURSIVE` so it can sit mid-chain (DuckDB scopes one RECURSIVE
-    * keyword over the whole WITH list).
+    * reachable-label minimum of each vertex is its connected component
+    * (edges are symmetric), so it equals the Spark fixpoint. Expects a
+    * preceding `docs` CTE exposing (doc_id, lang, len_bucket, nt).
     */
   private val clusterCtesTail: String =
     """
@@ -438,20 +429,6 @@ object Corpus {
   // carry signal; only the unbounded stopword head is noise.)
   val ContamMaxDf = 64L
 
-  /** Drop grams whose document frequency WITHIN this (the structurally
-    * large) side exceeds ContamMaxDf. Formulated as build-the-HOT-set +
-    * broadcast anti-join, NOT a window over the postings: the groupBy
-    * ships map-side-combined (gram, count) partials — slim rows, one
-    * per distinct gram per partition — and its output (grams with
-    * df > cap, the Zipf head) is tiny and broadcastable, so the
-    * postings themselves never shuffle for the cap. A window
-    * formulation measured 600× more shuffle bytes on q_contamination
-    * (it ships every posting to compute the same count, and costs the
-    * downstream join its broadcast). Oracle mirror: `QUALIFY count(*)
-    * OVER (PARTITION BY gram) <= ContamMaxDf` — identical kept set
-    * (grams are list_distinct per doc on both engines, so the count
-    * IS document frequency).
-    */
   /** Grams whose document frequency in `large` exceeds ContamMaxDf —
     * the Zipf head, tiny and broadcastable by construction. The
     * groupBy ships map-side-combined (gram, count) partials only.
@@ -462,6 +439,17 @@ object Corpus {
       .filter(col("gram_df") > ContamMaxDf)
       .select(col("gram"))
 
+  /** Drop grams whose document frequency WITHIN this (the structurally
+    * large) side exceeds ContamMaxDf. Formulated as build-the-HOT-set +
+    * broadcast anti-join, NOT a window over the postings: the hot set
+    * is tiny by construction, so the postings themselves never shuffle
+    * for the cap. A window formulation measured 600× more shuffle bytes
+    * on q_contamination (it ships every posting to compute the same
+    * count, and costs the downstream join its broadcast). Oracle
+    * mirror: `QUALIFY count(*) OVER (PARTITION BY gram) <= ContamMaxDf`
+    * — identical kept set (grams are list_distinct per doc on both
+    * engines, so the count IS document frequency).
+    */
   private[graft] def capHotGrams(large: DataFrame): DataFrame =
     large.join(hotGrams(large), Seq("gram"), "left_anti")
 

@@ -180,9 +180,6 @@ object TextOps {
 
   val qFilterFunnel: Q = (s, d) => filterFunnel(Tables.documents(s, d))
 
-  /** The transform itself, over any (text) frame — shared with the
-    * crafted-corpus spec so invariants pin the same code path.
-    */
   /** The first-failing-rule stage label over `text` — one definition
     * shared by q_filter_funnel and the composed pipeline's quality gate
     * so the two can never disagree on what "passes".
@@ -221,6 +218,9 @@ object TextOps {
        |     ELSE '5_pass' END""".stripMargin
   }
 
+  /** The transform itself, over any (text) frame — shared with the
+    * crafted-corpus spec so invariants pin the same code path.
+    */
   def filterFunnel(docs: DataFrame): DataFrame = {
     val toks = size(Ops.tokens(col("text")))
     docs

@@ -39,7 +39,8 @@ import org.apache.spark.sql.types._
   * decontamination df cap sees the same gram frequencies, and greedy
   * caps see the same candidate order. ACROSS batches the semantics
   * are arrival-order greedy (first-seen-wins dedup, per-batch gram-df
-  * caps, caps admission against the ledgered per-source total) — the
+  * caps unless a precomputed global hot-gram frame is supplied, caps
+  * admission against the ledgered per-source total) — the
   * standard streaming divergence this plane documents on CorpusStream:
   * a global-min / global-df re-resolution would mean rewriting history
   * every batch.
@@ -102,11 +103,37 @@ object PipelineStream {
     * text, lang, source, n_chars); `bench` is the static benchmark
     * frame (same shape) the decontamination stage screens against.
     * Returns the number of documents admitted.
+    *
+    * `batchId` keys the batch's attrition rows. Callers with a
+    * delivery-tracking source (runOnce: the checkpointed foreachBatch
+    * batch id) MUST pass a stable id — an engine RETRY of the same
+    * micro-batch then skips the attrition append (rows for that id
+    * already exist; the state appends are idempotent on their own via
+    * the ledger probes), so redelivery can never over-count docs_in or
+    * drops. The random default serves direct callers for whom each
+    * invocation IS a new delivery (re-ingesting a file on purpose is
+    * new intake and must be accounted).
+    *
+    * `globalHotGrams` optionally supplies a PRECOMPUTED corpus-wide
+    * hot-gram frame (one `gram` column — Corpus.hotGrams over the full
+    * postings) for the decontamination stage's df cap. Per micro-batch
+    * no gram may reach ContamMaxDf, so the per-batch fallback cap
+    * stops suppressing corpus-wide idioms and the stream drops MORE
+    * docs than the batch operator — a deployment refreshes this frame
+    * periodically (it is tiny and broadcastable by construction) and
+    * passes it here.
     */
   def ingestBatch(batch: DataFrame, bench: DataFrame,
-                  rootDir: String): Long = {
+                  rootDir: String,
+                  batchId: String = java.util.UUID.randomUUID().toString,
+                  globalHotGrams: Option[DataFrame] = None): Long = {
     val spark = batch.sparkSession
-    val batchId = java.util.UUID.randomUUID().toString
+    // Retry guard: attrition rows keyed by this id already ledgered
+    // means this delivery was already accounted — run the state-side
+    // ingest (idempotent) but never re-append accounting.
+    val alreadyAccounted = !readOrEmpty(spark, attrDir(rootDir),
+                                        attritionSchema)
+      .filter(col("batch_id") === batchId).isEmpty
 
     val d0 = batch
       .withColumn("n_toks", size(Ops.tokens(col("text"))).cast("bigint"))
@@ -171,7 +198,8 @@ object PipelineStream {
           .as("gram")).distinct()
     val contaminated = survGrams
       .join(benchGrams, Seq("gram"), "left_semi")
-      .join(Corpus.hotGrams(survGrams), Seq("gram"), "left_anti")
+      .join(globalHotGrams.getOrElse(Corpus.hotGrams(survGrams)),
+            Seq("gram"), "left_anti")
       .select(col("doc_id")).distinct()
     val pool5 = pool4.join(contaminated, Seq("doc_id"), "left_anti")
     // 6: source caps — greedy admission against the ledgered per-source
@@ -197,26 +225,29 @@ object PipelineStream {
     // Attrition accounting: one row per stage (drops + the batch's
     // stage-0 intake), appended BEFORE the state ledgers so a crash
     // between the two over-counts drops rather than under-counting
-    // state (re-ingest then reconciles: replayed docs re-drop).
-    def cnt(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), coalesce(sum(col("n_toks")), lit(0L)))
-        .head()
-      (r.getLong(0), r.getLong(1))
+    // state (re-ingest then reconciles: replayed docs re-drop). A
+    // retried delivery (alreadyAccounted) skips this block entirely.
+    if (!alreadyAccounted) {
+      def cnt(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), coalesce(sum(col("n_toks")), lit(0L)))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val s0 = cnt(d0); val s1 = cnt(pool1); val s2 = cnt(pool2)
+      val s3 = cnt(pool3); val s4 = cnt(pool4); val s5 = cnt(pool5)
+      val s6 = cnt(pool6)
+      val stages = Seq(
+        ("0_raw", s0, s0), ("1_quarantine", s0, s1), ("2_quality", s1, s2),
+        ("3_exact_dedup", s2, s3), ("4_near_dedup", s3, s4),
+        ("5_decontam", s4, s5), ("6_source_caps", s5, s6))
+      import spark.implicits._
+      val attrRows = stages.map { case (st, in, out) =>
+        (batchId, st, in._1 - out._1, in._2 - out._2,
+         if (st == "0_raw") s0._1 else 0L, if (st == "0_raw") s0._2 else 0L)
+      }.toDF(attritionSchema.fieldNames: _*)
+        .withColumn("bucket", lit("00"))
+      CorpusStream.stagedAppend(spark, attrRows, attrDir(rootDir))
     }
-    val s0 = cnt(d0); val s1 = cnt(pool1); val s2 = cnt(pool2)
-    val s3 = cnt(pool3); val s4 = cnt(pool4); val s5 = cnt(pool5)
-    val s6 = cnt(pool6)
-    val stages = Seq(
-      ("0_raw", s0, s0), ("1_quarantine", s0, s1), ("2_quality", s1, s2),
-      ("3_exact_dedup", s2, s3), ("4_near_dedup", s3, s4),
-      ("5_decontam", s4, s5), ("6_source_caps", s5, s6))
-    import spark.implicits._
-    val attrRows = stages.map { case (st, in, out) =>
-      (batchId, st, in._1 - out._1, in._2 - out._2,
-       if (st == "0_raw") s0._1 else 0L, if (st == "0_raw") s0._2 else 0L)
-    }.toDF(attritionSchema.fieldNames: _*)
-      .withColumn("bucket", lit("00"))
-    CorpusStream.stagedAppend(spark, attrRows, attrDir(rootDir))
 
     if (admitted > 0) {
       CorpusStream.stagedAppend(spark,
@@ -244,11 +275,20 @@ object PipelineStream {
     * runs the full stage chain against the ledgers; `bench` is read
     * once up front (the benchmark is static eval data by definition).
     * Returns the folded attrition view as of completion.
+    *
+    * The query is CHECKPOINTED under the ledger root, so the
+    * foreachBatch batch id is durable and monotone across restarts AND
+    * re-invocations over the same rootDir: a crash-redelivered batch
+    * arrives with the id it was first accounted under and ingestBatch
+    * skips its attrition append — accounting is exactly-once end to
+    * end while the state ledgers stay idempotent by probe.
     */
   def runOnce(spark: SparkSession, srcDir: String, bench: DataFrame,
               rootDir: String,
-              name: String = "graft_pipeline_ingest"): DataFrame = {
+              name: String = "graft_pipeline_ingest",
+              globalHotGrams: Option[DataFrame] = None): DataFrame = {
     val benchStable = bench.localCheckpoint(true) // one snapshot, all batches
+    val hotStable = globalHotGrams.map(_.localCheckpoint(true))
     val q = spark.readStream
       .schema(CorpusStream.docsSchema)
       .option("pathGlobFilter", "documents*.parquet")
@@ -256,8 +296,9 @@ object PipelineStream {
       .writeStream
       .queryName(name)
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, benchStable, rootDir); ()
+      .option("checkpointLocation", s"$rootDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestBatch(batch, benchStable, rootDir, s"b$id", hotStable); ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -51,10 +51,16 @@ object ShuffleStream {
     // (CorpusStream.ingestBatch's discipline): the anti-join only
     // dedupes against history, so without this a doc_id repeated
     // WITHIN one micro-batch would be ledgered twice and permanently
-    // break the shuffleView == globalShuffle parity. h and n_toks are
-    // functions of the row, so any copy is equivalent.
+    // break the shuffleView == globalShuffle parity. h is a pure
+    // function of doc_id (so min(h) IS the h), but n_toks is a
+    // function of TEXT — if the same doc_id arrives with differing
+    // text in one batch, an arbitrary pick (dropDuplicates) would make
+    // the ledgered n_toks nondeterministic; min(n_toks) is the
+    // deterministic representative, matching the min-doc_id discipline
+    // used elsewhere on this plane.
     val keyed = graft.ext.Corpus.shuffleKeyed(batch)
-      .dropDuplicates("doc_id")
+      .groupBy(col("doc_id"))
+      .agg(min(col("n_toks")).as("n_toks"), min(col("h")).as("h"))
       .withColumn("bucket", format_string("%02x", pmod(col("h"), lit(256L))))
       .localCheckpoint(true) // one stable snapshot: bucket list + probe + write
     val batchBuckets = keyed.select(col("bucket")).distinct()

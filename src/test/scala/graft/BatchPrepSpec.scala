@@ -170,6 +170,17 @@ class BatchPrepSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(after2 == twin3,
            "fold must still equal the batch twin after an in-batch-dup ingest")
+    // Conflicting in-batch duplicates: same doc_id, DIFFERING text —
+    // the collapse must pick a deterministic representative (min
+    // n_toks; h is a pure function of doc_id), not an arbitrary row,
+    // or the ledgered mass differs across retries.
+    val conflict = Seq((99003L, "aa bb cc dd ee"), (99003L, "aa bb"))
+      .toDF("doc_id", "text")
+    assert(ShuffleStream.ingestBatch(conflict, dir) == 1L)
+    val led = ShuffleStream.ledger(spark, dir)
+      .filter($"doc_id" === 99003L).as[(Long, Long, Long)].collect()
+    assert(led.length == 1 && led.head._2 == 2L,
+           "conflicting texts collapse to the min-n_toks representative")
   }
 
   test("sqReconstructed: affine int8 round trip recomputed; scale-0 edge") {

@@ -73,6 +73,51 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("retried delivery (same batchId) never re-appends accounting") {
+    val root = freshRoot("retry")
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val first = PipelineStream.ingestBatch(docs, bench, root, batchId = "b0")
+    assert(first > 0)
+    val before = PipelineStream.attritionView(spark, root)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // Engine redelivery of the SAME micro-batch (crash before the
+    // streaming checkpoint commit, restart): same id — state ingest is
+    // idempotent by ledger probe, and accounting must not double.
+    assert(PipelineStream.ingestBatch(docs, bench, root, batchId = "b0") == 0L)
+    val after = PipelineStream.attritionView(spark, root)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(after == before, "attrition is exactly-once per delivery id")
+    // A NEW delivery id over the same content is new intake by
+    // contract: raw doubles, admitted state still unchanged.
+    assert(PipelineStream.ingestBatch(docs, bench, root, batchId = "b1") == 0L)
+    val next = PipelineStream.attritionView(spark, root)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(next("0_raw")._2 == 2 * before.head._2)
+  }
+
+  test("precomputed global hot-gram frame suppresses corpus-wide idioms per batch") {
+    val rootA = freshRoot("hotA"); val rootB = freshRoot("hotB")
+    val gram = "alpha beta gamma delta epsilon"
+    val filler = (0 until 53).map(j => f"wordx$j%02d").mkString(" ")
+    val text = s"$filler the and $gram" // 60 toks, funnel-passing
+    val docs = Seq((1L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bench = Seq((50L, gram, "en", "s", gram.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // Per-batch fallback cap: the idiom's df within this one-doc batch
+    // is 1 — the cap cannot bind, the shared gram counts as
+    // contamination evidence, the doc is dropped.
+    assert(PipelineStream.ingestBatch(docs, bench, rootA) == 0L)
+    // Precomputed corpus-wide hot set (df > ContamMaxDf globally): the
+    // idiom is suppressed as evidence and the doc admits — the batch
+    // operator's false-positive posture restored on small batches.
+    val hot = Seq(gram).toDF("gram")
+    assert(PipelineStream.ingestBatch(docs, bench, rootB,
+                                      globalHotGrams = Some(hot)) == 1L)
+  }
+
   test("per-source caps hold across batches via the caps ledger") {
     val root = freshRoot("caps")
     // Two batches from one source, each under the cap alone, together
