@@ -1,0 +1,112 @@
+package graft
+
+import graft.ext.{Corpus, Dedup, TextOps}
+import graft.ops.Ops
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.AtomicLong
+
+/** Dev probe (TimeOne's sibling): STAGE-SPLIT timings for the
+  * slowest 100×-diverse rows — candidate-generation vs verify for the
+  * pair operators, per-expression CPU decomposition for the scan-bound
+  * ones — each probe with wall, executor-CPU, and shuffle bytes, so
+  * "corpus-linear floor" claims are measured, not asserted
+  * (docs/SCALE.md records the output).
+  *
+  *   SPARK_GRAFT_SF_DIR=/tmp/sfbig100d sbt "runMain graft.ProfileSplit prefix_jaccard"
+  */
+object ProfileSplit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val shufW = new AtomicLong; val shufR = new AtomicLong
+    val cpuNs = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          cpuNs.addAndGet(m.executorCpuTime)
+        }
+      }
+    })
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    def probe(name: String)(body: => Long): Unit = {
+      org.apache.spark.graftshim.BusShim.drain(spark.sparkContext)
+      shufW.set(0); shufR.set(0); cpuNs.set(0)
+      val t0 = System.nanoTime()
+      val n = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftshim.BusShim.drain(spark.sparkContext)
+      println(f"[split] $name%-28s ${secs}%8.2f s  cpu=${cpuNs.get / 1e9}%8.1f s  " +
+        f"shuf_w=${shufW.get / 1048576.0}%8.1f MiB  shuf_r=${shufR.get / 1048576.0}%8.1f MiB  rows=$n%d")
+    }
+    def run(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
+    val docs = Tables.documents(spark, sfDir)
+
+    args.foreach {
+      case "prefix_jaccard" =>
+        // Split: shingle build / candidate generation / verify.
+        val sh = Dedup.prefixJacDocs(docs).persist()
+        probe("prefix.shingles")(run(sh))
+        val cand = Dedup.prefixJacCandidates(sh).persist()
+        probe("prefix.candidates")(run(cand))
+        probe("prefix.cand_rerun")(run(Dedup.prefixJacCandidates(sh)))
+        probe("prefix.verify") {
+          run(cand
+            .join(sh.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+                            col("n").as("n_a")), Seq("doc_a"))
+            .join(sh.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
+                            col("n").as("n_b")), Seq("doc_b"))
+            .withColumn("n_common",
+              size(array_intersect(col("ga"), col("gb"))).cast("bigint"))
+            .withColumn("jaccard", col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+            .filter(col("jaccard") >= Dedup.PrefixJacT))
+        }
+        probe("prefix.full")(run(SparkEntry.queries("q_prefix_jaccard")(spark, sfDir)))
+        cand.unpersist(); sh.unpersist()
+
+      case "keep_best" =>
+        probe("keepbest.labels")(run(Corpus.clusterLabelsOf(docs)))
+        probe("keepbest.full")(run(SparkEntry.queries("q_dedup_keep_best")(spark, sfDir)))
+
+      case "quality" =>
+        // Per-expression CPU decomposition over the same text scan.
+        probe("quality.scan_text")(run(docs.agg(sum(length(col("text"))))))
+        probe("quality.tokens")(
+          run(docs.agg(sum(size(Ops.tokens(col("text")))))))
+        probe("quality.alnum_regex")(
+          run(docs.agg(sum(length(
+            regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))))))
+        probe("quality.stop_hits") {
+          val hit = TextOps.EnStop
+            .map(w => when(contains(concat(lit(" "), col("text"), lit(" ")),
+                                    lit(s" $w ")), 1).otherwise(0))
+            .reduce(_ + _)
+          run(docs.agg(sum(hit)))
+        }
+        probe("quality.column_nosort")(
+          run(docs.select(col("doc_id"), TextOps.qualityColumn.as("q"))))
+        probe("quality.full")(run(SparkEntry.queries("q_quality_score")(spark, sfDir)))
+
+      case "explode_join" =>
+        probe("explode.full")(run(SparkEntry.queries("q_explode_join")(spark, sfDir)))
+
+      case "cooccurrence" =>
+        probe("cooc.full")(run(SparkEntry.queries("q_cooccurrence")(spark, sfDir)))
+
+      case other =>
+        probe(other)(run(SparkEntry.queries(other)(spark, sfDir)))
+    }
+    spark.stop()
+  }
+}

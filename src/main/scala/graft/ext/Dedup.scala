@@ -505,7 +505,7 @@ object Dedup {
   /** Distinct-shingle frame (doc_id, grams, n) shared by the index and
     * the verification fetches.
     */
-  private def prefixJacDocs(docsIn: DataFrame): DataFrame =
+  private[graft] def prefixJacDocs(docsIn: DataFrame): DataFrame =
     docsIn.select(col("doc_id"),
         Ops.shingles(Ops.tokens(col("text")), 3).as("grams"))
       .select(col("doc_id"), col("grams"),
@@ -549,33 +549,96 @@ object Dedup {
     *
     * The groupBy(doc_a, doc_b) replaces the old `.distinct()` — the
     * same pair-keyed shuffle now also carries the filter state.
+    *
+    * CANONICAL ORDER (round 13): (bucket_df, gram), where bucket_df is
+    * the posting count of the gram's 64-bit-hash bucket — a
+    * BROADCASTABLE document-frequency surrogate (PrefixOrderBuckets
+    * longs, corpus-size-independent), computed by one slim partial-agg
+    * shuffle and folded into a single map row. The prefix theorems
+    * above hold for ANY fixed total order on grams — ascending df is
+    * purely a candidate-minimization heuristic — so losslessness is
+    * untouched (both specs machine-check it), and hot grams, the
+    * blowup the order exists to push out of prefixes, have bucket
+    * counts ≥ their own df and still rank last. The EXACT-df
+    * formulation this replaces (dfreq groupBy + postings⋈dfreq join +
+    * per-doc rank window) cost THREE postings-sized exchanges — 7.9
+    * GiB shuffle and 96% of the operator's 100×-diverse wall
+    * (docs/SCALE.md round-13 split); the surrogate order costs zero:
+    * the per-doc prefix becomes an array_sort + slice inside the scan,
+    * and the only remaining corpus-scale shuffle is the prefix
+    * self-join itself. Candidate inflation from order noise among
+    * equally-rare grams is bounded by the k-prefix and positional
+    * filters (measured at 100×-diverse: docs/SCALE.md).
     */
+  private[graft] val PrefixOrderBuckets = 65536L
+
   private[graft] def prefixJacCandidates(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("gram_df"), col("gram"))
-    val inv = docs.select(col("doc_id"), col("n"),
-                          explode(col("grams")).as("gram"))
-    val dfreq = inv.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
-    val pref = inv.join(dfreq, Seq("gram"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= expr("n - ((8 * n + 9) div 10) + 2"))
-      .select(col("gram"), col("doc_id"), col("n"), col("rn"))
-    pref.select(col("gram"), col("doc_id").as("doc_a"),
-                col("n").as("n_a"), col("rn").as("p_a"))
-      .join(pref.select(col("gram"), col("doc_id").as("doc_b"),
-                        col("n").as("n_b"), col("rn").as("p_b")),
+    val nB = lit(PrefixOrderBuckets)
+    // Bounded driver collect (PrefixOrderBuckets longs — the Similarity
+    // codebook discipline) folded into a DENSE array literal riding the
+    // plan (the ScaleGen vocab-literal pattern): element_at on an array
+    // is O(1), where a single-row MAP probed per gram is an O(buckets)
+    // linear scan inside MapData — measured 13.6k s executor CPU at
+    // 100×-diverse before this form.
+    val counts = new Array[Long](PrefixOrderBuckets.toInt)
+    docs.select(explode(col("grams")).as("gram"))
+      .groupBy(pmod(xxhash64(col("gram")), nB).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().foreach(r => counts(r.getLong(0).toInt) = r.getLong(1))
+    val bdf = typedLit(counts.toSeq)
+    // PROBE prefix (k = 2 scheme): each doc's first n − ⌈t·n⌉ + 2 grams.
+    // The packed (n << 20 | rn) column lets the pair aggregation carry
+    // (doc, length, rank) in ONE long: n is constant per doc, so
+    // max(packed) ≡ (n, max(rn)) — the emitted pair row shrinks from 7
+    // fields to 4 on the operator's dominant exchange.
+    val pref = docs
+      .select(col("doc_id"), col("n"),
+        posexplode(slice(
+          array_sort(transform(col("grams"), g =>
+            struct(element_at(bdf,
+                     (pmod(xxhash64(g), nB) + lit(1L)).cast("int")).as("df"),
+                   g.as("gram")))),
+          lit(1),
+          (col("n") - expr("(8 * n + 9) div 10") + lit(2)).cast("int"))))
+      .select(col("col.gram").as("gram"), col("doc_id"), col("n"),
+              (col("pos") + 1).as("rn"))
+      .withColumn("pk", col("n") * lit(1048576L) + col("rn"))
+    // INDEX-prefix reduction (Xiao et al. WWW'08 §4): for a qualifying
+    // pair with n_s ≤ n_l, o_min = ⌈(t/(1+t))(n_s+n_l)⌉ ≥ ⌈(2t/(1+t))·n_s⌉,
+    // so the two smallest common grams sit within the SMALLER doc's
+    // first n − ⌈(8/9)·n⌉ + 2 grams — the emitting join only needs the
+    // index prefix (≈ half the probe prefix) on the small-role side.
+    // The count and positional filters stay sound on the asymmetric
+    // (ℓi+2, ℓp+2) windows: canonical order is GLOBAL, so any common
+    // gram outside either window ranks after every counted common gram
+    // in BOTH docs (positions within a doc follow the global order),
+    // which is exactly what the aggregated positional bound needs.
+    val idx = pref.filter(col("rn") <= expr("n - ((8 * n + 8) div 9) + 2"))
+    idx.select(col("gram"), col("doc_id").as("doc_s"), col("n").as("n_s"),
+               col("pk").as("pk_s"))
+      .join(pref.select(col("gram"), col("doc_id").as("doc_l"),
+                        col("n").as("n_l"), col("pk").as("pk_l")),
             Seq("gram"))
-      .filter(col("doc_a") < col("doc_b") &&
-        col("n_b") * 10 >= col("n_a") * 8 &&
-        col("n_a") * 10 >= col("n_b") * 8)
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      // Role predicate: small = lexicographically (n, doc_id) lesser —
+      // a deterministic unique role per unordered pair; plus the lower
+      // length bound (the upper is implied by n_l >= n_s).
+      .filter((col("n_s") < col("n_l") ||
+               (col("n_s") === col("n_l") && col("doc_s") < col("doc_l"))) &&
+        col("n_s") * 10 >= col("n_l") * 8)
+      .select(col("doc_s"), col("doc_l"), col("pk_s"), col("pk_l"))
+      .groupBy(col("doc_s"), col("doc_l"))
       .agg(count(lit(1)).as("c"),
-           max(col("p_a")).as("pmax_a"), max(col("p_b")).as("pmax_b"))
-      .withColumn("o_min", expr("(4 * (n_a + n_b) + 8) div 9"))
+           max(col("pk_s")).as("mx_s"), max(col("pk_l")).as("mx_l"))
+      .withColumn("n_s", expr("mx_s div 1048576"))
+      .withColumn("n_l", expr("mx_l div 1048576"))
+      .withColumn("pmax_s", col("mx_s") % lit(1048576L))
+      .withColumn("pmax_l", col("mx_l") % lit(1048576L))
+      .withColumn("o_min", expr("(4 * (n_s + n_l) + 8) div 9"))
       .filter(col("c") >= least(lit(2L), col("o_min")) &&
-        col("c") + least(col("n_a") - col("pmax_a"),
-                         col("n_b") - col("pmax_b")) >= col("o_min"))
-      .select(col("doc_a"), col("doc_b"))
+        col("c") + least(col("n_s") - col("pmax_s"),
+                         col("n_l") - col("pmax_l")) >= col("o_min"))
+      .select(least(col("doc_s"), col("doc_l")).as("doc_a"),
+              greatest(col("doc_s"), col("doc_l")).as("doc_b"))
   }
 
   /** Core of q_prefix_jaccard over any (doc_id, text) frame. */

@@ -25,7 +25,7 @@ object Pipeline {
 
   val qTrainingPipeline: Q = (s, d) => {
     val toks = size(Ops.tokens(col("text"))).cast("double")
-    val alnum = length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")).cast("double")
+    val alnum = Ops.alnumSpaceCount(col("text")).cast("double")
     val quality =
       (least(toks / 100.0, lit(1.0)) +
        alnum / col("n_chars").cast("double") +
@@ -426,69 +426,93 @@ object Pipeline {
   // ------------------------------------------------------------------
   val qPipelineRun: Q = (s, d) => pipelineRun(Tables.documents(s, d))
 
+  private[graft] val StageNames = Seq("0_raw", "1_quarantine", "2_quality",
+    "3_exact_dedup", "4_near_dedup", "5_decontam", "6_source_caps")
+
+  /** The documents-shaped input projected to the run's working columns
+    * — stage 0's pool.
+    */
+  private def rawPool(docsIn: DataFrame): DataFrame =
+    docsIn.select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+                  col("text"),
+                  size(Ops.tokens(col("text"))).cast("bigint").as("n_toks"))
+
+  /** One stage transition: the survivor pool of `stage` from the
+    * previous pool. `d0` is the raw pool — the decontamination stage
+    * screens against its quarantined benchmark slice. Each case is the
+    * standalone registry operator's rule (shared code, see the
+    * q_pipeline_run note above), factored per-stage so the in-memory
+    * chain and the checkpointed restartable chain can never drift.
+    */
+  private def stageStep(stage: String, prev: DataFrame,
+                        d0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    stage match {
+      case "1_quarantine" => prev.filter(col("doc_id") % 50 =!= 0)
+      case "2_quality" => prev.filter(TextOps.funnelStage === "5_pass")
+      case "3_exact_dedup" =>
+        prev
+          .withColumn("fpr", md5(Ops.normalizeText(col("text"))))
+          .withColumn("min_id",
+            min(col("doc_id")).over(Window.partitionBy(col("fpr"))))
+          .filter(col("doc_id") === col("min_id"))
+          .drop("fpr", "min_id")
+      case "4_near_dedup" =>
+        prev.join(Corpus.clusterLabelsOf(prev)
+                    .filter(col("label") === col("doc_id"))
+                    .select(col("doc_id")),
+                  Seq("doc_id"))
+      case "5_decontam" =>
+        val bench = d0.filter(col("doc_id") % 50 === 0)
+        val survGrams = prev.select(col("doc_id"),
+          explode(Ops.shingles(Ops.tokens(col("text")), Corpus.ContamN))
+            .as("gram"))
+        val benchGrams = bench.select(
+            explode(Ops.shingles(Ops.tokens(col("text")), Corpus.ContamN))
+              .as("gram"))
+          .distinct()
+        // Semi against the (small) benchmark FIRST, then anti against
+        // the (tiny Zipf-head) hot set: survivor postings only ever
+        // meet broadcastable sides, so the decontamination stage adds
+        // no postings-sized shuffle — only the hot set's slim df
+        // partials.
+        val contaminated = survGrams
+          .join(benchGrams, Seq("gram"), "left_semi")
+          .join(Corpus.hotGrams(survGrams), Seq("gram"), "left_anti")
+          .select(col("doc_id")).distinct()
+        prev.join(contaminated, Seq("doc_id"), "left_anti")
+      case "6_source_caps" =>
+        val wcap = Window.partitionBy(col("source"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        prev
+          .withColumn("h",
+            Ops.md5Bits60(concat(col("doc_id").cast("string"), lit(":cap"))))
+          .withColumn("cum", sum(col("n_toks")).over(wcap))
+          .filter(col("cum") <= CapTokens)
+          .drop("h", "cum")
+    }
+  }
+
   /** The shared stage-pool chain: each pool PERSISTED (it feeds both
     * its attrition row(s) and the next stage); callers must unpersist
     * every returned frame after materializing their report.
     */
   private def stagePools(docsIn: DataFrame): Seq[(String, DataFrame)] = {
-    import org.apache.spark.sql.expressions.Window
-    val d0 = docsIn
-      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
-              col("text"),
-              size(Ops.tokens(col("text"))).cast("bigint").as("n_toks"))
-      .persist()
-    val bench = d0.filter(col("doc_id") % 50 === 0)
-    val pool1 = d0.filter(col("doc_id") % 50 =!= 0).persist()
-    val pool2 = pool1.filter(TextOps.funnelStage === "5_pass").persist()
-    val pool3 = pool2
-      .withColumn("fpr", md5(Ops.normalizeText(col("text"))))
-      .withColumn("min_id",
-        min(col("doc_id")).over(Window.partitionBy(col("fpr"))))
-      .filter(col("doc_id") === col("min_id"))
-      .drop("fpr", "min_id")
-      .persist()
-    val pool4 = pool3
-      .join(Corpus.clusterLabelsOf(pool3)
-              .filter(col("label") === col("doc_id")).select(col("doc_id")),
-            Seq("doc_id"))
-      .persist()
-    val survGrams = pool4.select(col("doc_id"),
-      explode(Ops.shingles(Ops.tokens(col("text")), Corpus.ContamN))
-        .as("gram"))
-    val benchGrams = bench.select(
-        explode(Ops.shingles(Ops.tokens(col("text")), Corpus.ContamN))
-          .as("gram"))
-      .distinct()
-    // Semi against the (small) benchmark FIRST, then anti against the
-    // (tiny Zipf-head) hot set: survivor postings only ever meet
-    // broadcastable sides, so the decontamination stage adds no
-    // postings-sized shuffle — only the hot set's slim df partials.
-    val contaminated = survGrams
-      .join(benchGrams, Seq("gram"), "left_semi")
-      .join(Corpus.hotGrams(survGrams), Seq("gram"), "left_anti")
-      .select(col("doc_id")).distinct()
-    val pool5 = pool4.join(contaminated, Seq("doc_id"), "left_anti").persist()
-    val wcap = Window.partitionBy(col("source"))
-      .orderBy(col("h").asc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pool6 = pool5
-      .withColumn("h",
-        Ops.md5Bits60(concat(col("doc_id").cast("string"), lit(":cap"))))
-      .withColumn("cum", sum(col("n_toks")).over(wcap))
-      .filter(col("cum") <= CapTokens)
-      .drop("h", "cum")
-      .persist()
-    Seq("0_raw" -> d0, "1_quarantine" -> pool1, "2_quality" -> pool2,
-        "3_exact_dedup" -> pool3, "4_near_dedup" -> pool4,
-        "5_decontam" -> pool5, "6_source_caps" -> pool6)
+    val d0 = rawPool(docsIn).persist()
+    StageNames.tail.scanLeft("0_raw" -> d0) { case ((_, prev), stage) =>
+      stage -> stageStep(stage, prev, d0).persist()
+    }
   }
 
-  /** The composed run over any documents-shaped frame (doc_id, source,
-    * lang, n_chars, text) — factored for stage-invariant specs.
+  /** Global attrition tail over the stage pools — the q_pipeline_run
+    * report shape. Pools need only (doc_id, source, n_toks), so the
+    * same tail serves the in-memory chain, the checkpointed restartable
+    * chain (whose durable pools are slim by design), and the combined
+    * pipelineReport.
     */
-  private[graft] def pipelineRun(docsIn: DataFrame): DataFrame = {
+  private def globalAttritionTail(pools: Seq[(String, DataFrame)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pools = stagePools(docsIn)
     val pool6 = pools.last._2
     val wpack = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -513,7 +537,7 @@ object Pipeline {
     // 8 fixed rows: the lag window's single partition is bounded by
     // construction (docs/PLANS.md global-final rule).
     val wlag = Window.orderBy(col("stage"))
-    val out = stageRows
+    stageRows
       .withColumn("docs_dropped",
         coalesce(lag(col("n_docs"), 1).over(wlag) - col("n_docs"), lit(0L)))
       .withColumn("tokens_dropped",
@@ -525,7 +549,14 @@ object Pipeline {
               when(col("stage") === "7_pack", col("n_seqs"))
                 .otherwise(lit(0L)).as("n_seqs"))
       .orderBy(col("stage"))
-    val ckpt = graft.PlanMode.checkpointTail(out)
+  }
+
+  /** The composed run over any documents-shaped frame (doc_id, source,
+    * lang, n_chars, text) — factored for stage-invariant specs.
+    */
+  private[graft] def pipelineRun(docsIn: DataFrame): DataFrame = {
+    val pools = stagePools(docsIn)
+    val ckpt = graft.PlanMode.checkpointTail(globalAttritionTail(pools))
     pools.foreach(_._2.unpersist())
     ckpt
   }
@@ -545,9 +576,12 @@ object Pipeline {
   // ------------------------------------------------------------------
   val qPipelineBySource: Q = (s, d) => pipelineBySource(Tables.documents(s, d))
 
-  private[graft] def pipelineBySource(docsIn: DataFrame): DataFrame = {
+  /** Per-source attrition tail over the stage pools — the
+    * q_pipeline_by_source report shape (same slim-pool contract as
+    * globalAttritionTail).
+    */
+  private def bySourceAttritionTail(pools: Seq[(String, DataFrame)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pools = stagePools(docsIn)
     val perStage = pools.map { case (name, p) =>
       p.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -556,14 +590,14 @@ object Pipeline {
                 col("n_docs"), col("n_tokens"))
     }.reduce(_.unionByName(_))
     val stageNames = pools.map(_._1)
-    val stageDf = docsIn.sparkSession.range(1)
+    val stageDf = pools.head._2.sparkSession.range(1)
       .select(explode(array(stageNames.map(lit): _*)).as("stage"))
     val grid = pools.head._2.select(col("source")).distinct()
       .crossJoin(stageDf)
     val filled = grid.join(perStage, Seq("source", "stage"), "left")
       .na.fill(0L, Seq("n_docs", "n_tokens"))
     val wlag = Window.partitionBy(col("source")).orderBy(col("stage"))
-    val out = filled
+    filled
       .withColumn("docs_dropped",
         coalesce(lag(col("n_docs"), 1).over(wlag) - col("n_docs"), lit(0L)))
       .withColumn("tokens_dropped",
@@ -572,9 +606,116 @@ object Pipeline {
       .select(col("source"), col("stage"), col("n_docs"), col("n_tokens"),
               col("docs_dropped"), col("tokens_dropped"))
       .orderBy(col("source"), col("stage"))
-    val ckpt = graft.PlanMode.checkpointTail(out)
+  }
+
+  private[graft] def pipelineBySource(docsIn: DataFrame): DataFrame = {
+    val pools = stagePools(docsIn)
+    val ckpt = graft.PlanMode.checkpointTail(bySourceAttritionTail(pools))
     pools.foreach(_._2.unpersist())
     ckpt
+  }
+
+  /** BOTH curation reports — the global attrition table
+    * (q_pipeline_run's shape) and the per-source lineage grid
+    * (q_pipeline_by_source's shape) — from ONE materialization of the
+    * stage-pool chain. The registry rows stay independent (the driver
+    * times queries in isolation), but a library caller wanting both
+    * reports pays the chain once here, not twice: all three entry
+    * points share stagePools and the two tails, so they can never
+    * disagree.
+    */
+  def pipelineReport(docsIn: DataFrame): (DataFrame, DataFrame) = {
+    val pools = stagePools(docsIn)
+    val global = graft.PlanMode.checkpointTail(globalAttritionTail(pools))
+    val bySource = graft.PlanMode.checkpointTail(bySourceAttritionTail(pools))
+    pools.foreach(_._2.unpersist())
+    (global, bySource)
+  }
+
+  // ------------------------------------------------------------------
+  // Checkpointed, RESTARTABLE curation run — the production posture for
+  // a 100 TB corpus: each stage's survivor pool is written DURABLY (to
+  // the cluster filesystem in production; any Hadoop-FS path here) and
+  // a rerun over the same directory resumes at the first stage whose
+  // checkpoint is missing, instead of holding seven corpus-scale pools
+  // hostage to executor storage for the length of the run.
+  //
+  // Checkpoints are SLIM — (doc_id, source, n_toks), no text — because
+  // (a) both attrition tails need only those columns, and (b) stages
+  // that need text to compute (quality, dedup keys, grams) reconstruct
+  // their input pool by an id semi-join against the raw corpus, so the
+  // durable footprint is O(ids) per stage, not O(corpus text) × 7.
+  // Commit is Spark's own _SUCCESS marker: a stage killed mid-write
+  // leaves no marker and is recomputed on resume — torn output is
+  // overwritten, never read.
+  // ------------------------------------------------------------------
+  private def slim(pool: DataFrame): DataFrame =
+    pool.select(col("doc_id"), col("source"), col("n_toks"))
+
+  private def stageDir(ckptDir: String, stage: String) = s"$ckptDir/$stage"
+
+  private def stageDone(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Materialize stage checkpoints 0..`upTo` (inclusive, indexes into
+    * StageNames), computing only the stages whose `_SUCCESS` marker is
+    * missing — completed stages are never recomputed OR rewritten.
+    * Factored from pipelineRunCheckpointed so the restart spec can
+    * simulate a run killed between stages.
+    */
+  private[graft] def materializeStages(docsIn: DataFrame, ckptDir: String,
+                                       upTo: Int): Unit = {
+    val spark = docsIn.sparkSession
+    val d0 = rawPool(docsIn).persist()
+    // Walk forward keeping the latest in-memory pool only where the
+    // next stage needs computing; a completed stage's pool is
+    // reconstructed lazily (id semi-join against d0) ONLY if a later
+    // incomplete stage needs it as input.
+    var prev: Option[DataFrame] = None // full (with-text) pool of stage i-1
+    StageNames.take(upTo + 1).zipWithIndex.foreach { case (stage, i) =>
+      val dir = stageDir(ckptDir, stage)
+      if (!stageDone(spark, dir)) {
+        val pool =
+          if (i == 0) d0
+          else {
+            val input = prev.getOrElse {
+              // Resume point: rebuild the previous stage's full pool
+              // from its slim checkpoint — one id semi-join.
+              val prevIds = spark.read
+                .parquet(stageDir(ckptDir, StageNames(i - 1)))
+                .select(col("doc_id"))
+              d0.join(prevIds, Seq("doc_id"), "left_semi")
+            }
+            stageStep(stage, input, d0).persist()
+          }
+          slim(pool).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(dir)
+        prev.filter(_ ne d0).foreach(_.unpersist())
+        prev = Some(pool)
+      } else {
+        prev.filter(_ ne d0).foreach(_.unpersist())
+        prev = None // next incomplete stage reconstructs from the ckpt
+      }
+    }
+    prev.filter(_ ne d0).foreach(_.unpersist())
+    d0.unpersist()
+  }
+
+  /** The restartable curation run: completes any missing stage
+    * checkpoints under `ckptDir`, then computes the SAME attrition
+    * table as pipelineRun from the durable slim pools (shared tail —
+    * hash-identical by construction). Kill it at any point and call it
+    * again with the same directory: completed stages are skipped.
+    */
+  def pipelineRunCheckpointed(docsIn: DataFrame, ckptDir: String): DataFrame = {
+    materializeStages(docsIn, ckptDir, StageNames.length - 1)
+    val spark = docsIn.sparkSession
+    val pools = StageNames.map(st =>
+      st -> spark.read.parquet(stageDir(ckptDir, st)))
+    globalAttritionTail(pools)
   }
 
   /** Shared oracle CTE chain through pool6 — one definition for the

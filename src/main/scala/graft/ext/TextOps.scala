@@ -137,7 +137,10 @@ object TextOps {
   /** Per-row quality over a `documents`-shaped frame (text, n_chars). */
   def qualityColumn: Column = {
     val toks = size(Ops.tokens(col("text"))).cast("double")
-    val alnum = length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")).cast("double")
+    // Native byte-scan count (== length(regexp_replace(text,
+    // "[^a-zA-Z0-9 ]", "")), spec-pinned): the regex formulation was
+    // 499 s of this column's ~515 s executor CPU at 100×-diverse.
+    val alnum = Ops.alnumSpaceCount(col("text")).cast("double")
     val lenScore = least(toks / 100.0, lit(1.0))
     val cleanRatio = alnum / col("n_chars").cast("double")
     val stopScore = least(hits(col("text"), EnStop).cast("double") / 3.0, lit(1.0))
@@ -189,8 +192,10 @@ object TextOps {
     // chars excluding separators / token count: one IEEE division, no
     // re-association anywhere, so the rule boundary is bit-identical in
     // both engines.
+    // translate, not regexp_replace: same removed-spaces length (the
+    // oracle's replace(text, ' ', '')) without the regex engine.
     val meanWordLen =
-      length(regexp_replace(col("text"), " ", "")).cast("double") /
+      length(translate(col("text"), " ", "")).cast("double") /
         toks.cast("double")
     when(toks < MinFunnelToks, lit("1_too_short"))
       .when(toks > MaxFunnelToks, lit("2_too_long"))

@@ -251,6 +251,18 @@ object Ops {
     Shim.column(RollingHash64(Shim.expression(c), maxLen))
   }
 
+  /** Count of `[a-zA-Z0-9 ]` characters — native single-byte-scan
+    * drop-in for `length(regexp_replace(c, "[^a-zA-Z0-9 ]", ""))`,
+    * which builds the replaced string through the regex engine just to
+    * measure it (the q_quality_score CPU floor at 100×-diverse —
+    * docs/SCALE.md round-13 split). Integer-identical by ASCII/UTF-8
+    * disjointness; spec pins native == regex formulation.
+    */
+  def alnumSpaceCount(c: Column): Column = {
+    import org.apache.spark.sql.graftshim.{AlnumSpaceCount, Shim}
+    Shim.column(AlnumSpaceCount(Shim.expression(c)))
+  }
+
   /** Interpreted HOF reference for [[rollingHash]]. Empty input is
     * explicitly 0: without the guard, sequence(1, 0) DESCENDS to [1, 0]
     * and the result is 0 only by accident of ascii('') — and the DuckDB

@@ -212,6 +212,23 @@ class OpsSpec extends AnyFunSuite {
     assert(edges.forall { case (a, b) => a == b })
   }
 
+  test("native alnumSpaceCount == regex formulation on the real corpus + edges") {
+    def regexForm(c: org.apache.spark.sql.Column) =
+      length(regexp_replace(c, "[^a-zA-Z0-9 ]", ""))
+    val both = Tables.documents(spark, TestSpark.Sf)
+      .select(Ops.alnumSpaceCount(col("text")).as("n"),
+              regexForm(col("text")).as("r"))
+    assert(both.filter(col("n") =!= col("r")).count() == 0)
+    // Edges: empty, all-kept, all-dropped, multi-byte UTF-8 (é, 漢 —
+    // no continuation byte may be miscounted as ASCII), mixed.
+    val edges = Seq("", "abc 09Z", "!@#$%^&*", "héllo wörld", "漢字 a1!")
+      .toDF("t").select(Ops.alnumSpaceCount($"t").as("n"),
+                        regexForm($"t").as("r"))
+      .as[(Int, Int)].collect()
+    assert(edges.forall { case (a, b) => a == b })
+    assert(edges.map(_._1).toSeq == Seq(0, 7, 0, 9, 3))
+  }
+
   test("cosine: self-similarity 1.0, orthogonal 0.0") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
                  (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)))

@@ -107,4 +107,45 @@ class PipelineRunSpec extends AnyFunSuite {
     assert(bySrc.filter(r => r._1 != "big" && r._2 == "6_source_caps")
              .forall(_._5 == 0L))
   }
+
+  test("pipelineReport: both reports from one chain equal the registry rows") {
+    val df = corpus.toDF("doc_id", "source", "lang", "n_chars", "text")
+    val (global, bySource) = Pipeline.pipelineReport(df)
+    assert(global.as[(String, Long, Long, Long, Long, Long)].collect().toSeq ==
+      Pipeline.pipelineRun(df)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq)
+    assert(bySource.as[(String, String, Long, Long, Long, Long)].collect().toSeq ==
+      Pipeline.pipelineBySource(df)
+        .as[(String, String, Long, Long, Long, Long)].collect().toSeq)
+  }
+
+  test("checkpointed run: killed after stage 3 resumes without recompute and matches one-shot") {
+    val df = corpus.toDF("doc_id", "source", "lang", "n_chars", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pipeckpt").toString + "/run"
+    // "Kill" after stage 3: only checkpoints 0..3 exist on disk.
+    Pipeline.materializeStages(df, dir, upTo = 3)
+    val s3 = new java.io.File(s"$dir/3_exact_dedup")
+    assert(s3.isDirectory && new java.io.File(s3, "_SUCCESS").exists)
+    assert(!new java.io.File(s"$dir/4_near_dedup").exists)
+    // Fingerprint the completed stages' files: the resume must read
+    // them, never rewrite them.
+    def listing(st: String) = {
+      val d = new java.io.File(s"$dir/$st")
+      d.listFiles().map(f => (f.getName, f.length, f.lastModified)).toSet
+    }
+    val before = Pipeline.StageNames.take(4).map(listing)
+    val resumed = Pipeline.pipelineRunCheckpointed(df, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val oneShot = Pipeline.pipelineRun(df)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(resumed == oneShot,
+           "resumed run must hash-match the one-shot attrition table")
+    assert(Pipeline.StageNames.take(4).map(listing) == before,
+           "completed stage checkpoints must not be rewritten on resume")
+    // Idempotent rerun over a fully checkpointed dir.
+    val again = Pipeline.pipelineRunCheckpointed(df, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(again == oneShot)
+  }
 }
