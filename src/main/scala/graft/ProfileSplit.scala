@@ -103,6 +103,22 @@ object ProfileSplit {
 
       case "cooccurrence" =>
         probe("cooc.full")(run(SparkEntry.queries("q_cooccurrence")(spark, sfDir)))
+        // Basket-boundedness evidence: emitted pair volume = Σ C(k, 2)
+        // over per-order distinct-brand counts k.
+        probe("cooc.pair_volume") {
+          val li = Tables.lineitem(spark, sfDir)
+          val p = Tables.part(spark, sfDir)
+            .select(col("p_partkey"), col("p_brand"))
+          val r = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+            .groupBy(col("l_orderkey"))
+            .agg(countDistinct(col("p_brand")).as("k"))
+            .agg(sum(col("k") * (col("k") - 1) / 2).as("pairs"),
+                 max(col("k")).as("max_basket"),
+                 count(lit(1)).as("orders")).head()
+          println(s"[split] cooc.volume pairs=${r.get(0)} " +
+            s"max_basket=${r.get(1)} orders=${r.get(2)}")
+          1L
+        }
 
       case other =>
         probe(other)(run(SparkEntry.queries(other)(spark, sfDir)))

@@ -306,6 +306,49 @@ object PipelineStream {
     attritionView(spark, rootDir)
   }
 
+  /** Periodic GLOBAL RE-RESOLUTION of the arrival-order-greedy
+    * divergences (first-seen-wins dedup, per-batch gram df, ledgered
+    * caps offsets): re-resolve the ledgers to exactly the batch
+    * operator's answer over the full corpus seen so far. `docs` is the
+    * full raw history — the stream's input is durable by assumption
+    * (crawl slices on the cluster filesystem), so a deployment runs
+    * this nightly over the accumulated source while micro-batches
+    * continue intraday.
+    *
+    * Mechanism: one single-batch ingest into a STAGED root (single-
+    * batch parity with Pipeline.pipelineRun is the plane's pinned
+    * contract — within one batch, in-batch dedup IS keep-component-min
+    * and the in-batch df cap IS the corpus-wide cap), then a rename
+    * swap: current root set aside, staged root in, streaming
+    * checkpoint carried over so an in-flight runOnce source position
+    * survives the swap. Idempotent by construction — the same corpus
+    * re-resolves to the same ledgers. Crash caveat: the swap is two
+    * renames; a crash between them leaves `<root>.pre-reconcile` to
+    * recover from by hand (same single-writer contract as every ledger
+    * on this plane).
+    */
+  def reconcile(docs: DataFrame, bench: DataFrame, rootDir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val spark = docs.sparkSession
+    val f = CorpusStream.fs(spark, rootDir)
+    val staged = s"$rootDir.reconcile-staging"
+    f.delete(new Path(staged), true)
+    val admitted = ingestBatch(docs, bench, staged, batchId = "reconciled")
+    val old = new Path(s"$rootDir.pre-reconcile")
+    f.delete(old, true)
+    if (f.exists(new Path(rootDir)))
+      require(f.rename(new Path(rootDir), old),
+        s"reconcile: cannot set aside $rootDir")
+    require(f.rename(new Path(staged), new Path(rootDir)),
+      s"reconcile: cannot install $staged")
+    val ckpt = new Path(s"$old/_checkpoint")
+    if (f.exists(ckpt))
+      require(f.rename(ckpt, new Path(s"$rootDir/_checkpoint")),
+        "reconcile: cannot carry the streaming checkpoint over")
+    f.delete(old, true)
+    admitted
+  }
+
   /** Fold the attrition ledger (plus a pack pass over the admitted
     * ledger) into exactly the batch operator's attrition table:
     * (stage, n_docs, n_tokens, docs_dropped, tokens_dropped, n_seqs).

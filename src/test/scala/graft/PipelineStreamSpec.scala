@@ -118,6 +118,63 @@ class PipelineStreamSpec extends AnyFunSuite {
                                       globalHotGrams = Some(hot)) == 1L)
   }
 
+  test("reconcile: re-resolves arrival-order divergence to the batch answer, idempotently") {
+    val root = freshRoot("reconcile")
+    val gram = "alpha beta gamma delta epsilon"
+    // 80 funnel-passing carriers of one corpus-wide idiom 5-gram, each
+    // with UNIQUE 40-char normalized prefix and suffix (so the star
+    // keys never collide and none are near-dups), split 40/40 across
+    // two micro-batches. Per-batch gram df = 40 < ContamMaxDf = 64 →
+    // the stream's per-batch cap cannot bind and every carrier drops
+    // at decontam; corpus-wide df = 80 > 64 → the batch operator
+    // suppresses the idiom and drops NONE. The canonical divergence.
+    def carrier(i: Int): (Long, String, String, String, Long) = {
+      val pre = (0 until 20).map(j => f"u$i%03dp$j%02d").mkString(" ")
+      val suf = (0 until 20).map(j => f"v$i%03ds$j%02d").mkString(" ")
+      val text = s"$pre the and $gram $suf"
+      (1001L + 2 * i, text, "en", "s", text.length.toLong) // odd: never % 50 == 0
+    }
+    val benchRow = Seq((50L, s"zz $gram yy", "en", "s",
+                        (s"zz $gram yy").length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b1 = (0 until 40).map(carrier)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(benchRow)
+    val b2 = (40 until 80).map(carrier)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = b1.unionByName(b2)
+
+    assert(PipelineStream.ingestBatch(b1, benchRow, root) == 0L)
+    assert(PipelineStream.ingestBatch(b2, benchRow, root) == 0L)
+    def view() = PipelineStream.attritionView(spark, root)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val want = Pipeline.pipelineRun(full)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val wantMap = want.map(r => r._1 -> r).toMap
+    // Divergence is real: stream dropped all 80 at decontam, batch 0.
+    assert(view()("5_decontam")._4 == 80L)
+    assert(wantMap("5_decontam")._4 == 0L)
+
+    // Reconcile → the ledgers re-resolve to the batch answer exactly.
+    assert(PipelineStream.reconcile(full, benchRow, root) ==
+      wantMap("6_source_caps")._2)
+    val r1 = PipelineStream.attritionView(spark, root)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r1 == want, "reconciled fold must equal the batch operator")
+    // Idempotent under repeated reconcile.
+    assert(PipelineStream.reconcile(full, benchRow, root) ==
+      wantMap("6_source_caps")._2)
+    val r2 = PipelineStream.attritionView(spark, root)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r2 == want)
+    // Incremental ingest continues from reconciled state: replaying a
+    // carrier admits nothing and only grows raw intake.
+    assert(PipelineStream.ingestBatch(b2.limit(1), benchRow, root) == 0L)
+    val after = view()
+    assert(after("7_pack") == wantMap("7_pack"))
+  }
+
   test("per-source caps hold across batches via the caps ledger") {
     val root = freshRoot("caps")
     // Two batches from one source, each under the cap alone, together
