@@ -718,6 +718,20 @@ object Pipeline {
     globalAttritionTail(pools)
   }
 
+  /** Registry face of the restartable run: a fresh checkpoint dir per
+    * (sfDir) under java.io.tmpdir (the q_kv_latest pattern), so the
+    * DuckDB oracle — identical to q_pipeline_run's — checks the durable
+    * path end to end: stage parquet round-trips, resume-shape reads,
+    * and the shared attrition tail over read-back slim pools.
+    */
+  val qPipelineCheckpointed: Q = (s, d) => {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pipeline_ckpt_" +
+      Integer.toHexString(d.hashCode)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    pipelineRunCheckpointed(Tables.documents(s, d), dir)
+  }
+
   /** Shared oracle CTE chain through pool6 — one definition for the
     * global and the per-source attrition tails.
     */
@@ -859,6 +873,7 @@ object Pipeline {
     "q_gini_concentration" -> qGiniConcentration,
     "q_pipeline_run"      -> qPipelineRun,
     "q_pipeline_by_source" -> qPipelineBySource,
+    "q_pipeline_checkpointed" -> qPipelineCheckpointed,
     "q_training_pipeline" -> qTrainingPipeline,
     "q_stratified_sample" -> qStratifiedSample,
     "q_group_sample"      -> qGroupSample,
@@ -869,6 +884,7 @@ object Pipeline {
     "q_gini_concentration" -> qGiniConcentrationSql,
     "q_pipeline_run"      -> qPipelineRunSql,
     "q_pipeline_by_source" -> qPipelineBySourceSql,
+    "q_pipeline_checkpointed" -> qPipelineRunSql,
     "q_training_pipeline" -> qTrainingPipelineSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
     "q_group_sample"      -> qGroupSampleSql,
