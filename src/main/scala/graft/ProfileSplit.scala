@@ -55,6 +55,10 @@ object ProfileSplit {
     args.foreach {
       case "prefix_jaccard" =>
         // Split: shingle build / candidate generation / verify.
+        // `full` FIRST: the persisted stage frames below otherwise
+        // satisfy the full query's subtrees via the CacheManager and
+        // under-report it (same trap as explode_join).
+        probe("prefix.full")(run(SparkEntry.queries("q_prefix_jaccard")(spark, sfDir)))
         val sh = Dedup.prefixJacDocs(docs).persist()
         probe("prefix.shingles")(run(sh))
         val cand = Dedup.prefixJacCandidates(sh).persist()
@@ -72,12 +76,81 @@ object ProfileSplit {
               (col("n_a") + col("n_b") - col("n_common")).cast("double"))
             .filter(col("jaccard") >= Dedup.PrefixJacT))
         }
-        probe("prefix.full")(run(SparkEntry.queries("q_prefix_jaccard")(spark, sfDir)))
         cand.unpersist(); sh.unpersist()
 
+      case "prefix_candidates" =>
+        // Sub-split of the candidate stage: bucket-count collect /
+        // probe-prefix build (array_sort + dense-literal df probes) /
+        // the gram self-join + pair aggregation.
+        val sh2 = Dedup.prefixJacDocs(docs).persist()
+        probe("p2.shingles")(run(sh2))
+        var counts: Array[Long] = null
+        probe("p2.bucket_counts") {
+          counts = Dedup.prefixOrderCounts(sh2); counts.count(_ > 0).toLong
+        }
+        val pref2 = Dedup.prefixProbe(sh2, counts).persist()
+        probe("p2.probe_build")(run(pref2))
+        probe("p2.pair_join")(run(Dedup.prefixJacCandidates(sh2)))
+        // Raw gram-collision volume: join matches BEFORE the pair agg
+        // (the rows the partial aggregation must hash) — the honest
+        // denominator for "what does the join cost".
+        probe("p2.raw_matches") {
+          val idx2 = pref2.filter(col("rn") <= expr("n - ((8 * n + 8) div 9) + 2"))
+          run(idx2.select(col("gram"), col("doc_id").as("doc_s"),
+                          col("n").as("n_s"))
+            .join(pref2.select(col("gram"), col("doc_id").as("doc_l"),
+                               col("n").as("n_l")), Seq("gram"))
+            .filter((col("n_s") < col("n_l") ||
+                     (col("n_s") === col("n_l") && col("doc_s") < col("doc_l"))) &&
+              col("n_s") * 10 >= col("n_l") * 8))
+        }
+        // Same join keyed on xxhash64(gram) instead of the gram string —
+        // the candidate-superset experiment (collisions only ADD).
+        probe("p2.pair_join_hashed") {
+          val ph = pref2.withColumn("h", xxhash64(col("gram")))
+          val idxh = ph.filter(col("rn") <= expr("n - ((8 * n + 8) div 9) + 2"))
+          run(idxh.select(col("h"), col("doc_id").as("doc_s"), col("n").as("n_s"),
+                          col("pk").as("pk_s"))
+            .join(ph.select(col("h"), col("doc_id").as("doc_l"),
+                            col("n").as("n_l"), col("pk").as("pk_l")), Seq("h"))
+            .filter((col("n_s") < col("n_l") ||
+                     (col("n_s") === col("n_l") && col("doc_s") < col("doc_l"))) &&
+              col("n_s") * 10 >= col("n_l") * 8)
+            .select(col("doc_s"), col("doc_l"), col("pk_s"), col("pk_l"))
+            .groupBy(col("doc_s"), col("doc_l"))
+            .agg(count(lit(1)).as("c"),
+                 max(col("pk_s")).as("mx_s"), max(col("pk_l")).as("mx_l"))
+            .withColumn("n_s", expr("mx_s div 1048576"))
+            .withColumn("n_l", expr("mx_l div 1048576"))
+            .withColumn("pmax_s", col("mx_s") % lit(1048576L))
+            .withColumn("pmax_l", col("mx_l") % lit(1048576L))
+            .withColumn("o_min", expr("(4 * (n_s + n_l) + 8) div 9"))
+            .filter(col("c") >= least(lit(2L), col("o_min")) &&
+              col("c") + least(col("n_s") - col("pmax_s"),
+                               col("n_l") - col("pmax_l")) >= col("o_min")))
+        }
+        // Count-only pair agg (drop the positional filter → superset):
+        // slimmer agg state, candidate growth is the question.
+        probe("p2.pair_join_countonly") {
+          val idx2 = pref2.filter(col("rn") <= expr("n - ((8 * n + 8) div 9) + 2"))
+          run(idx2.select(col("gram"), col("doc_id").as("doc_s"), col("n").as("n_s"))
+            .join(pref2.select(col("gram"), col("doc_id").as("doc_l"),
+                               col("n").as("n_l")), Seq("gram"))
+            .filter((col("n_s") < col("n_l") ||
+                     (col("n_s") === col("n_l") && col("doc_s") < col("doc_l"))) &&
+              col("n_s") * 10 >= col("n_l") * 8)
+            .select(col("doc_s"), col("doc_l"), col("n_s"), col("n_l"))
+            .groupBy(col("doc_s"), col("doc_l"))
+            .agg(count(lit(1)).as("c"), first(col("n_s")).as("n_s"),
+                 first(col("n_l")).as("n_l"))
+            .filter(col("c") >= least(lit(2L),
+              expr("(4 * (n_s + n_l) + 8) div 9"))))
+        }
+        pref2.unpersist(); sh2.unpersist()
+
       case "keep_best" =>
-        probe("keepbest.labels")(run(Corpus.clusterLabelsOf(docs)))
         probe("keepbest.full")(run(SparkEntry.queries("q_dedup_keep_best")(spark, sfDir)))
+        probe("keepbest.labels")(run(Corpus.clusterLabelsOf(docs)))
 
       case "quality" =>
         // Per-expression CPU decomposition over the same text scan.

@@ -572,26 +572,35 @@ object Dedup {
     */
   private[graft] val PrefixOrderBuckets = 65536L
 
-  private[graft] def prefixJacCandidates(docs: DataFrame): DataFrame = {
-    val nB = lit(PrefixOrderBuckets)
-    // Bounded driver collect (PrefixOrderBuckets longs — the Similarity
-    // codebook discipline) folded into a DENSE array literal riding the
-    // plan (the ScaleGen vocab-literal pattern): element_at on an array
-    // is O(1), where a single-row MAP probed per gram is an O(buckets)
-    // linear scan inside MapData — measured 13.6k s executor CPU at
-    // 100×-diverse before this form.
+  /** The bucket posting counts backing the canonical order — one slim
+    * partial-agg shuffle, bounded driver collect (PrefixOrderBuckets
+    * longs — the Similarity codebook discipline).
+    */
+  private[graft] def prefixOrderCounts(docs: DataFrame): Array[Long] = {
     val counts = new Array[Long](PrefixOrderBuckets.toInt)
     docs.select(explode(col("grams")).as("gram"))
-      .groupBy(pmod(xxhash64(col("gram")), nB).as("b"))
+      .groupBy(pmod(xxhash64(col("gram")), lit(PrefixOrderBuckets)).as("b"))
       .agg(count(lit(1)).as("c"))
       .collect().foreach(r => counts(r.getLong(0).toInt) = r.getLong(1))
+    counts
+  }
+
+  /** The per-doc PROBE prefix (k = 2 scheme): each doc's first
+    * n − ⌈t·n⌉ + 2 grams in canonical (bucket_df, gram) order. The
+    * counts array rides the plan as a DENSE array literal (the ScaleGen
+    * vocab-literal pattern): element_at on an array is O(1), where a
+    * single-row MAP probed per gram is an O(buckets) linear scan inside
+    * MapData — measured 13.6k s executor CPU at 100×-diverse before
+    * this form. The packed (n << 20 | rn) column lets the pair
+    * aggregation carry (doc, length, rank) in ONE long: n is constant
+    * per doc, so max(packed) ≡ (n, max(rn)) — the emitted pair row
+    * shrinks from 7 fields to 4 on the operator's dominant exchange.
+    */
+  private[graft] def prefixProbe(docs: DataFrame,
+                                 counts: Array[Long]): DataFrame = {
+    val nB = lit(PrefixOrderBuckets)
     val bdf = typedLit(counts.toSeq)
-    // PROBE prefix (k = 2 scheme): each doc's first n − ⌈t·n⌉ + 2 grams.
-    // The packed (n << 20 | rn) column lets the pair aggregation carry
-    // (doc, length, rank) in ONE long: n is constant per doc, so
-    // max(packed) ≡ (n, max(rn)) — the emitted pair row shrinks from 7
-    // fields to 4 on the operator's dominant exchange.
-    val pref = docs
+    docs
       .select(col("doc_id"), col("n"),
         posexplode(slice(
           array_sort(transform(col("grams"), g =>
@@ -603,6 +612,19 @@ object Dedup {
       .select(col("col.gram").as("gram"), col("doc_id"), col("n"),
               (col("pos") + 1).as("rn"))
       .withColumn("pk", col("n") * lit(1048576L) + col("rn"))
+  }
+
+  private[graft] def prefixJacCandidates(docs: DataFrame): DataFrame =
+    prefixPairAgg(prefixProbe(docs, prefixOrderCounts(docs)))
+
+  /** The emitting self-join + pair aggregation over a probe-prefix
+    * frame — factored so prefixJaccard can PERSIST the probe frame
+    * first: the self-join consumes pref on both sides, and the
+    * unpersisted form both recomputes it twice and (without stats)
+    * plans the join worse — measured 67.6 s vs 35 s for the same
+    * candidate stage at 100×-diverse (docs/SCALE.md round 13).
+    */
+  private[graft] def prefixPairAgg(pref: DataFrame): DataFrame = {
     // INDEX-prefix reduction (Xiao et al. WWW'08 §4): for a qualifying
     // pair with n_s ≤ n_l, o_min = ⌈(t/(1+t))(n_s+n_l)⌉ ≥ ⌈(2t/(1+t))·n_s⌉,
     // so the two smallest common grams sit within the SMALLER doc's
@@ -644,7 +666,8 @@ object Dedup {
   /** Core of q_prefix_jaccard over any (doc_id, text) frame. */
   def prefixJaccard(docsIn: DataFrame): DataFrame = {
     val docs = prefixJacDocs(docsIn).persist() // index + 2 verify fetches
-    val out = prefixJacCandidates(docs)
+    val pref = prefixProbe(docs, prefixOrderCounts(docs)).persist()
+    val out = prefixPairAgg(pref)
       .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
                         col("n").as("n_a")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
@@ -655,8 +678,11 @@ object Dedup {
         (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= PrefixJacT)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // No final orderBy: the gate sorts rows, and a global sort's range
+    // sampling re-executes the verify subtree — measured +1.1 GiB
+    // shuffle read (the pair-agg exchange read twice) at 100×-diverse.
     val ckpt = graft.PlanMode.checkpointTail(out)
+    pref.unpersist()
     docs.unpersist()
     ckpt
   }
@@ -691,8 +717,7 @@ object Dedup {
        |SELECT doc_a, doc_b,
        |       CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
        |FROM pairs
-       |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= $PrefixJacT
-       |ORDER BY 1, 2""".stripMargin
+       |WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= $PrefixJacT""".stripMargin
 
   // MinHash + LSH near-dup (non-SQL-expressible → rows-only check):
   // shingle → 32-hash MinHash signature → 8 bands × 4 rows → bucket
