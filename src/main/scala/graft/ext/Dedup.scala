@@ -307,7 +307,11 @@ object Dedup {
     val dfreq = inv0.groupBy(col("lang"), col("gram"))
       .agg(count(lit(1)).as("gram_df"))
       .filter(col("gram_df") <= MaxGramDf)
-    val rare = inv0.join(dfreq, Seq("lang", "gram"))
+    // rare feeds nRare AND both sides of the pair self-join —
+    // unpersisted, the shingle-explode + df-filter subtree computes
+    // three times. The persisted frame is slim (lang, 8-byte gram
+    // digest, doc_id, df — no text).
+    val rare = inv0.join(dfreq, Seq("lang", "gram")).persist()
     val nRare = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val shared = rare.filter(col("gram_df") >= 2)
     val a = shared.select(col("lang"), col("gram"), col("doc_id").as("doc_a"))
@@ -316,7 +320,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    pairs
+    val out = pairs
       .join(nRare.select(col("doc_id").as("doc_a"), col("n_grams").as("n_a")),
             Seq("doc_a"))
       .join(nRare.select(col("doc_id").as("doc_b"), col("n_grams").as("n_b")),
@@ -325,7 +329,11 @@ object Dedup {
         col("n_common").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("containment") >= 0.6)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // No final orderBy (gate sorts rows; range sampling would re-run
+    // the pair aggregation).
+    val ckpt = graft.PlanMode.checkpointTail(out)
+    rare.unpersist()
+    ckpt
   }
 
   val qContainmentSql: String =
@@ -352,8 +360,7 @@ object Dedup {
        |FROM pairs p
        |JOIN n na ON p.doc_a = na.doc_id
        |JOIN n nb ON p.doc_b = nb.doc_id
-       |WHERE CAST(p.n_common AS DOUBLE) / least(na.n_grams, nb.n_grams) >= 0.6
-       |ORDER BY 1, 2""".stripMargin
+       |WHERE CAST(p.n_common AS DOUBLE) / least(na.n_grams, nb.n_grams) >= 0.6""".stripMargin
 
   // Word-3-gram Jaccard near-dup within deterministic blocks
   // (lang, n_chars/20): all-pairs only *inside* a block, so the pair count
@@ -1715,6 +1722,11 @@ object Dedup {
     // per-gram collect_set shuffle 8-byte xxhash64 keys, not span text
     // (8.5 → 3.9 MiB shuffled at sf0.1, docs/SCALE.md); outputs are
     // source-pair counts, so the oracle needs no change.
+    // inv feeds both the per-source totals and the pair pipeline, but
+    // do NOT persist it: both consumers sit directly on the distinct's
+    // exchange, which Spark serves via ReusedExchange — an explicit
+    // persist forced a full row-format materialization and measured
+    // 11.0 → 15.3 s at 100×-diverse.
     val inv = Tables.documents(s, d)
       .select(col("source"), explode(allSpans(Ops.tokens(col("text"))))
                 .as("gram_text"))
@@ -1731,7 +1743,7 @@ object Dedup {
           .stripMargin)).as("pr"))
       .groupBy(col("pr.src_a").as("src_a"), col("pr.src_b").as("src_b"))
       .agg(count(lit(1)).as("shared_grams"))
-    pairs
+    val out = pairs
       .join(perSrc.select(col("source").as("src_a"),
                           col("n_grams").as("n_a")), Seq("src_a"))
       .join(perSrc.select(col("source").as("src_b"),
@@ -1740,7 +1752,9 @@ object Dedup {
               round(col("shared_grams").cast("double") /
                       least(col("n_a"), col("n_b")).cast("double"), 6)
                 .as("containment"))
-      .orderBy(col("src_a"), col("src_b"))
+    // No final orderBy: the output is |sources|²-bounded; the gate
+    // sorts rows.
+    out
   }
 
   val qSourceOverlapSql: String =
@@ -1764,8 +1778,7 @@ object Dedup {
        |         AS containment
        |FROM pairs p
        |JOIN n na ON na.source = p.src_a
-       |JOIN n nb ON nb.source = p.src_b
-       |ORDER BY 1, 2""".stripMargin
+       |JOIN n nb ON nb.source = p.src_b""".stripMargin
 
   // -------------------------------------------------------------------
   // q_dedup_substring — EXACT substring dedup at fixed token granularity
@@ -1947,6 +1960,11 @@ object Dedup {
     val base = docs.select(col("doc_id"),
       Shim.column(WinnowFp(Shim.expression(Ops.tokens(col("text"))),
                            WinnowK, WinnowW, ":wf")).as("fps"))
+    // fp's multiple consumers (the df cap and both self-join sides) all
+    // key on fp, so Spark serves them from ONE reused exchange — an
+    // explicit persist measured a wash on wall (19.3 vs 19.1 s at
+    // 100×-diverse) while pinning a corpus-sized frame in executor
+    // storage; not worth it (the q_source_overlap lesson).
     val fp = base.select(col("doc_id"), explode(col("fps")).as("fp"))
     val kept = fp.join(
       fp.groupBy(col("fp")).agg(count(lit(1)).as("c"))
@@ -1958,7 +1976,7 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
-      .limit(WinnowTop)
+      .limit(WinnowTop) // TakeOrderedAndProject — no range exchange
   }
 
   val qWinnowFingerprintSql: String =

