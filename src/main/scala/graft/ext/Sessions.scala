@@ -30,7 +30,7 @@ object Sessions {
       .groupBy(col("user_id"))
       .agg(sum(col("new_session")).as("n_sessions"),
            count(lit(1)).as("n_events"))
-      .orderBy(col("user_id"))
+    // No final orderBy: corpus-sized output; the gate sorts rows.
   }
 
   val qSessionizeSql: String =
@@ -89,7 +89,7 @@ object Sessions {
       .select(col("user_id"),
               unix_micros(col("session_window.start")).as("session_start_us"),
               col("session_end_us"), col("n_events"), col("value_sum"))
-      .orderBy(col("user_id"), col("session_start_us"))
+    // No final orderBy: O(sessions) output; the gate sorts rows.
 
   val qSessionWindowSql: String =
     """WITH x AS (
@@ -108,8 +108,7 @@ object Sessions {
       |       CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end_us,
       |       COUNT(*) AS n_events,
       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
-      |FROM g GROUP BY user_id, sid
-      |ORDER BY user_id, session_start_us""".stripMargin
+      |FROM g GROUP BY user_id, sid""".stripMargin
 
   // As-of (temporal) join: for every purchase, the user's most recent
   // click at-or-before it — an operator Spark has no native node for,
@@ -146,7 +145,7 @@ object Sessions {
               col("last_click.cid").as("click_id"),
               (unix_micros(col("ts")) - unix_micros(col("last_click.cts")))
                 .as("gap_us"))
-      .orderBy(col("event_id"))
+    // No final orderBy: corpus-sized output; the gate sorts rows.
   }
 
   val qAsofJoinSql: String =

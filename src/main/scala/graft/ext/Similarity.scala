@@ -1772,7 +1772,7 @@ object Similarity {
               posexplode(array((0 until ProjDim).map(j => col(s"p$j")): _*)))
       .toDF("vec_id", "j", "proj")
       .select(col("vec_id"), col("j").cast("bigint").as("j"), col("proj"))
-      .orderBy(col("vec_id"), col("j"))
+    // No final orderBy: corpus-sized output; the gate sorts rows.
 
   val qEmbedProjectSql: String =
     s"""WITH q AS (
@@ -2124,7 +2124,7 @@ object Similarity {
                                        (c, vv) => round(c * vv * 1e6).cast("long")),
                               lit(0L), (acc, t) => acc + t)
                       / 1e6, 6).as("proj"))
-      .orderBy(col("vec_id"))
+      // No final orderBy: corpus-sized output; the gate sorts rows.
   }
 
   val qEmbedPcaSql: String = {

@@ -161,7 +161,7 @@ object TextOps {
   val qQualityScore: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), qualityColumn.as("quality"))
-      .orderBy(col("doc_id"))
+    // No final orderBy: corpus-sized output; the gate sorts rows.
 
   val qQualityScoreSql: String =
     s"""SELECT doc_id,
@@ -448,7 +448,7 @@ object TextOps {
       .select(col("doc_id"), col("dim"), col("raw"),
               round(col("raw").cast("double") /
                       sqrt(col("ss").cast("double")), 6).as("unit"))
-      .orderBy(col("doc_id"), col("dim"))
+    // No final orderBy: O(docs × dims) output; the gate sorts rows.
   }
 
   val qFeatureHashSql: String =
@@ -470,8 +470,7 @@ object TextOps {
        |SELECT p.doc_id, p.dim, p.raw,
        |       round(CAST(p.raw AS DOUBLE) / sqrt(CAST(n.ss AS DOUBLE)), 6)
        |         AS unit
-       |FROM perdim p JOIN norms n USING (doc_id)
-       |ORDER BY p.doc_id, p.dim""".stripMargin
+       |FROM perdim p JOIN norms n USING (doc_id)""".stripMargin
 
   // ------------------------------------------------------------------
   // q_quality_classifier — a text-quality classifier TRAINED IN-ENGINE
@@ -784,7 +783,7 @@ object TextOps {
               expr("""206835L - (1015L * n_words) DIV n_sentences
                       - (84600L * n_syllables) DIV n_words""")
                 .as("flesch_milli"))
-      .orderBy(col("doc_id"))
+      // No final orderBy: corpus-sized output; the gate sorts rows.
 
   val qReadabilitySql: String =
     """WITH f AS (

@@ -286,7 +286,7 @@ object AnalyticsQueries {
               round(cume_dist().over(w), 6).as("cd"),
               lead(col("o_totalprice"), 1).over(w).as("next_price"),
               first_value(col("o_orderkey")).over(wFrame).as("first_key"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
+    // No final orderBy: O(orders) output; the gate sorts rows.
   }
 
   val qWindowFramesSql: String =
@@ -298,8 +298,7 @@ object AnalyticsQueries {
       |              ORDER BY o_orderdate, o_orderkey
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-      |ORDER BY o_custkey, o_orderkey""".stripMargin
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
   // ------------------------------------------------------------------
   // SCD2 validity intervals (slowly-changing-dimension shape): each
@@ -316,7 +315,7 @@ object AnalyticsQueries {
       .select(col("user_id"), col("event_type"), col("event_id"),
               unix_micros(col("ts")).as("valid_from_us"),
               lead(unix_micros(col("ts")), 1).over(w).as("valid_to_us"))
-      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+    // No final orderBy: O(events) output; the gate sorts rows.
   }
 
   val qScd2IntervalsSql: String =
@@ -324,8 +323,7 @@ object AnalyticsQueries {
       |       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
       |       lead(CAST(epoch_us(ts) AS BIGINT), 1)
       |         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
-      |FROM events
-      |ORDER BY user_id, valid_from_us, event_id""".stripMargin
+      |FROM events""".stripMargin
 
   // ------------------------------------------------------------------
   // Fixed-bound histogram: 20 × 25k price buckets. Bounds are

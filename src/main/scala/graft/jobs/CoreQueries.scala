@@ -338,7 +338,8 @@ object CoreQueries {
               lag(col("o_totalprice"), 1).over(w).as("prev_price"),
               sum(col("o_totalprice").cast("decimal(18,2)")).over(w3)
                 .cast("double").as("moving3_sum"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
+    // No final orderBy: O(orders) output; the gate sorts rows and the
+    // range sampler would re-run the window.
   }
 
   val qWindowAnalyticsSql: String =
@@ -350,8 +351,7 @@ object CoreQueries {
       |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
       |         AS moving3_sum
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-      |ORDER BY o_custkey, o_orderkey""".stripMargin
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
   // Join-type breadth (SURVEY §2.3 marks semi/anti absent-but-free):
   // per nation, customers with vs without orders via left_semi /

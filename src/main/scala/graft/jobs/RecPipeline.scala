@@ -37,7 +37,8 @@ object RecPipeline {
       .select(col("c_custkey"), col("o_orderkey"),
               abs(col("o_totalprice") - col("c_acctbal")).as("dist"))
     Ops.topKPerGroup(joined, Seq("c_custkey"), col("dist"), col("o_orderkey"), 10)
-      .orderBy(col("c_custkey"), col("rn"))
+    // No final orderBy: K × |users| output rows — the gate sorts rows,
+    // and a global sort's range sampling re-runs the window.
   }
 
   val qTopkPerGroupSql: String =
@@ -47,7 +48,7 @@ object RecPipeline {
       |         CAST(row_number() OVER (PARTITION BY c_custkey
       |           ORDER BY ABS(o_totalprice - c_acctbal), o_orderkey) AS BIGINT) AS rn
       |  FROM orders JOIN customer ON o_custkey = c_custkey)
-      |WHERE rn <= 10 ORDER BY c_custkey, rn""".stripMargin
+      |WHERE rn <= 10""".stripMargin
 
   // T1/T2 via the bounded-heap aggregate (graftshim.BoundedTopK): same
   // semantics and oracle as q_topk_per_group, but partial aggregation
@@ -63,7 +64,6 @@ object RecPipeline {
     Ops.topKHeap(joined, Seq("c_custkey"), col("dist"), col("o_orderkey"), 10,
                  outScore = "dist", outId = "o_orderkey")
       .select(col("c_custkey"), col("o_orderkey"), col("dist"), col("rn"))
-      .orderBy(col("c_custkey"), col("rn"))
   }
 
   // T1/T2 via the two-phase salted formulation (Ops.topKPerGroupSalted):
@@ -80,7 +80,6 @@ object RecPipeline {
     Ops.topKPerGroupSalted(joined, Seq("c_custkey"), col("dist"),
                            col("o_orderkey"), 10)
       .select(col("c_custkey"), col("o_orderkey"), col("dist"), col("rn"))
-      .orderBy(col("c_custkey"), col("rn"))
   }
 
   // A2/A3 — per-group min-max normalization over the *full* group
@@ -90,7 +89,6 @@ object RecPipeline {
     Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
               Ops.minMaxNorm(col("o_totalprice"), Seq(col("o_custkey"))).as("score"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
 
   val qMinmaxNormSql: String =
     """SELECT o_custkey, o_orderkey,
@@ -99,8 +97,7 @@ object RecPipeline {
       |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
       |             min(o_totalprice) OVER (PARTITION BY o_custkey) AS mn,
       |             max(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
-      |      FROM orders)
-      |ORDER BY o_custkey, o_orderkey""".stripMargin
+      |      FROM orders)""".stripMargin
 
   // A4/F6/F7 — ordered group-concat (sorted emit + trailing-comma strip,
   // UserHotcar.java:175-198) wrapped in a hand-built JSON envelope (F10).

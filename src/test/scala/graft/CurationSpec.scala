@@ -114,7 +114,7 @@ class CurationSpec extends AnyFunSuite {
     val a = (1 to 55).map(i => s"w$i").mkString(" ")
     val docs = Seq((7L, a), (3L, a)).toDF("doc_id", "text")
     val got = Dedup.dedupSubstring(docs)
-      .as[(Long, Long, Long, String)].collect().toList
+      .as[(Long, Long, Long, String)].collect().toList.sortBy(_._1)
     assert(got.map(r => (r._1, r._3)) == List((3L, 0L), (7L, 55L)))
   }
 
@@ -489,7 +489,7 @@ class CurationSpec extends AnyFunSuite {
       (4L, "c1 c2 c3")                                      // short: 1 gram
     ).toDF("doc_id", "text")
     val got = Dedup.ngramNovelty(docs)
-      .as[(Long, Long, Long, Double)].collect().toSeq
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
     // doc 3's first 5-gram IS doc 1's last 5-gram; the other 5 carry a
     // b-token each. A doc shorter than K contributes its whole text.
     assert(got == Seq((1L, 6L, 6L, 1.0), (2L, 6L, 0L, 0.0),
