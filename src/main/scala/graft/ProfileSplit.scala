@@ -94,28 +94,29 @@ object ProfileSplit {
         // Raw gram-collision volume: join matches BEFORE the pair agg
         // (the rows the partial aggregation must hash) — the honest
         // denominator for "what does the join cost".
+        // All three probes below reuse Dedup's shared filter helpers
+        // (prefixIndexSide / prefixRoleLengthFilter / prefixOMin) —
+        // single source of truth for the t = 8/10 arithmetic, so a
+        // threshold change can't leave the probes measuring a stale
+        // pipeline (ADVICE r13).
         probe("p2.raw_matches") {
-          val idx2 = pref2.filter(col("rn") <= expr("n - ((8 * n + 8) div 9) + 2"))
+          val idx2 = Dedup.prefixIndexSide(pref2)
           run(idx2.select(col("gram"), col("doc_id").as("doc_s"),
                           col("n").as("n_s"))
             .join(pref2.select(col("gram"), col("doc_id").as("doc_l"),
                                col("n").as("n_l")), Seq("gram"))
-            .filter((col("n_s") < col("n_l") ||
-                     (col("n_s") === col("n_l") && col("doc_s") < col("doc_l"))) &&
-              col("n_s") * 10 >= col("n_l") * 8))
+            .filter(Dedup.prefixRoleLengthFilter))
         }
         // Same join keyed on xxhash64(gram) instead of the gram string —
         // the candidate-superset experiment (collisions only ADD).
         probe("p2.pair_join_hashed") {
           val ph = pref2.withColumn("h", xxhash64(col("gram")))
-          val idxh = ph.filter(col("rn") <= expr("n - ((8 * n + 8) div 9) + 2"))
+          val idxh = Dedup.prefixIndexSide(ph)
           run(idxh.select(col("h"), col("doc_id").as("doc_s"), col("n").as("n_s"),
                           col("pk").as("pk_s"))
             .join(ph.select(col("h"), col("doc_id").as("doc_l"),
                             col("n").as("n_l"), col("pk").as("pk_l")), Seq("h"))
-            .filter((col("n_s") < col("n_l") ||
-                     (col("n_s") === col("n_l") && col("doc_s") < col("doc_l"))) &&
-              col("n_s") * 10 >= col("n_l") * 8)
+            .filter(Dedup.prefixRoleLengthFilter)
             .select(col("doc_s"), col("doc_l"), col("pk_s"), col("pk_l"))
             .groupBy(col("doc_s"), col("doc_l"))
             .agg(count(lit(1)).as("c"),
@@ -124,7 +125,7 @@ object ProfileSplit {
             .withColumn("n_l", expr("mx_l div 1048576"))
             .withColumn("pmax_s", col("mx_s") % lit(1048576L))
             .withColumn("pmax_l", col("mx_l") % lit(1048576L))
-            .withColumn("o_min", expr("(4 * (n_s + n_l) + 8) div 9"))
+            .withColumn("o_min", Dedup.prefixOMin)
             .filter(col("c") >= least(lit(2L), col("o_min")) &&
               col("c") + least(col("n_s") - col("pmax_s"),
                                col("n_l") - col("pmax_l")) >= col("o_min")))
@@ -132,19 +133,16 @@ object ProfileSplit {
         // Count-only pair agg (drop the positional filter → superset):
         // slimmer agg state, candidate growth is the question.
         probe("p2.pair_join_countonly") {
-          val idx2 = pref2.filter(col("rn") <= expr("n - ((8 * n + 8) div 9) + 2"))
+          val idx2 = Dedup.prefixIndexSide(pref2)
           run(idx2.select(col("gram"), col("doc_id").as("doc_s"), col("n").as("n_s"))
             .join(pref2.select(col("gram"), col("doc_id").as("doc_l"),
                                col("n").as("n_l")), Seq("gram"))
-            .filter((col("n_s") < col("n_l") ||
-                     (col("n_s") === col("n_l") && col("doc_s") < col("doc_l"))) &&
-              col("n_s") * 10 >= col("n_l") * 8)
+            .filter(Dedup.prefixRoleLengthFilter)
             .select(col("doc_s"), col("doc_l"), col("n_s"), col("n_l"))
             .groupBy(col("doc_s"), col("doc_l"))
             .agg(count(lit(1)).as("c"), first(col("n_s")).as("n_s"),
                  first(col("n_l")).as("n_l"))
-            .filter(col("c") >= least(lit(2L),
-              expr("(4 * (n_s + n_l) + 8) div 9"))))
+            .filter(col("c") >= least(lit(2L), Dedup.prefixOMin)))
         }
         pref2.unpersist(); sh2.unpersist()
 

@@ -2,7 +2,7 @@ package graft.ext
 
 import graft.Tables
 import graft.ops.Ops
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a large-scale training-data pipeline, over
@@ -625,6 +625,34 @@ object Dedup {
   private[graft] def prefixJacCandidates(docs: DataFrame): DataFrame =
     prefixPairAgg(prefixProbe(docs, prefixOrderCounts(docs)))
 
+  // --- Shared filter arithmetic (single source of truth) -------------
+  // ProfileSplit's sub-stage probes reuse these instead of re-inlining
+  // the t = 8/10 integer forms: if the threshold or the packed-window
+  // math ever changes, the probes measure the SHIPPED pipeline, not a
+  // stale copy of it.
+
+  /** Index-prefix restriction of a probe frame — the small-role side of
+    * the emitting self-join only needs each doc's first
+    * n − ⌈(8/9)·n⌉ + 2 grams (Xiao et al. WWW'08 §4).
+    */
+  private[graft] def prefixIndexSide(pref: DataFrame): DataFrame =
+    pref.filter(col("rn") <= expr("n - ((8 * n + 8) div 9) + 2"))
+
+  /** Role + lower-length-bound predicate of the self-join: small =
+    * lexicographically (n, doc_id) lesser, and 10·n_s ≥ 8·n_l (the
+    * upper bound is implied by n_l ≥ n_s). Expects columns
+    * (n_s, n_l, doc_s, doc_l).
+    */
+  private[graft] def prefixRoleLengthFilter: Column =
+    (col("n_s") < col("n_l") ||
+     (col("n_s") === col("n_l") && col("doc_s") < col("doc_l"))) &&
+      col("n_s") * 10 >= col("n_l") * 8
+
+  /** O_min = ⌈t·(n_s+n_l)/(1+t)⌉, exact in integers for t = 8/10.
+    * Expects columns (n_s, n_l).
+    */
+  private[graft] def prefixOMin: Column = expr("(4 * (n_s + n_l) + 8) div 9")
+
   /** The emitting self-join + pair aggregation over a probe-prefix
     * frame — factored so prefixJaccard can PERSIST the probe frame
     * first: the self-join consumes pref on both sides, and the
@@ -643,7 +671,7 @@ object Dedup {
     // gram outside either window ranks after every counted common gram
     // in BOTH docs (positions within a doc follow the global order),
     // which is exactly what the aggregated positional bound needs.
-    val idx = pref.filter(col("rn") <= expr("n - ((8 * n + 8) div 9) + 2"))
+    val idx = prefixIndexSide(pref)
     idx.select(col("gram"), col("doc_id").as("doc_s"), col("n").as("n_s"),
                col("pk").as("pk_s"))
       .join(pref.select(col("gram"), col("doc_id").as("doc_l"),
@@ -652,9 +680,7 @@ object Dedup {
       // Role predicate: small = lexicographically (n, doc_id) lesser —
       // a deterministic unique role per unordered pair; plus the lower
       // length bound (the upper is implied by n_l >= n_s).
-      .filter((col("n_s") < col("n_l") ||
-               (col("n_s") === col("n_l") && col("doc_s") < col("doc_l"))) &&
-        col("n_s") * 10 >= col("n_l") * 8)
+      .filter(prefixRoleLengthFilter)
       .select(col("doc_s"), col("doc_l"), col("pk_s"), col("pk_l"))
       .groupBy(col("doc_s"), col("doc_l"))
       .agg(count(lit(1)).as("c"),
@@ -663,7 +689,7 @@ object Dedup {
       .withColumn("n_l", expr("mx_l div 1048576"))
       .withColumn("pmax_s", col("mx_s") % lit(1048576L))
       .withColumn("pmax_l", col("mx_l") % lit(1048576L))
-      .withColumn("o_min", expr("(4 * (n_s + n_l) + 8) div 9"))
+      .withColumn("o_min", prefixOMin)
       .filter(col("c") >= least(lit(2L), col("o_min")) &&
         col("c") + least(col("n_s") - col("pmax_s"),
                          col("n_l") - col("pmax_l")) >= col("o_min"))

@@ -148,4 +148,44 @@ class PipelineRunSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
     assert(again == oneShot)
   }
+
+  test("checkpointed run: a TORN stage write (partial dir, no _SUCCESS) is discarded and recomputed") {
+    // Real failures don't politely stop between stages — a task set can
+    // die mid-parquet-write, leaving a populated stage dir WITHOUT the
+    // _SUCCESS commit marker (and possibly with garbage bytes). Resume
+    // must treat that dir as absent: never read it, fully replace it,
+    // and land hash-equal to the one-shot run.
+    val df = corpus.toDF("doc_id", "source", "lang", "n_chars", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pipeckpt_torn").toString + "/run"
+    Pipeline.materializeStages(df, dir, upTo = 2)
+    // Fabricate the torn stage-3 dir: a half-written part file (truncated
+    // copy of a committed stage's parquet, so it even LOOKS plausible), a
+    // leftover _temporary dir, and no _SUCCESS.
+    val torn = new java.io.File(s"$dir/3_exact_dedup")
+    assert(torn.mkdirs())
+    val donor = new java.io.File(s"$dir/2_quality").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val donorBytes = java.nio.file.Files.readAllBytes(donor.toPath)
+    java.nio.file.Files.write(
+      new java.io.File(torn, "part-00000-torn.snappy.parquet").toPath,
+      donorBytes.take(donorBytes.length / 2))
+    assert(new java.io.File(torn, "_temporary").mkdirs())
+    assert(!new java.io.File(torn, "_SUCCESS").exists)
+    val resumed = Pipeline.pipelineRunCheckpointed(df, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val oneShot = Pipeline.pipelineRun(df)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(resumed == oneShot,
+           "resume over a torn stage dir must hash-match the one-shot run")
+    // The torn artifacts are gone — Overwrite replaced the dir wholesale
+    // and committed it.
+    val after = new java.io.File(s"$dir/3_exact_dedup")
+    assert(new java.io.File(after, "_SUCCESS").exists)
+    assert(!new java.io.File(after, "part-00000-torn.snappy.parquet").exists)
+    assert(!new java.io.File(after, "_temporary").exists)
+    // And the recomputed stage-3 checkpoint is readable + row-correct
+    // (94 docs survive exact dedup on this corpus).
+    assert(spark.read.parquet(s"$dir/3_exact_dedup").count() == 94L)
+  }
 }
