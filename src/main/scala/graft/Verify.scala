@@ -12,12 +12,32 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,8,4096] runs the SAME gate with
+    // real separate executor JVMs — the multi-process posture a 100 TB
+    // cluster has and single-JVM local[] structurally cannot exercise
+    // (executor-side closure/expression serialization, broadcast
+    // transport, per-executor memory). Everything else is identical, so
+    // a green local-cluster run attests every query's plan survives
+    // process boundaries. Executors are spawned by the standalone-worker
+    // machinery from SPARK_HOME; they get the application classes via
+    // the driver's own classpath (same machine by definition).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      builder
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.memory",
+                sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "4g"))
+        // Executor JVMs need the same JDK-17 module opens the driver
+        // gets from build.sbt (spark-submit would inject these).
+        .config("spark.executor.extraJavaOptions",
+                org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // A query that throws leaves NO parquet dir, and the driver's compare

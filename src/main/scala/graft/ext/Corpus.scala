@@ -444,7 +444,7 @@ object Corpus {
   private[graft] def hotGrams(large: DataFrame): DataFrame =
     large.groupBy(col("gram"))
       .agg(count(lit(1)).as("gram_df"))
-      .filter(col("gram_df") > ContamMaxDf)
+      .filter(col("gram_df") > graft.GraftConf.contamMaxDf(large.sparkSession))
       .select(col("gram"))
 
   /** Drop grams whose document frequency WITHIN this (the structurally
@@ -477,7 +477,7 @@ object Corpus {
     large
       .withColumn("gram_df",
         count(lit(1)).over(Window.partitionBy(col("gram"))))
-      .filter(col("gram_df") <= ContamMaxDf)
+      .filter(col("gram_df") <= graft.GraftConf.contamMaxDf(large.sparkSession))
       .drop("gram_df")
   }
 

@@ -306,7 +306,7 @@ object Dedup {
       .select(col("lang"), col("doc_id"), xxhash64(col("gram_text")).as("gram"))
     val dfreq = inv0.groupBy(col("lang"), col("gram"))
       .agg(count(lit(1)).as("gram_df"))
-      .filter(col("gram_df") <= MaxGramDf)
+      .filter(col("gram_df") <= graft.GraftConf.maxGramDf(docsIn.sparkSession))
     // rare feeds nRare AND both sides of the pair self-join —
     // unpersisted, the shingle-explode + df-filter subtree computes
     // three times. The persisted frame is slim (lang, 8-byte gram
@@ -408,7 +408,7 @@ object Dedup {
     // hot grams this exists to drop).
     val dfreq = inv0.groupBy(col("lang"), col("len_bucket"), col("gram"))
       .agg(count(lit(1)).as("gram_df"))
-      .filter(col("gram_df") <= MaxGramDf)
+      .filter(col("gram_df") <= graft.GraftConf.maxGramDf(s))
     val rare = inv0.join(dfreq, Seq("lang", "len_bucket", "gram"))
     val nRare = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     // Only grams held by >= 2 docs can form a pair — df=1 postings (the
@@ -1397,7 +1397,7 @@ object Dedup {
       .toDF("doc_id", "simhash", "band_id", "band_val")
     val cool = banded.groupBy(col("band_id"), col("band_val"))
       .agg(count(lit(1)).as("c"))
-      .filter(col("c") <= SimBandMaxDf)
+      .filter(col("c") <= graft.GraftConf.simBandMaxDf(docs.sparkSession))
       .select(col("band_id"), col("band_val"))
     val kept = banded.join(cool, Seq("band_id", "band_val"))
     kept.select(col("band_id"), col("band_val"),
@@ -1994,7 +1994,8 @@ object Dedup {
     val fp = base.select(col("doc_id"), explode(col("fps")).as("fp"))
     val kept = fp.join(
       fp.groupBy(col("fp")).agg(count(lit(1)).as("c"))
-        .filter(col("c") <= WinnowMaxDf).select(col("fp")),
+        .filter(col("c") <= graft.GraftConf.winnowMaxDf(docs.sparkSession))
+        .select(col("fp")),
       Seq("fp"))
     kept.select(col("fp"), col("doc_id").as("doc_a"))
       .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))

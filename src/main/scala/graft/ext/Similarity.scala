@@ -1648,7 +1648,7 @@ object Similarity {
         round(VectorFunctions.vecDot(col("embedding"), col("ce")) /
                 (col("nrm") * col("cnrm")), 6))
     val part = Ops.topKPerGroup(mem, Seq("cell"), col("vec_id"),
-                                col("vec_id"), SemCellCap)
+                                col("vec_id"), graft.GraftConf.semCellCap(s))
       .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"),
               col("cent_cos"))
     val a = part.select(col("cell"), col("vec_id").as("va"),

@@ -492,7 +492,7 @@ object Stats {
     val banded = dbscanBanded(e)
     val cool = banded.groupBy(col("band_id"), col("band_val"))
       .agg(count(lit(1)).as("c"))
-      .filter(col("c") <= DbBandMaxDf)
+      .filter(col("c") <= graft.GraftConf.dbBandMaxDf(e.sparkSession))
       .select(col("band_id"), col("band_val"))
     val kept = banded.join(cool, Seq("band_id", "band_val"))
     kept.select(col("band_id"), col("band_val"), col("vec_id").as("va"))

@@ -74,13 +74,26 @@ def main():
             if nv > ov * a.threshold:
                 flagged.append((q, kind, ov, nv, nv / ov if ov else float("inf")))
 
+    # Executor-CPU seconds (recorded since round 14): box-load-immune,
+    # unlike wall — a CPU regression is a real plan/expression regression
+    # even when shuffle bytes are flat (e.g. a codegen fallback). Floor:
+    # 2 CPU-seconds, below which JIT/GC jitter dominates the ratio.
+    if "cpu_sec" in old and "cpu_sec" in new:
+        o, n = old["cpu_sec"], new["cpu_sec"]
+        for q in sorted(set(o) & set(n)):
+            ov, nv = float(o[q]), float(n[q])
+            if max(ov, nv) < 2.0:
+                continue
+            if nv > ov * a.threshold:
+                flagged.append((q, "cpu_sec", ov, nv, nv / ov if ov else float("inf")))
+
     print(f"baseline {old_name}  vs  {new_name}  "
           f"(threshold {a.threshold}x, floor {a.floor_mb} MB)")
     common = set(old.get("queries", {})) & set(new.get("queries", {}))
     print(f"{len(common)} common queries; "
           f"new-only: {sorted(set(new.get('queries', {})) - set(old.get('queries', {})))}")
     if not flagged:
-        print("OK: no shuffle-byte regressions")
+        print("OK: no shuffle-byte or executor-CPU regressions")
         return 0
     print(f"\n{len(flagged)} REGRESSION(S):")
     for q, kind, ov, nv, r in flagged:
