@@ -201,11 +201,14 @@ object CorpusStream {
     * history as of completion.
     */
   def runOnce(spark: SparkSession, srcDir: String, historyDir: String,
-              name: String = "graft_corpus_ingest"): DataFrame = {
-    val q = spark.readStream
+              name: String = "graft_corpus_ingest",
+              maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader0 = spark.readStream
       .schema(docsSchema)
       .option("pathGlobFilter", "documents*.parquet")
-      .parquet(srcDir)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n.toString))
+    val q = reader.parquet(srcDir)
       .writeStream
       .queryName(name)
       .outputMode("update")

@@ -286,13 +286,20 @@ object PipelineStream {
   def runOnce(spark: SparkSession, srcDir: String, bench: DataFrame,
               rootDir: String,
               name: String = "graft_pipeline_ingest",
-              globalHotGrams: Option[DataFrame] = None): DataFrame = {
+              globalHotGrams: Option[DataFrame] = None,
+              maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val benchStable = bench.localCheckpoint(true) // one snapshot, all batches
     val hotStable = globalHotGrams.map(_.localCheckpoint(true))
-    val q = spark.readStream
+    // maxFilesPerTrigger is THE ingest micro-batch sizing knob (one
+    // crawl slice per batch vs all available at once) — surfaced for
+    // deployments and StreamBench; None keeps the source default
+    // (AvailableNow drains everything in one batch).
+    val reader0 = spark.readStream
       .schema(CorpusStream.docsSchema)
       .option("pathGlobFilter", "documents*.parquet")
-      .parquet(srcDir)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n.toString))
+    val q = reader.parquet(srcDir)
       .writeStream
       .queryName(name)
       .outputMode("update")

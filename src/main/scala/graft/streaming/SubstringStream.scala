@@ -46,6 +46,20 @@ object SubstringStream {
   private[graft] def ingestBatch(batch: DataFrame,
                                  ledgerDir: String): DataFrame = {
     val spark = batch.sparkSession
+    // The batch feeds TWO actions (the occurrence snapshot and
+    // rebuildStats' scan); un-persisted, each action re-read the
+    // micro-batch's source files — a 2× corpus-read amplification
+    // StreamBench caught as numInputRows = 2× corpus rows. Persisting
+    // the batch makes it one source read per micro-batch; unpersisted
+    // in the finally once stats are eagerly snapshotted.
+    val b = batch.persist()
+    try ingestPersisted(b, ledgerDir)
+    finally b.unpersist()
+  }
+
+  private def ingestPersisted(batch: DataFrame,
+                              ledgerDir: String): DataFrame = {
+    val spark = batch.sparkSession
     val toks = batch.select(col("doc_id"),
                             graft.ops.Ops.tokens(col("text")).as("t"))
     // Gram construction is LITERALLY the batch operator's
@@ -124,11 +138,14 @@ object SubstringStream {
     */
   def runOnce(spark: SparkSession, srcDir: String, ledgerDir: String,
               outDir: String,
-              name: String = "graft_substring_ingest"): DataFrame = {
-    val q = spark.readStream
+              name: String = "graft_substring_ingest",
+              maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader0 = spark.readStream
       .schema(CorpusStream.docsSchema)
       .option("pathGlobFilter", "documents*.parquet")
-      .parquet(srcDir)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n.toString))
+    val q = reader.parquet(srcDir)
       .writeStream
       .queryName(name)
       .outputMode("update")

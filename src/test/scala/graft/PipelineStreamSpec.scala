@@ -58,6 +58,47 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(first > 0)
   }
 
+  test("runOnce: maxFilesPerTrigger=1 delivers one micro-batch per slice file") {
+    // The ingest micro-batch sizing knob (StreamBench's lever): two
+    // single-file slices + maxFilesPerTrigger=1 must fire TWO
+    // row-carrying batches whose raw intake sums to the corpus, with
+    // every admission decision ledgered under a distinct batch id.
+    val root = freshRoot("mfpt")
+    val work = java.nio.file.Files.createTempDirectory("graft_mfpt_src")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+              col("n_chars"))
+    val total = docs.count()
+    for (i <- 0 until 2) {
+      val tmp = s"$work/slice_$i"
+      docs.filter(pmod(col("doc_id"), lit(2)) === i)
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        part.toPath,
+        java.nio.file.Paths.get(s"$work/documents_$i.parquet"))
+    }
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    PipelineStream.runOnce(spark, work.toString, bench, root,
+                           name = "graft_mfpt_ingest",
+                           maxFilesPerTrigger = Some(1))
+    val attr = spark.read.schema(PipelineStream.attritionSchema
+        .add(org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.StringType)))
+      .option("basePath", s"$root/attrition").parquet(s"$root/attrition")
+    // AvailableNow may fire a trailing EMPTY commit batch — only
+    // row-carrying batches count as ingest micro-batches.
+    val perBatch = attr.filter(col("stage") === "0_raw")
+      .groupBy(col("batch_id")).agg(sum(col("docs_in")).as("docs"))
+      .as[(String, Long)].collect().toMap.filter(_._2 > 0)
+    assert(perBatch.size == 2,
+           s"expected 2 row-carrying micro-batches, saw $perBatch")
+    assert(perBatch.values.sum == total,
+           "the two batches' raw intake must partition the corpus")
+    assert(perBatch.values.forall(_ > 0))
+  }
+
   test("runOnce: real AvailableNow stream over the sf dir folds to the batch table") {
     val root = freshRoot("runonce")
     val docs = Tables.documents(spark, sf)
