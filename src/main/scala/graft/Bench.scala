@@ -122,17 +122,20 @@ object Bench {
     val minOf3ThresholdSec = 5.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val w1 = runOnce(fn, name)
-      if (w1 < 0) R(name, -1.0, -1.0, 0, 0)
+      if (w1 < 0) R(name, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
       else {
         sweep()
         shufRead.set(0L); shufWrite.set(0L); cpuNs.set(0L)
         memSpill.set(0L); diskSpill.set(0L)
         val w2 = runOnce(fn, name)
         sweep()
-        // A failed run 2 leaves PARTIAL counters — record a -1 marker,
-        // not the torn bytes, so the round-over-round byte comparison
-        // never reads an aborted run as a regression (or masks one).
-        if (w2 < 0) R(name, w1, w1, -1.0, -1.0)
+        // A failed run 2 leaves PARTIAL counters — record -1 markers
+        // for ALL run-2-derived metrics (bytes, CPU, spill), not the
+        // torn values, so the round-over-round comparison never reads
+        // an aborted run as a regression (or masks one). A cpu_sec of
+        // 0.0 here would be indistinguishable from a genuinely cheap
+        // query and would seed an infinite-ratio flag when it recovers.
+        if (w2 < 0) R(name, w1, w1, -1.0, -1.0, -1.0, -1.0)
         else {
           val readMb = shufRead.get / 1048576.0
           val writeMb = shufWrite.get / 1048576.0

@@ -46,10 +46,59 @@ object GraftConf {
      "DBSCAN banded ε-graph: skip sign-LSH band buckets larger than this"),
   )
 
+  /** String-valued PATH knobs: where operator scratch/ledger/checkpoint
+    * state lives. On one box the defaults (java.io.tmpdir; executor-local
+    * checkpoints) are correct; on a real multi-node cluster all three
+    * must point at a cluster filesystem URI — executors do not share a
+    * /tmp, and localCheckpoint blocks die with their executor
+    * (docs/CLUSTER_GATE.md scope note; docs/FAULT_GATE.md measurements).
+    * Tuples are (conf key, default-when-unset description, meaning);
+    * defaults are resolved at read time, not compiled literals, so the
+    * table documents them as placeholders.
+    */
+  def pathKnobs: Seq[(String, String, String)] = Seq(
+    ("spark.graft.scratchDir", "<java.io.tmpdir>",
+     "base directory/URI for operator scratch space (checkpointed-pipeline stage files; KvTable ledgers unless spark.graft.kv.dir is set). Point at a cluster FS when executors don't share a local /tmp"),
+    ("spark.graft.kv.dir", "<spark.graft.scratchDir>",
+     "base directory/URI under which the KV-ledger demo (q_kv_latest) builds its LSM tiers; falls back to the scratch dir"),
+    ("spark.graft.checkpoint.dir", "<unset: executor-local localCheckpoint>",
+     "when set, iterative checkpoint tails use RELIABLE Dataset.checkpoint() against this cluster-FS directory instead of localCheckpoint — lineage tails survive executor loss at the cost of a durable write"),
+  )
+
+  /** Scratch root for operator temp state. Default: java.io.tmpdir
+    * (bit-identical behavior to the pre-knob code). Trailing slash
+    * stripped so callers can append `/name` uniformly.
+    */
+  def scratchDir(s: SparkSession): String =
+    s.conf.getOption("spark.graft.scratchDir").map(_.trim).filter(_.nonEmpty)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+      .stripSuffix("/")
+
+  /** Root for KV-ledger directories; defaults to [[scratchDir]]. */
+  def kvDir(s: SparkSession): String =
+    s.conf.getOption("spark.graft.kv.dir").map(_.trim).filter(_.nonEmpty)
+      .map(_.stripSuffix("/")).getOrElse(scratchDir(s))
+
+  /** Reliable-checkpoint directory for iterative tails; None (default)
+    * keeps the executor-local localCheckpoint fast path.
+    */
+  def checkpointDir(s: SparkSession): Option[String] =
+    s.conf.getOption("spark.graft.checkpoint.dir").map(_.trim).filter(_.nonEmpty)
+
   private def longConf(s: SparkSession, key: String, default: Long): Long = {
     val v = s.conf.getOption(key).map(_.trim.toLong).getOrElse(default)
     require(v > 0, s"$key must be > 0, got $v")
     v
+  }
+
+  /** For Int-typed caps: validate the Int range BEFORE truncating —
+    * a conf value above Int.MaxValue passes `v > 0` but `.toInt`
+    * would silently wrap to a negative/garbage cap.
+    */
+  private def intConf(s: SparkSession, key: String, default: Long): Int = {
+    val v = longConf(s, key, default)
+    require(v <= Int.MaxValue, s"$key must be <= ${Int.MaxValue}, got $v")
+    v.toInt
   }
 
   /** Knob lookup by key — lets GraftConfSpec iterate `knobs` and prove
@@ -70,8 +119,8 @@ object GraftConf {
   def contamMaxDf(s: SparkSession): Long =
     longConf(s, "spark.graft.decontam.maxDf", ext.Corpus.ContamMaxDf)
   def semCellCap(s: SparkSession): Int =
-    longConf(s, "spark.graft.semdedup.cellCap",
-             ext.Similarity.SemCellCap.toLong).toInt
+    intConf(s, "spark.graft.semdedup.cellCap",
+            ext.Similarity.SemCellCap.toLong)
   def simBandMaxDf(s: SparkSession): Long =
     longConf(s, "spark.graft.simhash.bandMaxDf", ext.Dedup.SimBandMaxDf)
   def winnowMaxDf(s: SparkSession): Long =

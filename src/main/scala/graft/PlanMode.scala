@@ -21,15 +21,31 @@ import org.apache.spark.sql.DataFrame
   * Cluster-reality note (also in docs/PLANS.md): localCheckpoint is NOT
   * fault-tolerant — blocks live in executor storage, so losing an
   * executor fails the job instead of recomputing from lineage. That is
-  * an accepted trade for single-app iterative tails; a long-lived
-  * production pipeline on a real cluster should use reliable
-  * `checkpoint()` against the cluster filesystem instead.
+  * an accepted trade for single-app iterative tails. For fault-tolerant
+  * deployments set `spark.graft.checkpoint.dir` to a cluster-FS URI:
+  * checkpointTail then uses RELIABLE `Dataset.checkpoint()` — the tail
+  * is a durable parquet-backed RDD any surviving executor can re-read,
+  * so executor loss costs a task retry, not the job
+  * (docs/FAULT_GATE.md measures both modes under a killed executor).
+  * Default path (knob unset) is bit-identical to the pre-knob behavior.
   */
 object PlanMode {
   def auditing: Boolean = sys.props.get("graft.plan.audit").contains("1")
 
   def checkpointTail(df: DataFrame): DataFrame =
-    if (auditing) df else df.localCheckpoint(true)
+    if (auditing) df
+    else GraftConf.checkpointDir(df.sparkSession) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        // setCheckpointDir mints a fresh per-app UUID subdir on every
+        // call — pin it once per application. (Spark's own cleaner
+        // removes checkpoint files only with
+        // spark.cleaner.referenceTracking.cleanCheckpoints=true; a
+        // deployment that enables the knob owns that setting too.)
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(true)
+    }
 
   /** Run `body` with AQE off, restoring the prior setting after.
     *

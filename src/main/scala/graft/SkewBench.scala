@@ -38,8 +38,10 @@ import org.apache.spark.sql.functions._
   * degenerate to the same broadcast plan; the question under test is
   * the SHUFFLE-join regime, where the 100 TB dim does not fit.
   *
-  * Protocol: min-of-3 wall per variant, result-count cross-checked
-  * equal across variants first (a fast wrong answer is not a datum).
+  * Protocol: min-of-3 wall per variant, full answer rows cross-checked
+  * equal across ALL variants first — both join variants and all three
+  * top-K variants, compared as sorted collected rows, not a hash proxy
+  * (a fast wrong answer is not a datum).
   * One JSON line; docs/SCALE.md holds the conclusions table.
   */
 object SkewBench {
@@ -140,13 +142,26 @@ object SkewBench {
       "spark.sql.adaptive.skewJoin.enabled" -> "false")
     val noAqe = noBroadcast ++ Seq("spark.sql.adaptive.enabled" -> "false")
 
-    // Answer parity first: every join variant must agree before any
-    // timing counts (salting provably preserves the join; check anyway).
-    val ref = withConfs(skewTuned: _*)(
-      { plainJoin().orderBy("segment").collect().map(_.toString).mkString("|").hashCode.toDouble })
-    val saltedHash = withConfs(noAqe: _*)(
-      { saltedJoin().orderBy("segment").collect().map(_.toString).mkString("|").hashCode.toDouble })
-    require(ref == saltedHash, "salted join diverged from plain join — abort")
+    // Answer parity first: every variant must agree before any timing
+    // counts — a fast-but-wrong variant is not a datum. Rows are
+    // compared DIRECTLY (sorted Seq[Row] equality), not through a
+    // collision-prone String.hashCode proxy. All outputs are bounded
+    // (7 segments / 1 top-K summary row), so collect() is safe. The
+    // sv sums are sums of integer-valued doubles well under 2^53, so
+    // exact equality holds regardless of summation order.
+    def rowsOf(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val refJoin = withConfs(skewTuned: _*)(rowsOf(plainJoin()))
+    val saltedRows = withConfs(noAqe: _*)(rowsOf(saltedJoin()))
+    require(refJoin == saltedRows,
+      s"salted join diverged from plain join — abort\n plain=$refJoin\n salted=$saltedRows")
+    val refTopk = withConfs(skewTuned: _*)(rowsOf(topkWindow()))
+    val topkSaltedRows = withConfs(skewTuned: _*)(rowsOf(topkSalted()))
+    val topkHeapRows = withConfs(skewTuned: _*)(rowsOf(topkHeap()))
+    require(refTopk == topkSaltedRows,
+      s"salted top-K diverged from window top-K — abort\n window=$refTopk\n salted=$topkSaltedRows")
+    require(refTopk == topkHeapRows,
+      s"heap top-K diverged from window top-K — abort\n window=$refTopk\n heap=$topkHeapRows")
 
     val out = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
     out("join_aqe_skew") = withConfs(skewTuned: _*)(bestOf3(() => plainJoin()))

@@ -135,18 +135,23 @@ object StreamBench {
     }.mkString(",")
     val line =
       s"""{"metric":"stream_ingest","unit":"rows/sec","sf":"${new java.io.File(sfDir).getName}","cpus":$cpus,"n_slices":$nSlices,"total_rows":$totalRows,"surfaces":{$surfaces}}"""
-    try {
-      val w = new java.io.PrintWriter("/root/repo/STREAMBENCH.json")
-      try w.println(line) finally w.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"[streambench] cannot write STREAMBENCH.json: ${e.getMessage}") }
+    // A surface that ingested nothing is a broken bench run, not a datum —
+    // checked BEFORE touching STREAMBENCH.json so a broken run can never
+    // overwrite the committed artifact with garbage numbers on its way out.
+    val broken = runs.values.exists(_.rows == 0)
+    if (broken) {
+      System.err.println("[streambench] a surface ingested 0 rows — " +
+        "failing WITHOUT writing STREAMBENCH.json")
+    } else {
+      try {
+        val w = new java.io.PrintWriter("/root/repo/STREAMBENCH.json")
+        try w.println(line) finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[streambench] cannot write STREAMBENCH.json: ${e.getMessage}") }
+    }
     println(line)
     fs.delete(new org.apache.hadoop.fs.Path(work), true)
     spark.stop()
-    // A surface that ingested nothing is a broken bench run, not a datum.
-    if (runs.values.exists(_.rows == 0)) {
-      System.err.println("[streambench] a surface ingested 0 rows — failing")
-      sys.exit(1)
-    }
+    if (broken) sys.exit(1)
   }
 }

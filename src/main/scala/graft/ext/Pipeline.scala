@@ -744,7 +744,10 @@ object Pipeline {
   val qPipelineCheckpointed: Q = (s, d) => {
     val slug = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(64)
     val pid = ProcessHandle.current().pid()
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pipeline_ckpt_${slug}_p$pid"
+    // Scratch root is conf-addressable (spark.graft.scratchDir): on a
+    // real cluster executors don't share /tmp, so stage files must land
+    // on a cluster FS. Default resolves to java.io.tmpdir — unchanged.
+    val dir = s"${graft.GraftConf.scratchDir(s)}/graft_pipeline_ckpt_${slug}_p$pid"
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(p, true)

@@ -415,6 +415,10 @@ object CoreQueries {
   // key's build rows, once), which is what the plain-join oracle
   // hash-gates. At scale R is tuned to the observed hot-key factor;
   // AQE's skew-join split is the automatic variant of this pattern.
+  // PORTABLE PATTERN, NOT THE RECOMMENDATION: docs/SKEWBENCH.json
+  // measured AQE skew-join beating this (1.59 vs 2.48 s, 31% fewer
+  // bytes) — production default is AQE on; salt only where AQE is
+  // unavailable (README "Skew: the production defaults").
   val SaltBuckets = 8
 
   val qSaltedJoin: Q = (s, d) => {

@@ -71,6 +71,11 @@ object RecPipeline {
   // sort spreads over 16 salt buckets — the power-law-skew path. Having
   // it in the registry means the driver's hash gate itself proves the
   // skew plan returns byte-identical results.
+  // PORTABLE PATTERN, NOT THE RECOMMENDATION: docs/SKEWBENCH.json
+  // measured the BoundedTopK heap (q_topk_heap / Ops.topKHeap)
+  // dominating this under skew (0.98 s / 97 MB vs 2.26 s / 237 MB) —
+  // production default is the heap aggregate (README "Skew: the
+  // production defaults").
   val qTopkSalted: Q = (s, d) => {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)

@@ -228,7 +228,10 @@ object KvTable {
   val KvDemoKeyCap = 2000L
 
   val qKvLatest: (SparkSession, String) => DataFrame = (s, d) => {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_kv_latest_" +
+    // Ledger root is conf-addressable (spark.graft.kv.dir, falling back
+    // to spark.graft.scratchDir then java.io.tmpdir): multi-node
+    // deployments need the LSM tiers on a cluster FS, not executor /tmp.
+    val dir = s"${graft.GraftConf.kvDir(s)}/graft_kv_latest_" +
       Integer.toHexString(d.hashCode)
     fs(s, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
     // One orders scan + one (key, m) partial agg feeds all three

@@ -69,6 +69,12 @@ def main():
         o, n = old.get(kind, {}), new.get(kind, {})
         for q in sorted(set(o) & set(n)):
             ov, nv = float(o[q]), float(n[q])
+            # -1 is the bench's "run failed, metric unknown" sentinel —
+            # a recovered query must not be flagged against a bogus
+            # baseline (and a newly-failed one is already visible as a
+            # -1 wall in the queries map).
+            if ov < 0 or nv < 0:
+                continue
             if max(ov, nv) < a.floor_mb:
                 continue
             if nv > ov * a.threshold:
@@ -82,6 +88,8 @@ def main():
         o, n = old["cpu_sec"], new["cpu_sec"]
         for q in sorted(set(o) & set(n)):
             ov, nv = float(o[q]), float(n[q])
+            if ov < 0 or nv < 0:
+                continue
             if max(ov, nv) < 2.0:
                 continue
             if nv > ov * a.threshold:
@@ -97,7 +105,8 @@ def main():
         return 0
     print(f"\n{len(flagged)} REGRESSION(S):")
     for q, kind, ov, nv, r in flagged:
-        print(f"  {q:28s} {kind:17s} {ov:10.2f} -> {nv:10.2f} MB  ({r:.2f}x)")
+        unit = "sec" if kind == "cpu_sec" else "MB"
+        print(f"  {q:28s} {kind:17s} {ov:10.2f} -> {nv:10.2f} {unit}  ({r:.2f}x)")
     return 1
 
 
