@@ -288,6 +288,29 @@ object PipelineStream {
               name: String = "graft_pipeline_ingest",
               globalHotGrams: Option[DataFrame] = None,
               maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = startQuery(spark, srcDir, bench, rootDir, name, globalHotGrams,
+                       maxFilesPerTrigger,
+                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    attritionView(spark, rootDir)
+  }
+
+  /** The same source/sink wiring as [[runOnce]] with a caller-chosen
+    * trigger — the LONG-LIVED deployment shape (ProcessingTime) the
+    * steady-state soak drives: the query keeps polling `srcDir` for
+    * newly landed crawl slices and the caller owns stop/await. All
+    * ledger, checkpoint, and exactly-once-attrition semantics are
+    * identical (same checkpoint location ⇒ a soak run and a later
+    * AvailableNow catch-up resume one another seamlessly).
+    */
+  def startQuery(spark: SparkSession, srcDir: String, bench: DataFrame,
+                 rootDir: String,
+                 name: String = "graft_pipeline_ingest",
+                 globalHotGrams: Option[DataFrame] = None,
+                 maxFilesPerTrigger: Option[Int] = None,
+                 trigger: org.apache.spark.sql.streaming.Trigger =
+                   org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val benchStable = bench.localCheckpoint(true) // one snapshot, all batches
     val hotStable = globalHotGrams.map(_.localCheckpoint(true))
     // maxFilesPerTrigger is THE ingest micro-batch sizing knob (one
@@ -299,7 +322,7 @@ object PipelineStream {
       .option("pathGlobFilter", "documents*.parquet")
     val reader = maxFilesPerTrigger
       .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n.toString))
-    val q = reader.parquet(srcDir)
+    reader.parquet(srcDir)
       .writeStream
       .queryName(name)
       .outputMode("update")
@@ -307,10 +330,8 @@ object PipelineStream {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         ingestBatch(batch, benchStable, rootDir, s"b$id", hotStable); ()
       }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
-    q.awaitTermination()
-    attritionView(spark, rootDir)
   }
 
   /** Periodic GLOBAL RE-RESOLUTION of the arrival-order-greedy
