@@ -78,6 +78,13 @@ object KnobSweep {
     for ((key, default, _) <- GraftConf.knobs) {
       val qname = flagship(key)
       val fn = SparkEntry.queries(qname)
+      // Untimed warm-up at the default: without it the first cell of
+      // every triple (the ¼× value) is charged the query's JIT/codegen
+      // and file-index cost and the "curve" is mostly warm-up shape
+      // (first sweep: maxGramDf ¼× read 15.5 s vs 1.2 s at 4× — a
+      // LOWER candidate cap cannot cost 13× more).
+      try { fn(spark, sfDir).queryExecution.toRdd.count(); sweep() }
+      catch { case _: Throwable => () }
       for (v <- Seq(math.max(1L, default / 4), default, default * 4)) {
         sweep()
         shufR.set(0L); shufW.set(0L)
@@ -101,6 +108,19 @@ object KnobSweep {
     report ++= s"\nQueries: " +
       GraftConf.knobs.map { case (k, _, _) => s"`$k` → `${flagship(k)}`" }
         .mkString(", ") + ".\n"
+    report ++=
+      """
+How to read this: on the ORGANIC sf corpora the result rows are
+cap-invariant even at ¼× — the caps drop only keys hotter than any
+key an organic corpus produces, so recall is intact and the response
+shows up in the byte columns (semdedup cell pairs, dbscan band
+pairs). The rows column moves only where a cap actually binds, which
+takes a hot-key-saturated corpus: the stop-gram stressor in
+docs/SCALE.md ("hot-gram caps proven on a stopword-saturated
+stressor") is the binding/recall evidence; this table is the COST
+response an operator consults before raising a cap at 100 TB
+(4× a cap ⇒ up to ~2× candidate bytes here, still zero row change).
+"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/docs/KNOBS.md"), report.toString)
     spark.stop()

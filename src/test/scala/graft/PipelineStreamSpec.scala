@@ -216,6 +216,81 @@ class PipelineStreamSpec extends AnyFunSuite {
     assert(after("7_pack") == wantMap("7_pack"))
   }
 
+  test("reconcile under a live checkpointed query: carried checkpoint, exactly-once intake") {
+    // The deterministic pin of what StreamSoak measures under real
+    // arrival timing: a CHECKPOINTED query consumes slices, reconcile()
+    // swaps the ledgers at a quiesce boundary, and the restarted query
+    // must (a) carry the streaming checkpoint across the root swap so
+    // already-consumed slices are never redelivered, (b) deliver only
+    // post-reconcile arrivals, and (c) keep the intake accounting
+    // exactly-once across the whole interleaving — the soak's
+    // conservation invariant, minus the wall clock.
+    val root = freshRoot("reconload")
+    val src = java.nio.file.Files.createTempDirectory("graft_reconload_src")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+              col("n_chars"))
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val sliceRows = new Array[Long](3)
+    def land(i: Int): Unit = {
+      val tmp = s"$src/slice_$i"
+      val part = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+      sliceRows(i) = part.count()
+      part.coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        f.toPath, java.nio.file.Paths.get(s"$src/documents_$i.parquet"))
+    }
+    def rawIntake(): Long = PipelineStream.attritionView(spark, root)
+      .filter(col("stage") === "0_raw")
+      .as[(String, Long, Long, Long, Long, Long)].head()._2
+
+    // Phase 1: the live query consumes slices 0 and 1 (one batch each).
+    land(0); land(1)
+    PipelineStream.runOnce(spark, src.toString, bench, root,
+                           name = "graft_reconload_p1",
+                           maxFilesPerTrigger = Some(1))
+    assert(rawIntake() == sliceRows(0) + sliceRows(1))
+
+    // Phase 2: reconcile over the durable history at the quiesce
+    // boundary. Intake must stay exactly-once (replaced, not doubled),
+    // and the ledgers must equal the batch operator over what arrived.
+    val hist = spark.read
+      .schema(graft.streaming.CorpusStream.docsSchema).parquet(src.toString)
+    PipelineStream.reconcile(hist, bench, root)
+    assert(rawIntake() == sliceRows(0) + sliceRows(1),
+           "reconcile must re-account intake exactly once, not append")
+    val got01 = PipelineStream.attritionView(spark, root)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val want01 = Pipeline.pipelineRun(
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 2))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got01 == want01, "reconciled fold must equal the batch operator")
+
+    // Phase 3: a new slice lands; the restarted query must resume from
+    // the CARRIED checkpoint — slices 0-1 are not redelivered, slice 2
+    // is delivered exactly once.
+    land(2)
+    PipelineStream.runOnce(spark, src.toString, bench, root,
+                           name = "graft_reconload_p3",
+                           maxFilesPerTrigger = Some(1))
+    assert(rawIntake() == sliceRows.sum,
+           "carried checkpoint: old slices never redeliver, new exactly once")
+
+    // Phase 4: the nightly reconcile converges the whole interleaving
+    // to the batch answer over the full corpus. Re-read the source:
+    // the phase-2 frame's file index was resolved before slice 2 landed.
+    val histAll = spark.read
+      .schema(graft.streaming.CorpusStream.docsSchema).parquet(src.toString)
+    PipelineStream.reconcile(histAll, bench, root)
+    val gotAll = PipelineStream.attritionView(spark, root)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val wantAll = Pipeline.pipelineRun(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(gotAll == wantAll)
+  }
+
   test("per-source caps hold across batches via the caps ledger") {
     val root = freshRoot("caps")
     // Two batches from one source, each under the cap alone, together
