@@ -99,11 +99,12 @@ object StreamSoak {
     }
     val bench = docs.filter(col("doc_id") % 50 === 0).localCheckpoint(true)
 
-    // ---- calibration: per-slice batch wall via a 2-slice catch-up ----
+    // ---- calibration: per-slice batch wall via a 3-slice catch-up ----
     val calRoot = s"$work/cal_root"
     val calSrc = s"$work/cal_src"
     new java.io.File(calSrc).mkdirs()
-    for (i <- 0 until 2)
+    val calN = math.min(3, nPool) // pool may hold only 2 slices at small sf
+    for (i <- 0 until calN)
       Files.copy(Paths.get(s"$poolDir/pool_$i.parquet"),
                  Paths.get(s"$calSrc/documents_$i.parquet"))
     progress.synchronized(progress.clear())
@@ -114,7 +115,14 @@ object StreamSoak {
     val calMs = progress.synchronized(
       progress.filter(_.rows > 0).map(_.ms).toVector)
     require(calMs.nonEmpty, "calibration produced no row-carrying batches")
-    val wSec = calMs.max / 1000.0 // max of the 2: the steady ledger-probe cost
+    // Calibrate on the WARM batches only: the first batch ever pays
+    // JIT + empty-ledger bootstrap and overestimates the steady cost
+    // badly (measured 55 s bootstrap vs 5.5 s steady p50 on the same
+    // corpus) — a period derived from it makes the "above" scenario
+    // never actually exceed capacity. Max of the warm batches is the
+    // steady per-slice wall with the ledger-probe cost included.
+    val warm = calMs.drop(1)
+    val wSec = (if (warm.nonEmpty) warm.max else calMs.max) / 1000.0
     println(f"[soak] calibrated per-slice batch wall: $wSec%.1f s " +
             f"(slices of ~$sliceRows rows)")
     fs.delete(new org.apache.hadoop.fs.Path(calRoot), true)
