@@ -32,6 +32,18 @@ import scala.jdk.CollectionConverters._
   *      `spark.graft.scratchDir` pointed at a non-tmp shared dir, under
   *      real executor JVMs: rows must match the default-path run
   *      (the knob's multi-node story, docs/CLUSTER_GATE.md residual).
+  *   E. `stream_loss` — the streaming curation surface
+  *      (PipelineStream) under TOTAL executor loss mid-stream. The
+  *      query is expected to die (its static bench frame is a
+  *      localCheckpoint, and a kill can land mid-stagedAppend leaving
+  *      a PARTIAL batch in a ledger); the deployment contract under
+  *      test is the recovery path: restart from the carried streaming
+  *      checkpoint, redelivered batch ids never double-account,
+  *      the admitted ledger never holds a text_hash twice, every
+  *      delivered doc is accounted exactly once, and a reconcile()
+  *      over the durable source converges the attrition table to the
+  *      batch operator's answer exactly — torn stage ATTRIBUTION is
+  *      repairable history, torn STATE is not allowed to exist.
   *
   * Kill mechanics: `local-cluster[2,c,mem]` spawns each executor as a
   * real child JVM (CoarseGrainedExecutorBackend) of this process;
@@ -265,6 +277,121 @@ object FaultGate {
     log(s"q_pipeline_checkpointed with scratchDir=$scratch (non-tmp, " +
         s"shared): rows == default-path rows → $dEq")
     org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+
+    // ----------------------------------------------------------------
+    // E. stream_loss: streaming curation ingest across total executor
+    //    loss — exactly-once accounting, no torn admitted state, and
+    //    reconcile convergence after restart.
+    // ----------------------------------------------------------------
+    awaitExecutors(spark, 2)
+    log("")
+    log("## E. streaming ingest: total executor loss mid-stream")
+    log("")
+    import org.apache.spark.sql.functions._
+    val sroot = java.nio.file.Files
+      .createTempDirectory("graft_fault_stream").toString
+    val ssrc = s"$sroot/src"
+    new java.io.File(ssrc).mkdirs()
+    val sdocs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+              col("n_chars"))
+    val sTotal = sdocs.count()
+    val nSlice = 6
+    for (i <- 0 until nSlice) {
+      val tmp = s"$sroot/slice_$i"
+      sdocs.filter(pmod(col("doc_id"), lit(nSlice)) === i)
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        part.toPath,
+        java.nio.file.Paths.get(s"$ssrc/documents_$i.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    val sbench = sdocs.filter(col("doc_id") % 50 === 0)
+    def ledgerRows(root: String, sub: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   cols: Seq[String]): Seq[String] = {
+      val dir = s"$root/$sub"
+      if (!new java.io.File(dir).exists()) Seq.empty
+      else spark.read
+        .schema(schema.add(org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.StringType)))
+        .option("basePath", dir).parquet(dir)
+        .select(cols.map(col): _*).collect().map(_.toString).toSeq.sorted
+    }
+    def intakeOf(root: String): Long = spark.read
+      .schema(streaming.PipelineStream.attritionSchema
+        .add(org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.StringType)))
+      .option("basePath", s"$root/attrition").parquet(s"$root/attrition")
+      .filter(col("stage") === "0_raw")
+      .agg(coalesce(sum(col("docs_in")), lit(0L))).head().getLong(0)
+
+    // No-fault baseline on a pristine root: the admitted-corpus truth.
+    val baseRoot = s"$sroot/base"
+    streaming.PipelineStream.runOnce(spark, ssrc, sbench, baseRoot,
+      name = "graft_fault_stream_base", maxFilesPerTrigger = Some(1))
+    val baseDocs = ledgerRows(baseRoot, "docs",
+      streaming.PipelineStream.docsLedgerSchema,
+      Seq("text_hash", "doc_id", "source", "n_toks"))
+    log(s"Source: $nSlice single-file slices, $sTotal docs; no-fault " +
+        s"baseline admitted ${baseDocs.size} docs.")
+
+    // Faulted run: kill ALL executors once >=2 micro-batches committed.
+    awaitExecutors(spark, 2)
+    val lroot = s"$sroot/live"
+    val sq = streaming.PipelineStream.startQuery(spark, ssrc, sbench, lroot,
+      name = "graft_fault_stream", maxFilesPerTrigger = Some(1))
+    val kDeadline = System.nanoTime() + 300e9.toLong
+    while (sq.recentProgress.count(_.numInputRows > 0) < 2 &&
+           System.nanoTime() < kDeadline && sq.isActive)
+      Thread.sleep(200)
+    val committedAtKill = sq.recentProgress.count(_.numInputRows > 0)
+    val nKilled = killAll()
+    val died =
+      try { sq.awaitTermination(); None }
+      catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+    log(s"Killed $nKilled executor JVM(s) after $committedAtKill committed " +
+        s"batches; query outcome: " +
+        died.fold("survived via task retry (drained)")(c => s"died ($c) — " +
+          "expected: the bench localCheckpoint has no lineage fallback"))
+
+    // Recovery: restart from the carried checkpoint and drain.
+    awaitExecutors(spark, 2)
+    streaming.PipelineStream.runOnce(spark, ssrc, sbench, lroot,
+      name = "graft_fault_stream_resume", maxFilesPerTrigger = Some(1))
+    val intake = intakeOf(lroot)
+    val intakeOk = intake == sTotal
+    if (!intakeOk) failures += 1
+    log("")
+    log(s"- exactly-once intake across kill+restart: raw docs_in " +
+        s"$intake == $sTotal delivered → $intakeOk")
+    val liveDocs = ledgerRows(lroot, "docs",
+      streaming.PipelineStream.docsLedgerSchema,
+      Seq("text_hash", "doc_id", "source", "n_toks"))
+    val dupHashes = liveDocs.map(_.split(",").head).groupBy(identity)
+      .count(_._2.size > 1)
+    val noDups = dupHashes == 0
+    if (!noDups) failures += 1
+    log(s"- no torn admitted state: duplicated text_hash in docs ledger " +
+        s"= $dupHashes → $noDups")
+    val admittedEq = liveDocs == baseDocs
+    log(s"- admitted corpus == no-fault baseline (pre-reconcile): " +
+        s"$admittedEq" + (if (!admittedEq)
+          " (torn-batch attribution divergence — repaired below)" else ""))
+
+    // Reconcile over the durable source: attrition must converge to the
+    // batch operator's answer exactly (the documented repair).
+    val sFull = spark.read
+      .schema(streaming.CorpusStream.docsSchema).parquet(ssrc)
+    streaming.PipelineStream.reconcile(sFull, sbench, lroot)
+    val gotAttr = rows(streaming.PipelineStream.attritionView(spark, lroot))
+    val wantAttr = rows(ext.Pipeline.pipelineRun(sdocs))
+    val reconOk = gotAttr == wantAttr
+    if (!reconOk) failures += 1
+    log(s"- post-reconcile attrition == batch operator table: $reconOk")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sroot))
 
     log("")
     log(s"**Gate result: ${if (failures == 0) "PASS" else s"$failures FAILURE(S)"}**")
