@@ -160,8 +160,19 @@ object RecPipeline {
     // interpreted (22.7 s at sf0.1); explode + bounded-heap aggregate
     // still touched every candidate per user (5.7 s). This touches K
     // per user: sub-second, no aggregate, no extra shuffle.
+    // CPU-bound map stage: the per-user top-K costs tens of µs — far
+    // above the scan's per-row cost — so the stage must NOT inherit the
+    // scan's byte-based split count (a ≤128 MB users file is ONE split,
+    // so one core does every user; measured at the 100× relational
+    // rung: 1 busy worker for 140 s). A round-robin repartition to the
+    // session's parallelism costs one users-table shuffle — megabytes —
+    // and buys full-width CPU at every rung. On a real cluster a huge
+    // users table splits naturally and this exchange coalesces under
+    // AQE; the explicit repartition is for the small-bytes/heavy-CPU
+    // regime where split count, not data size, is the bottleneck.
     val users = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_nationkey").as("city"), col("c_acctbal"))
+      .repartition(s.sparkContext.defaultParallelism)
     val cityItems = Tables.part(s, d)
       .groupBy((col("p_partkey") % 25).cast("int").as("city"))
       .agg(array_sort(collect_list(struct(

@@ -43,6 +43,39 @@ class RecExprSpec extends AnyFunSuite {
     }
   }
 
+  test("KClosestItems == brute force when tie runs are far wider than k") {
+    // The sf10rel regime that broke the sort-the-ties formulation: few
+    // distinct prices over many items, so the kth-distance boundary
+    // captures a tie run of ~n/values items (>> k). Exercises the
+    // binary-searched run extents + ascending-id merge, for probes
+    // inside the range, at exact grid points (dK == 0), and far outside
+    // (one-sided walk), against the O(n log n) brute force.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = lcg(7L)
+    val n = 5000
+    val grid = Array(10.0, 12.5, 20.0, 20.5, 31.0, 44.0, 99.0)
+    val items = (0 until n).map { _ =>
+      val price = grid(math.floorMod(rnd.next(), grid.length.toLong).toInt)
+      val id = math.floorMod(rnd.next(), 1000000L)
+      (price, id)
+    }.sortBy(identity)
+    val arr = new GenericArrayData(
+      items.map { case (p, id) => InternalRow(p, id): Any }.toArray)
+    val probes = Seq(0.0, 10.0, 15.0, 16.25, 20.25, 44.0, 99.0, 500.0, -3.0)
+    for (b <- probes; k <- Seq(1, 3, 50, 137, n + 10)) {
+      val e = KClosestItems(null, null, k)
+      val got = (0 until math.min(k, n)).map { i =>
+        val r = e.compute(arr, b).asInstanceOf[GenericArrayData]
+          .getStruct(i, 2)
+        (r.getDouble(0), r.getLong(1))
+      }
+      val want = items.map { case (p, id) => (math.abs(b - p), id) }
+        .sorted.take(k)
+      assert(got == want, s"b=$b k=$k")
+    }
+  }
+
   test("RecPayload == interpreted HOF payload incl. formatting sweep") {
     // scores sweep [0,1] incl. rounding-boundary neighborhoods; mn/mx
     // exercised both degenerate (mx == mn) and spread
