@@ -47,6 +47,20 @@ object PlanMode {
       case None => df.localCheckpoint(true)
     }
 
+  /** Free the block storage behind a checkpointTail'd frame once every
+    * consumer has materialized (localCheckpoint blocks live OUTSIDE the
+    * SQL cache manager, so Dataset.unpersist cannot reach them and they
+    * otherwise wait for the async ContextCleaner). Reliable-checkpoint
+    * mode (spark.graft.checkpoint.dir) keeps its durable files — the
+    * unpersist only drops any block-cache replica. No-op under audit.
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Run `body` with AQE off, restoring the prior setting after.
     *
     * For iterative tails (label propagation, power iteration) every

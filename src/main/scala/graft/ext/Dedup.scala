@@ -1087,6 +1087,17 @@ object Dedup {
     */
   private def exactPairs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+      // The block is ≤500 docs in ONE scan split (a tiny file is one
+      // partition), so the O(block²) intersect/union compute of the
+      // BroadcastNestedLoopJoin below otherwise runs on a single core —
+      // measured 3.9 s on one task at sf0.1 while 31 cores idle, and the
+      // sweep's other stages block behind the shared `exact` cache fill.
+      // Round-robin repartition of the STREAMED side costs one ≤500-row
+      // shuffle of gram arrays (<1 MB) and buys full-width CPU — the
+      // small-bytes/heavy-CPU regime (the q_recommend repartition note).
+      // Pair SET is unchanged: the a<b filter and the downstream counts
+      // are partition-order-free.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .crossJoin(docs.select(col("doc_id").as("doc_b"),
                              col("grams").as("grams_b")))
       .filter(col("doc_a") < col("doc_b"))
@@ -1290,6 +1301,28 @@ object Dedup {
     * q_simhash_hamming (banded near-dup retrieval over the signatures).
     */
   def simhashSig(docs: DataFrame): DataFrame = {
+    // Round-15 shape: ONE compiled pass per document
+    // (graftshim.SimHash60) instead of explode → per-token hex-md5 →
+    // groupBy(doc_id) with 60 conditional SUM columns. The signature is
+    // now computed map-side with NO exchange (the old aggregate's
+    // shuffle disappears from every consumer: q_dedup_simhash,
+    // q_simhash_hamming, simhashEdges → pagerank/triangle census).
+    // Bit-identical: same md5-60-bit digests, exact integer counters,
+    // same sign rule — pinned by TokenTextExprsSpec against this old
+    // formulation (kept below) and by the unchanged oracles.
+    import org.apache.spark.sql.graftshim.{Shim, SimHash60}
+    // text-notNull preserves the explode semantics (null token array
+    // produced no rows, dropping the doc from the signature set).
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+              Shim.column(SimHash60(Shim.expression(Ops.tokens(col("text")))))
+                .as("simhash"))
+  }
+
+  /** The replaced 60-sum aggregate formulation — TokenTextExprsSpec's
+    * oracle for SimHash60 (and the transliteration the DuckDB CTEs use).
+    */
+  private[graft] def simhashSigAggForm(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), Ops.md5Bits60(col("tok")).as("h"))
@@ -2233,16 +2266,23 @@ object Dedup {
   // is for loops that issue an action per round over bounded frames.
   def pagerank(docs: DataFrame): DataFrame = {
     // The verified edge list is the expensive input (signature scan +
-    // banded self-join) and feeds deg, r0, adj AND the final join —
-    // persist it, or the whole retrieval pipeline re-runs per consumer
-    // (unpersisted: ~4 signature scans, measured 7.2 s → 2.4 s at
-    // sf0.1).
-    val e = simhashEdges(docs).select(col("doc_a"), col("doc_b"))
-      .persist()
+    // banded self-join) and feeds deg, r0, adj AND the final join.
+    // CHECKPOINTED, not merely persisted: with persist() the cached
+    // frame's LOGICAL plan is still the whole retrieval pipeline, so
+    // every one of the ~29 AQE stage-jobs downstream re-analyzes and
+    // re-optimizes a plan with the 60-column signature aggregate under
+    // it — measured ~10 s of inter-job driver dead air at sf0.1
+    // (jobSpanWall 14.2 s, coveredByJobs 4.5 s) against ~9 s of actual
+    // task time. checkpointTail truncates the lineage to a leaf scan
+    // (guide: "materialising an intermediate truncates the plan"), so
+    // iteration plans are three joins over a flat input. Same rows:
+    // eager materialization of the identical frame.
+    val e = graft.PlanMode.checkpointTail(
+      simhashEdges(docs).select(col("doc_a"), col("doc_b")))
     val sym = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val adj = sym.join(deg, Seq("u")).persist()
+    val adj = graft.PlanMode.checkpointTail(sym.join(deg, Seq("u")))
     var r = deg.select(col("u"), lit(1000000L).as("r"))
     for (_ <- 1 to PrIters) {
       r = adj.join(r, Seq("u"))
@@ -2264,8 +2304,8 @@ object Dedup {
               col("r").as("rank_u"))
       .orderBy(col("rn"))
     val ckpt = graft.PlanMode.checkpointTail(ranked)
-    adj.unpersist()
-    e.unpersist()
+    graft.PlanMode.release(adj)
+    graft.PlanMode.release(e)
     ckpt
   }
 

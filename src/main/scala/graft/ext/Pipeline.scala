@@ -24,18 +24,12 @@ object Pipeline {
   val QualityFloor = 0.5
 
   val qTrainingPipeline: Q = (s, d) => {
-    val toks = size(Ops.tokens(col("text"))).cast("double")
-    val alnum = Ops.alnumSpaceCount(col("text")).cast("double")
-    val quality =
-      (least(toks / 100.0, lit(1.0)) +
-       alnum / col("n_chars").cast("double") +
-       least(TextOps.EnStop.map(w =>
-           when(contains(concat(lit(" "), col("text"), lit(" ")), lit(s" $w ")), 1)
-             .otherwise(0)).reduce(_ + _).cast("double") / 3.0,
-         lit(1.0))) / 3.0
-
+    // TextOps.qualityColumn IS this stage's score (same factored
+    // expression, term for term) — shared so the stop-hit scan runs the
+    // compiled single-pass form (TextOps.hits) instead of six padded
+    // contains copies of the text per row.
     val scored = Tables.documents(s, d)
-      .withColumn("quality", quality)
+      .withColumn("quality", TextOps.qualityColumn)
       .filter(col("quality") >= QualityFloor)
       .withColumn("fingerprint", md5(Ops.normalizeText(col("text"))))
 

@@ -63,7 +63,22 @@ object TextOps {
   // heuristic against labeled data. The synthetic corpus shares an
   // English-ish vocabulary across langs, so the matrix mostly shows
   // en/other; the operator shape is what matters.
-  private def hits(c: Column, words: Seq[String]): Column =
+  /** How many of `words` occur in `c` as space-delimited tokens — ONE
+    * compiled byte scan (graftshim.StopWordHits, spec-pinned equal to
+    * the Σ contains(' '||c||' ', ' w ') form below). The contains stack
+    * evaluated |words| padded COPIES of the text plus |words| scans per
+    * row; withLangScores ran 24 of them — measured as the top CPU item
+    * of the pipeline family (guide §1.2 "per-task work").
+    */
+  private[graft] def hits(c: Column, words: Seq[String]): Column = {
+    import org.apache.spark.sql.graftshim.{Shim, StopWordHits}
+    Shim.column(StopWordHits(Shim.expression(c), words))
+  }
+
+  /** The replaced formulation, kept as the spec oracle for StopWordHits
+    * (TokenTextExprsSpec pins native == this on crafted + fixture text).
+    */
+  private[graft] def hitsContainsForm(c: Column, words: Seq[String]): Column =
     words.map(w => when(contains(concat(lit(" "), c, lit(" ")), lit(s" $w ")), 1)
                      .otherwise(0))
       .reduce(_ + _)
@@ -508,18 +523,32 @@ object TextOps {
   val qQualityClassifier: Q = (s, d) =>
     qualityClassifier(Tables.documents(s, d))
 
-  /** Core of q_quality_classifier over any (doc_id, lang, text) frame. */
+  /** Core of q_quality_classifier over any (doc_id, lang, text) frame.
+    *
+    * Round-15 shape (same numbers, far less plumbing): features are ONE
+    * dense count vector per document, built map-side by a compiled
+    * single-pass expression (graftshim.TokenBucketCounts) — the former
+    * explode → per-token hex-md5 → (doc, bucket) partial-agg shuffle →
+    * n_toks re-aggregate → join is gone, and with it every exchange of
+    * the feature build. Each training pass is then a pure per-row map
+    * (z via graftshim.QcZMicro), so only the ≤QcDim+2-cell gradient
+    * aggregate ever shuffles. Bit-identical by construction: identical
+    * salted-md5 buckets, identical per-term doubles, order-free BIGINT
+    * micro-unit sums (dense 0-count buckets contribute round(0) = 0);
+    * pinned by TokenTextExprsSpec and the unchanged oracle.
+    */
   def qualityClassifier(docs: DataFrame): DataFrame = {
-    val feat = docs
-      .select(col("doc_id"), col("lang"),
-              explode(Ops.tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("lang"),
-               (Ops.md5Bits60(concat(col("term"), lit(":qc"))) % QcDim)
-                 .as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val nt = feat.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_toks"))
-    val f = feat.join(nt, Seq("doc_id"))
-      .select(col("doc_id"), col("bucket"), col("cnt"), col("n_toks"),
+    import org.apache.spark.sql.graftshim.{Shim, TokenBucketCounts}
+    // text-notNull filter preserves the old explode semantics (a null
+    // token array produced no posting rows, dropping the doc).
+    val f = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+              Shim.column(TokenBucketCounts(
+                Shim.expression(Ops.tokens(col("text"))), ":qc", QcDim))
+                .as("bc"),
+              // every token lands in exactly one bucket, so the old
+              // n_toks (Σ bucket counts) is the token-array length
+              size(Ops.tokens(col("text"))).cast("long").as("n_toks"),
               when(col("lang") === QcTargetLang, 1.0).otherwise(0.0).as("y"))
       .persist()
     // Training is QcSteps serial micro-jobs over the persisted feature
@@ -529,34 +558,35 @@ object TextOps {
   }
 
   private def qcTrainScore(f: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim.{QcZMicro, Shim}
 
-    def zOf(w: Array[Double], bias: Double): DataFrame = {
-      val wArr = array(w.map(lit): _*)
-      f.groupBy(col("doc_id"))
-        .agg(sum(round(element_at(wArr, col("bucket").cast("int") + 1)
-                         * col("cnt") / col("n_toks") * 1e6).cast("long"))
-               .as("z_u"),
-             max(col("y")).as("y"))
+    def zOf(w: Array[Double], bias: Double): DataFrame =
+      f.select(col("doc_id"), col("bc"), col("n_toks"), col("y"),
+               Shim.column(QcZMicro(Shim.expression(col("bc")),
+                                    Shim.expression(col("n_toks")),
+                                    w.toIndexedSeq)).as("z_u"))
         .withColumn("z", col("z_u") / 1e6 + bias)
         .withColumn("p",
           lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))))
-    }
 
     var w = Array.fill(QcDim)(0.0)
     var bias = 0.0
     var n = -1L // doc count, learned from step 1's aggregate
     for (_ <- 1 to QcSteps) {
       val errs = zOf(w, bias)
-        .select(col("doc_id"), (col("p") - col("y")).as("err"))
+        .select(col("doc_id"), col("bc"), col("n_toks"),
+                (col("p") - col("y")).as("err"))
       // ONE bounded aggregate per step: per-bucket weight gradients,
       // the bias gradient (sentinel bucket -1) and the doc count
       // (sentinel -2; errs has exactly one row per doc) ride the same
-      // shuffle — the former two-job step recomputed the whole errs
-      // subtree just for the bias sum. Per-row terms and the order-free
-      // BIGINT sums are unchanged, so the learned weights are
-      // bit-identical to the two-job formulation (and the oracle).
-      val cells = f.join(errs, Seq("doc_id"))
-        .select(col("bucket"),
+      // shuffle. err now lives on the same row as the counts (no
+      // f ⋈ errs join), and posexplode of the dense vector feeds the
+      // same per-term round(err·cnt/n_toks·1e6) BIGINT sum — 0-count
+      // buckets add round(0) = 0, so g_u per bucket is unchanged.
+      val cells = errs
+        .select(posexplode(col("bc")).as(Seq("bucket", "cnt")),
+                col("err"), col("n_toks"))
+        .select(col("bucket").cast("long").as("bucket"),
                 round(col("err") * col("cnt") / col("n_toks") * 1e6)
                   .cast("long").as("g"))
         .unionAll(errs.select(lit(-1L).as("bucket"),

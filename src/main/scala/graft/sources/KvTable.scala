@@ -159,7 +159,16 @@ object KvTable {
     * once per compaction, amortized over every batch since the last.
     * Returns the number of surviving rows.
     */
-  def compact(spark: SparkSession, dir: String): Long = {
+  def compact(spark: SparkSession, dir: String): Long =
+    compact(spark, dir, countSurvivors = true)
+
+  /** `countSurvivors = false` skips the post-write count-back scan of the
+    * staged 256-bucket tree (one 256-file read + a job) for callers that
+    * ignore the return value (q_kv_latest: measured ~0.5 s of pure
+    * re-read at sf0.1); the compaction itself is identical.
+    */
+  def compact(spark: SparkSession, dir: String,
+              countSurvivors: Boolean): Long = {
     val f = fs(spark, dir)
     val staged = s"$dir.__compact"
     val survivors = latestView(spark, dir)
@@ -168,11 +177,21 @@ object KvTable {
     survivors
       .withColumn("bucket", substring(md5(col("key")), 1, 2))
       // One shuffle keyed by bucket before partitionBy: each bucket dir
-      // gains ONE file instead of one per (task × bucket).
-      .repartition(col("bucket"))
+      // gains ONE file instead of one per (task × bucket). The partition
+      // count is pinned EXPLICITLY: with the default shuffle-partition
+      // exchange, AQE coalesces this tiny-bytes shuffle to ONE task,
+      // which then creates all 256 bucket files sequentially — measured
+      // 3.9 s of single-core file I/O at sf0.1 (the per-file open/footer
+      // cost, not bytes, is the wall here). Hash-partitioning the bucket
+      // key over the session's parallelism keeps one-file-per-bucket
+      // (each bucket value lands wholly in one task) while writing
+      // ~256/N directories per task in parallel.
+      .repartition(spark.sparkContext.defaultParallelism, col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(staged)
-    val n = spark.read.schema(opSchema.add(StructField("bucket", StringType)))
-      .option("basePath", staged).parquet(staged).count()
+    val n = if (countSurvivors)
+      spark.read.schema(opSchema.add(StructField("bucket", StringType)))
+        .option("basePath", staged).parquet(staged).count()
+    else -1L
     // Rename-aside, THEN swap, THEN delete: a crash after the first
     // rename leaves the full pre-compaction ledger recoverable at
     // `dir.__old` (the old delete-before-rename order had a window
@@ -251,7 +270,7 @@ object KvTable {
         1L)
     put(s, dir, base.filter(col("m") === 1).select(col("key"), col("value")),
         2L)
-    compact(s, dir)
+    compact(s, dir, countSurvivors = false)
     deleteKeys(s, dir,
       base.select(col("key")).distinct()
         .filter(col("key").cast("long") % 7 === 0),
