@@ -177,13 +177,16 @@ object Corpus {
       .select(col("doc_id"), col("lang"),
               floor(col("n_chars") / 100.0).cast("bigint").as("len_bucket"),
               Ops.normalizeText(col("text")).as("nt"))
-    val pre = docs.select(col("doc_id"),
+    // ONE pass: both keys from a single evaluation of the normalized
+    // text — the union-of-two-projections form re-derived `docs` (and
+    // its whole-document normalize) once per branch. Same (doc_id, key)
+    // multiset; downstream is a groupBy, so branch order is irrelevant.
+    val bothKeys = array(
       concat_ws("|", col("lang"), col("len_bucket"),
-                substring(col("nt"), 1, 40)).as("key"))
-    val suf = docs.select(col("doc_id"),
+                substring(col("nt"), 1, 40)),
       concat_ws("|", col("lang"), col("len_bucket"),
-                expr("right(nt, 40)")).as("key"))
-    pre.unionByName(suf)
+                expr("right(nt, 40)")))
+    docs.select(col("doc_id"), explode(bothKeys).as("key"))
   }
 
   /** Same labeling over any documents-shaped frame (doc_id, lang,

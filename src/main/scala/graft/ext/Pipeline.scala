@@ -488,14 +488,24 @@ object Pipeline {
     }
   }
 
-  /** The shared stage-pool chain: each pool PERSISTED (it feeds both
-    * its attrition row(s) and the next stage); callers must unpersist
-    * every returned frame after materializing their report.
+  /** The shared stage-pool chain: each pool CHECKPOINTED eagerly (it
+    * feeds both its attrition row(s) and the next stage); callers must
+    * release every returned frame after materializing their report.
+    *
+    * checkpointTail, not persist (round-15): with lazy persist the
+    * whole chain first materializes inside the report's one action,
+    * where AQE runs the independent attrition/stage branches as
+    * CONCURRENT stage-jobs — branches race the unfilled caches, re-scan
+    * the input (profiled: repeated full documents reads per branch) and
+    * re-optimize the ever-deeper chained plan under every stage-job.
+    * Eager checkpoint materializes each pool exactly once, in order,
+    * and every consumer — including stage k+1 and the per-source grid —
+    * plans against a flat leaf. Same rows per pool by construction.
     */
   private def stagePools(docsIn: DataFrame): Seq[(String, DataFrame)] = {
-    val d0 = rawPool(docsIn).persist()
+    val d0 = graft.PlanMode.checkpointTail(rawPool(docsIn))
     StageNames.tail.scanLeft("0_raw" -> d0) { case ((_, prev), stage) =>
-      stage -> stageStep(stage, prev, d0).persist()
+      stage -> graft.PlanMode.checkpointTail(stageStep(stage, prev, d0))
     }
   }
 
@@ -551,7 +561,7 @@ object Pipeline {
   private[graft] def pipelineRun(docsIn: DataFrame): DataFrame = {
     val pools = stagePools(docsIn)
     val ckpt = graft.PlanMode.checkpointTail(globalAttritionTail(pools))
-    pools.foreach(_._2.unpersist())
+    pools.foreach(p => graft.PlanMode.release(p._2))
     ckpt
   }
 
@@ -605,7 +615,7 @@ object Pipeline {
   private[graft] def pipelineBySource(docsIn: DataFrame): DataFrame = {
     val pools = stagePools(docsIn)
     val ckpt = graft.PlanMode.checkpointTail(bySourceAttritionTail(pools))
-    pools.foreach(_._2.unpersist())
+    pools.foreach(p => graft.PlanMode.release(p._2))
     ckpt
   }
 
@@ -622,7 +632,7 @@ object Pipeline {
     val pools = stagePools(docsIn)
     val global = graft.PlanMode.checkpointTail(globalAttritionTail(pools))
     val bySource = graft.PlanMode.checkpointTail(bySourceAttritionTail(pools))
-    pools.foreach(_._2.unpersist())
+    pools.foreach(p => graft.PlanMode.release(p._2))
     (global, bySource)
   }
 
@@ -663,7 +673,7 @@ object Pipeline {
   private[graft] def materializeStages(docsIn: DataFrame, ckptDir: String,
                                        upTo: Int): Unit = {
     val spark = docsIn.sparkSession
-    val d0 = rawPool(docsIn).persist()
+    val d0 = graft.PlanMode.checkpointTail(rawPool(docsIn))
     // Walk forward keeping the latest in-memory pool only where the
     // next stage needs computing; a completed stage's pool is
     // reconstructed lazily (id semi-join against d0) ONLY if a later
@@ -683,19 +693,19 @@ object Pipeline {
                 .select(col("doc_id"))
               d0.join(prevIds, Seq("doc_id"), "left_semi")
             }
-            stageStep(stage, input, d0).persist()
+            graft.PlanMode.checkpointTail(stageStep(stage, input, d0))
           }
           slim(pool).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(dir)
-        prev.filter(_ ne d0).foreach(_.unpersist())
+        prev.filter(_ ne d0).foreach(graft.PlanMode.release)
         prev = Some(pool)
       } else {
-        prev.filter(_ ne d0).foreach(_.unpersist())
+        prev.filter(_ ne d0).foreach(graft.PlanMode.release)
         prev = None // next incomplete stage reconstructs from the ckpt
       }
     }
-    prev.filter(_ ne d0).foreach(_.unpersist())
-    d0.unpersist()
+    prev.filter(_ ne d0).foreach(graft.PlanMode.release)
+    graft.PlanMode.release(d0)
   }
 
   /** The restartable curation run: completes any missing stage

@@ -172,7 +172,18 @@ object Ops {
   /** Collapse runs of whitespace and lowercase — canonical form used by
     * fingerprinting / near-dup blocking.
     */
-  def normalizeText(c: Column): Column =
+  def normalizeText(c: Column): Column = {
+    // Compiled single byte-pass (graftshim.NormalizeWs) — replaces the
+    // Java-regex walk of every document at the 8 fingerprint/keying
+    // call sites; spec-pinned equal to the regex form kept below.
+    import org.apache.spark.sql.graftshim.{NormalizeWs, Shim}
+    Shim.column(NormalizeWs(Shim.expression(c)))
+  }
+
+  /** The replaced formulation — TokenTextExprsSpec's oracle for
+    * NormalizeWs (and the shape the DuckDB transliterations spell).
+    */
+  def normalizeTextRegexForm(c: Column): Column =
     // Explicit class, not \s: Java \s includes vertical tab (\x0B) while
     // DuckDB/RE2's does not, so the oracle transliteration of this
     // function must spell the same five-char+space set on both sides.

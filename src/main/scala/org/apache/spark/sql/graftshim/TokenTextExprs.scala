@@ -173,6 +173,60 @@ case class QcZMicro(left: Expression, right: Expression, weights: Seq[Double])
     copy(left = newLeft, right = newRight)
 }
 
+/** lower(regexp_replace(text, "[ \t\n\x0B\f\r]+", " ")) as one compiled
+  * byte pass: every maximal run of the six ASCII separator bytes
+  * becomes a single ' ' (byte-level is exact — all six are ASCII and
+  * never occur inside a multi-byte UTF-8 sequence), then the SAME
+  * lowercasing Spark's Lower uses (UTF8String.toLowerCase) so Unicode
+  * case mapping is identical by construction. Replaces the Java-regex
+  * engine walk of every document the fingerprint / near-dup keying
+  * family pays (8 call sites). Pinned equal to the regex form by
+  * TokenTextExprsSpec.
+  */
+case class NormalizeWs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize_ws"
+
+  private def isWs(b: Byte): Boolean =
+    b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+      b == 0x0b.toByte || b == '\f'.toByte || b == '\r'.toByte
+
+  def compute(text: UTF8String): UTF8String = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val out = new Array[Byte](n)
+    var o = 0
+    var i = 0
+    var changed = false
+    while (i < n) {
+      if (isWs(bytes(i))) {
+        if (bytes(i) != ' '.toByte) changed = true
+        out(o) = ' '.toByte; o += 1; i += 1
+        while (i < n && isWs(bytes(i))) { changed = true; i += 1 }
+      } else {
+        out(o) = bytes(i); o += 1; i += 1
+      }
+    }
+    val collapsed =
+      if (!changed) text
+      else UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+    collapsed.toLowerCase
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("normWs", this, classOf[NormalizeWs].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NormalizeWs = copy(child = newChild)
+}
+
 /** Stopword evidence in one compiled pass: how many of `words` occur in
   * `text` as space-delimited tokens. Exactly equivalent to the
   * Σ_w contains(' ' || text || ' ', ' ' || w || ' ') formulation (for

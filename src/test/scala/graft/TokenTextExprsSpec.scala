@@ -132,6 +132,21 @@ class TokenTextExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("NormalizeWs == lower(regexp_replace) on fixtures and crafted text") {
+    val ws = Seq("", " ", "\t\n", "A\tB", "Mixed  CASE\r\ntext",
+      "ÜBER Straße İstanbul ΣΙΓΜΑ", "ab", "  lead trail  ",
+      "\f\f", "no_ws_at_all", "ünïcodé\twith\nmany\f\rseps")
+    import spark.implicits._
+    for (df <- Seq(fixtureDocs.select(col("text")), ws.toDF("text"))) {
+      val bad = df.select(
+          Ops.normalizeText(col("text")).as("a"),
+          Ops.normalizeTextRegexForm(col("text")).as("b"))
+        .filter(col("a") =!= col("b") ||
+                col("a").isNull =!= col("b").isNull).count()
+      assert(bad === 0, "NormalizeWs drifted from the regex form")
+    }
+  }
+
   test("StopWordHits early-exit and boundary semantics (unit rows)") {
     val f = StopWordHits(Shim.expression(lit("x")), Seq("the", "a"))
     def hitsOf(s: String): Int =
