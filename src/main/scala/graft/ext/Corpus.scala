@@ -56,25 +56,37 @@ object Corpus {
     */
   def minLabelPropagate(vertices: DataFrame, edges: DataFrame,
                         initLabels: Option[DataFrame] = None): DataFrame = {
-    // AQE off for the duration of the loop (PlanMode.withoutAqe has the
-    // measured rationale): every round is a fresh tiny action whose
-    // adaptive replanning is pure driver latency — 0.8 s → 0.5 s/round
-    // on q_dbscan's sf0.1 ε-graph.
-    graft.PlanMode.withoutAqe(vertices.sparkSession) {
-      minLabelPropagateLoop(vertices, edges, initLabels)
-    }
+    // AQE stays ON for the loop as of round 15. The old AQE-off
+    // rationale (replanning latency dominated, 0.8 → 0.5 s/round) was
+    // measured when every round re-optimized the full edge-derivation
+    // plan; with the checkpointed-leaf inputs below, replanning is a
+    // 3-join micro-plan and AQE's partition coalescing + runtime
+    // broadcast remove the fixed-32-partition sort-merge machinery each
+    // round paid — profiled on q_dbscan's sf0.1 ε-graph: 34.8 → 1.8
+    // executor-cpu-s, wall 5.7 → 4.1 s (same direction on
+    // q_dedup_cluster and the pipeline near-dup stage). At scale AQE
+    // additionally restores the skew handling every other join gets.
+    minLabelPropagateLoop(vertices, edges, initLabels)
   }
 
   private def minLabelPropagateLoop(vertices: DataFrame, edges: DataFrame,
                                     initLabels: Option[DataFrame]): DataFrame = {
-    val e = edges.persist()
-    var labels = initLabels
+    // CHECKPOINTED leaves, not persist (round-15, the pagerank fix):
+    // with persist every round's fresh Dataset re-analyzes and
+    // re-optimizes the full edge-derivation plan (candidate generation,
+    // verify joins) under AQE-off static planning, whose pre-fill size
+    // estimate also denies the rounds their broadcast — profiled on
+    // q_dbscan's ε-graph as ~3 executor-cpu-s per round of re-derived
+    // candidate pipeline. A leaf edge list with exact stats makes each
+    // round three tiny joins. Same rows: eager materialization of the
+    // identical frames.
+    val e = graft.PlanMode.checkpointTail(edges)
+    var labels = graft.PlanMode.checkpointTail(initLabels
       .map(init => vertices.alias("v")
         .join(init.alias("i"), col("v.doc_id") === col("i.doc_id"), "left")
         .select(col("v.doc_id").as("doc_id"),
                 coalesce(col("i.label"), col("v.doc_id")).as("label")))
-      .getOrElse(vertices.select(col("doc_id"), col("doc_id").as("label")))
-      .persist()
+      .getOrElse(vertices.select(col("doc_id"), col("doc_id").as("label"))))
     // Convergence check without a compare-join: labels are per-vertex
     // non-increasing, so Σlabel (exact decimal — ids can be huge at
     // scale) strictly decreases on every round that changed anything.
@@ -144,15 +156,19 @@ object Corpus {
       // cache is dead — release it now rather than holding O(rounds)
       // copies of the label table in executor storage on high-diameter
       // graphs.
-      if (spent.length > 2) spent.remove(0).unpersist()
+      if (spent.length > 2) {
+        val dead = spent.remove(0)
+        dead.unpersist()
+        graft.PlanMode.release(dead) // checkpointed frames live outside the cache manager
+      }
       labels = next
     }
     // Truncate the iterative lineage so the returned plan is one stable
     // scan of the converged labels, then release the per-round caches
     // (in audit mode the deep iterative plan is returned as-is).
     val finalLabels = graft.PlanMode.checkpointTail(labels)
-    spent.foreach(_.unpersist())
-    e.unpersist()
+    spent.foreach { df => df.unpersist(); graft.PlanMode.release(df) }
+    graft.PlanMode.release(e)
     finalLabels
   }
 

@@ -531,9 +531,12 @@ object Stats {
                 (col("na") * col("nb")), 6))
       .filter(col("cos") >= DbEps)
       .select(col("va"), col("vb"))
-    val sym = pairs
-      .unionByName(pairs.select(col("vb").as("va"), col("va").as("vb")))
-      .persist()
+    // Checkpointed leaf (round-15): sym feeds core, cce and border, and
+    // its plan is the whole banded-candidate + cosine-verify pipeline —
+    // persist() left every consumer re-optimizing that subtree (and the
+    // first concurrent materializations racing the unfilled cache).
+    val sym = graft.PlanMode.checkpointTail(pairs
+      .unionByName(pairs.select(col("vb").as("va"), col("va").as("vb"))))
     val core = sym.groupBy(col("va").as("vec_id"))
       .agg(count(lit(1)).as("n_nbrs"))
       .filter(col("n_nbrs") >= DbMinPts)
@@ -563,7 +566,7 @@ object Stats {
     // caches (the pagerank pattern) — the old eager unpersist() released
     // sym before the plan ever executed.
     val ckpt = graft.PlanMode.checkpointTail(out)
-    sym.unpersist()
+    graft.PlanMode.release(sym)
     e.unpersist()
     ckpt
   }

@@ -551,10 +551,11 @@ object TextOps {
               size(Ops.tokens(col("text"))).cast("long").as("n_toks"),
               when(col("lang") === QcTargetLang, 1.0).otherwise(0.0).as("y"))
       .persist()
-    // Training is QcSteps serial micro-jobs over the persisted feature
-    // table — the PlanMode.withoutAqe regime (no skew, no
-    // partition-size problem in a ≤QcDim-cell gradient).
-    graft.PlanMode.withoutAqe(docs.sparkSession) { qcTrainScore(f) }
+    // AQE stays on (round 15): with the map-side dense features the
+    // training steps are a ≤QcDim+2-cell aggregate each — AQE coalesces
+    // their exchanges to one task instead of 32 sort/agg micro-tasks
+    // (the minLabelPropagate finding; measured equal-or-better here).
+    qcTrainScore(f)
   }
 
   private def qcTrainScore(f: DataFrame): DataFrame = {
