@@ -323,7 +323,7 @@ object Corpus {
     val members = labels
       .join(sizes.filter(col("component_size") > 1), Seq("label"))
       .join(qual, Seq("doc_id"))
-      .persist()
+      .transform(graft.PlanMode.checkpointTail)
     val stats = members.groupBy(col("label"))
       .agg(max(col("quality")).as("max_quality"),
            count(lit(1)).as("component_size"),
@@ -344,7 +344,7 @@ object Corpus {
               col("max_quality"),
               (col("total_chars") - col("sv.n_chars")).as("chars_dropped"))
     val ckpt = graft.PlanMode.checkpointTail(out)
-    members.unpersist()
+    graft.PlanMode.release(members)
     ckpt
   }
 
@@ -2602,7 +2602,7 @@ object Corpus {
     val scored = bigramLogprob(docs)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .withColumn("qs", round(col("mean_logprob") * 1000.0, 0).cast("long"))
-      .persist()
+      .transform(graft.PlanMode.checkpointTail)
     val hist = scored.groupBy(col("qs")).agg(count(lit(1)).as("n"))
     val cumW = org.apache.spark.sql.expressions.Window
       .partitionBy(substring(col("qs").cast("string"), 1, 0))
@@ -3068,7 +3068,7 @@ object Corpus {
               explode(Ops.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("lang"), col("term"))
       .agg(count(lit(1)).as("m"))
-      .persist()
+      .transform(graft.PlanMode.checkpointTail)
     // ONE aggregation builds both LMs (raw + target-slice counts as two
     // sums over the same pairs) — half the shuffles of the
     // two-tables-plus-left-join formulation, identical values.
@@ -3110,7 +3110,7 @@ object Corpus {
               coalesce(col("selflag"), lit(0L)).as("is_selected"))
       // No final orderBy: corpus-sized output; the gate sorts rows.
     val ckpt = graft.PlanMode.checkpointTail(out)
-    perDoc.unpersist()
+    graft.PlanMode.release(perDoc)
     ckpt
   }
 
@@ -3185,7 +3185,7 @@ object Corpus {
     val perDoc = Tables.documents(s, d)
       .select(col("doc_id"), explode(Ops.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist()
+      .transform(graft.PlanMode.checkpointTail)
     val dfreq = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = perDoc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = perDoc.agg(count_distinct(col("doc_id")).as("n_docs"),
@@ -3224,7 +3224,7 @@ object Corpus {
               round(col("score_u").cast("double") / 1e6, 6).as("bm25"))
       .orderBy(col("qid"), col("rn"))
     val ckpt = graft.PlanMode.checkpointTail(out)
-    perDoc.unpersist()
+    graft.PlanMode.release(perDoc)
     ckpt
   }
 
@@ -3409,10 +3409,10 @@ object Corpus {
     val deg = edges.select(col("a").as("u"), col("w"))
       .unionAll(edges.select(col("b").as("u"), col("w")))
       .groupBy(col("u")).agg(sum(col("w")).as("wdeg"))
-    val adj = edges.select(col("a").as("u"), col("b").as("v"), col("w"))
-      .unionAll(edges.select(col("b").as("u"), col("a").as("v"), col("w")))
-      .join(deg, Seq("u"))
-      .persist()
+    val adj = graft.PlanMode.checkpointTail(
+      edges.select(col("a").as("u"), col("b").as("v"), col("w"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v"), col("w")))
+        .join(deg, Seq("u")))
     var r = adj.select(col("u")).distinct()
       .select(col("u"), lit(1000000L).as("r"))
     for (_ <- 1 to TrIters) {
@@ -3440,7 +3440,7 @@ object Corpus {
         .select(col("rn"), col("u").as("term"), col("wdeg"),
                 col("r").as("rank_u"))
         .orderBy(col("rn")))
-    adj.unpersist()
+    graft.PlanMode.release(adj)
     ranked
   }
 

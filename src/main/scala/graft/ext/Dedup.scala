@@ -311,7 +311,8 @@ object Dedup {
     // unpersisted, the shingle-explode + df-filter subtree computes
     // three times. The persisted frame is slim (lang, 8-byte gram
     // digest, doc_id, df — no text).
-    val rare = inv0.join(dfreq, Seq("lang", "gram")).persist()
+    val rare = graft.PlanMode.checkpointTail(
+      inv0.join(dfreq, Seq("lang", "gram")))
     val nRare = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val shared = rare.filter(col("gram_df") >= 2)
     val a = shared.select(col("lang"), col("gram"), col("doc_id").as("doc_a"))
@@ -332,7 +333,7 @@ object Dedup {
     // No final orderBy (gate sorts rows; range sampling would re-run
     // the pair aggregation).
     val ckpt = graft.PlanMode.checkpointTail(out)
-    rare.unpersist()
+    graft.PlanMode.release(rare)
     ckpt
   }
 
@@ -1717,10 +1718,11 @@ object Dedup {
     val perDoc = occ.groupBy(col("gram"), col("doc_id"), col("source"))
       .agg(count(lit(1)).as("m"))
       // perDoc feeds three branches (total mass, dup-gram df, dup
-      // join). Cached explicitly: the branches' exchanges do NOT
-      // canonicalize equal (verified in the executed plan), so without
-      // this the full span explode+aggregate runs three times.
-      .persist()
+      // join). Checkpointed eagerly (round 15; was persist): the
+      // branches' exchanges do NOT canonicalize equal, so unpersisted
+      // the full span explode+aggregate ran three times, and persisted
+      // the three branches still re-optimized it and raced the fill.
+      .transform(graft.PlanMode.checkpointTail)
     // Total span mass needs no join at all — aggregate perDoc directly.
     val totals = perDoc.groupBy(col("source")).agg(sum(col("m")).as("n_spans"))
     // Only grams in >= 2 docs carry dup mass, so the join back touches
