@@ -1115,9 +1115,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
 
   val qDedupRecall: Q = (s, d) => {
-    val docs = recallBlock(s, d).persist()
-    val cand = starCandidates(docs, NumBands, RowsPerBand).persist()
-    val exact = exactPairs(docs).persist()
+    val docs = graft.PlanMode.checkpointTail(recallBlock(s, d))
+    val cand = graft.PlanMode.checkpointTail(
+      starCandidates(docs, NumBands, RowsPerBand))
+    val exact = graft.PlanMode.checkpointTail(exactPairs(docs))
     val hits = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     val out = exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
@@ -1128,9 +1129,7 @@ object Dedup {
                      col("n_exact").cast("double"))
                 .otherwise(lit(1.0)).as("recall"))
     val ckpt = graft.PlanMode.checkpointTail(out)
-    exact.unpersist()
-    cand.unpersist()
-    docs.unpersist()
+    Seq(exact, cand, docs).foreach(graft.PlanMode.release)
     ckpt
   }
 
@@ -1202,11 +1201,11 @@ object Dedup {
   val BandConfigs = Seq((4, 8), (8, 4), (16, 2)) // b × r = NumHashes
 
   val qBandSweep: Q = (s, d) => {
-    val docs = recallBlock(s, d).persist()
-    val exact = exactPairs(docs).persist()
+    val docs = graft.PlanMode.checkpointTail(recallBlock(s, d))
+    val exact = graft.PlanMode.checkpointTail(exactPairs(docs))
     val perConfig = BandConfigs.map { case (b, r) =>
-      val cand = starCandidates(docs, b, r)
-        .persist() // two consumers: volume count + hit semi-join
+      val cand = graft.PlanMode.checkpointTail(starCandidates(docs, b, r))
+      // two consumers: volume count + hit semi-join
       val hits = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
       val row = exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
@@ -1228,9 +1227,9 @@ object Dedup {
     // hygiene; a library caller must not accumulate 3 cached frames
     // per invocation).
     val ckpt = graft.PlanMode.checkpointTail(out)
-    perConfig.foreach(_._2.unpersist())
-    exact.unpersist()
-    docs.unpersist()
+    perConfig.foreach(p => graft.PlanMode.release(p._2))
+    graft.PlanMode.release(exact)
+    graft.PlanMode.release(docs)
     ckpt
   }
 

@@ -959,25 +959,36 @@ object Similarity {
 
   val qRefineSweep: Q = (s, d) => {
     val e0 = Tables.embeddings(s, d)
-    val rer = pqRerankedShortlist(s, e0).persist() // one funnel, 4 points
-    val exact = qSimilarityTopk(s, d).select(col("qid"), col("vec_id"))
-      .persist() // 4 semi-joins + 4 counts
-    val rows = RefineDepths.map { c =>
-      val approx = Ops.topKPerGroup(rer.filter(col("srn") <= c), Seq("qid"),
-                                    -col("score"), col("vec_id"), TopK)
-        .select(col("qid"), col("vec_id"))
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(
-          exact.join(approx, Seq("qid", "vec_id"), "left_semi")
-            .agg(count(lit(1)).as("n_hits")))
-        .select(lit(c.toLong).as("depth"), col("n_exact"), col("n_hits"),
-                round(col("n_hits").cast("double")
-                        / col("n_exact").cast("double"), 6).as("recall"))
-    }
-    val out = rows.reduce(_.unionByName(_)).orderBy(col("depth"))
+    // Checkpointed leaves, not persist (round 15): the per-point
+    // branches under the one report action otherwise race the unfilled
+    // caches and re-optimize the PQ/brute-force funnels per stage-job.
+    val rer = graft.PlanMode.checkpointTail(pqRerankedShortlist(s, e0))
+    val exact = graft.PlanMode.checkpointTail(
+      qSimilarityTopk(s, d).select(col("qid"), col("vec_id")))
+    // Round-15 shape: ONE fused plan for the whole depth curve (the
+    // qIvfSweep note) — each re-ranked row fans out to every depth that
+    // includes its shortlist rank, then one (depth, qid) top-K + one
+    // semi-join + one bounded aggregate replace the per-depth branches.
+    val cArr = array(RefineDepths.map(c => lit(c.toLong)): _*)
+    val fanned = rer.select(col("qid"), col("vec_id"), col("score"),
+        explode(filter(cArr, c => c >= col("srn"))).as("depth"))
+    val approxAll = Ops.topKPerGroup(fanned, Seq("depth", "qid"),
+                                     -col("score"), col("vec_id"), TopK)
+      .select(col("depth"), col("qid"), col("vec_id"))
+    val hits = approxAll.join(exact, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("depth")).agg(count(lit(1)).as("n_hits"))
+    val points = e0.sparkSession.range(1).select(explode(cArr).as("depth"))
+    val out = points
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .join(hits, Seq("depth"), "left")
+      .select(col("depth"), col("n_exact"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+              round(coalesce(col("n_hits"), lit(0L)).cast("double")
+                      / col("n_exact").cast("double"), 6).as("recall"))
+      .orderBy(col("depth"))
     val ckpt = graft.PlanMode.checkpointTail(out)
-    rer.unpersist()
-    exact.unpersist()
+    graft.PlanMode.release(rer)
+    graft.PlanMode.release(exact)
     ckpt
   }
 
@@ -1214,24 +1225,57 @@ object Similarity {
   val qIvfSweep: Q = (s, d) => {
     val e0 = Tables.embeddings(s, d)
     val mat = trainCodebook(e0)
-    val e = ivfAssigned(e0, mat).persist() // one scan serves all points
-    val exact = qSimilarityTopk(s, d).select(col("qid"), col("vec_id"))
-      .persist() // 4 semi-joins + 4 counts
-    val rows = SweepProbes.map { p =>
-      val approx = ivfProbeTopk(e, e0, mat, p)
-        .select(col("qid"), col("vec_id"))
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(
-          exact.join(approx, Seq("qid", "vec_id"), "left_semi")
-            .agg(count(lit(1)).as("n_hits")))
-        .select(lit(p.toLong).as("nprobe"), col("n_exact"), col("n_hits"),
-                round(col("n_hits").cast("double")
-                        / col("n_exact").cast("double"), 6).as("recall"))
-    }
-    val out = rows.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+    // Checkpointed leaves, not persist (round 15) — the qRefineSweep
+    // rationale: one materialization each, leaf plans for all points.
+    val e = graft.PlanMode.checkpointTail(ivfAssigned(e0, mat))
+    val exact = graft.PlanMode.checkpointTail(
+      qSimilarityTopk(s, d).select(col("qid"), col("vec_id")))
+    // Round-15 shape: ONE fused plan for the whole nprobe curve instead
+    // of a 4-branch union that re-ran the probe join per point (the
+    // sweep was pure job cadence — 37 AQE stage-jobs, cpu ≈ 1 s). Each
+    // candidate row knows its probe cell's RANK, so fanning it out to
+    // every sweep point with nprobe ≥ that rank reproduces exactly the
+    // per-point candidate sets, and one (nprobe, qid) top-K + one
+    // semi-join + one bounded aggregate replace the per-point branches.
+    // Identical rows: same comparator per group, same score expression,
+    // zero-hit points still emitted via the dense point frame.
+    val maxP = SweepProbes.max
+    val q = e0.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              VectorFunctions.vecNorm(col("embedding")).as("qnrm"),
+              posexplode(slice(VectorFunctions.matrixDotRank(col("embedding"),
+                                                             mat, Dim),
+                               1, maxP)))
+      .select(col("qid"), col("qe"), col("qnrm"),
+              col("col").cast("bigint").as("probe_cell"),
+              (col("pos") + 1).cast("long").as("cell_rank"))
+    val pArr = array(SweepProbes.map(p => lit(p.toLong)): _*)
+    val cand = e.join(broadcast(q),
+                      col("cell") === col("probe_cell") &&
+                        col("vec_id") =!= col("qid"))
+      .withColumn("score",
+        round(VectorFunctions.vecDot(col("qe"), col("embedding")) /
+                (col("qnrm") * col("nrm")), 6))
+      .select(col("qid"), col("vec_id"), col("score"),
+              explode(filter(pArr, p => p >= col("cell_rank"))).as("nprobe"))
+    val approxAll = Ops.topKPerGroup(cand, Seq("nprobe", "qid"),
+                                     -col("score"), col("vec_id"), TopK)
+      .select(col("nprobe"), col("qid"), col("vec_id"))
+    val hits = approxAll.join(exact, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    val points = e0.sparkSession.range(1)
+      .select(explode(pArr).as("nprobe"))
+    val out = points
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"), col("n_exact"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+              round(coalesce(col("n_hits"), lit(0L)).cast("double")
+                      / col("n_exact").cast("double"), 6).as("recall"))
+      .orderBy(col("nprobe"))
     val ckpt = graft.PlanMode.checkpointTail(out)
-    e.unpersist()
-    exact.unpersist()
+    graft.PlanMode.release(e)
+    graft.PlanMode.release(exact)
     ckpt
   }
 
