@@ -145,7 +145,8 @@ object AnalyticsQueries {
   val qCorrStats: Q = (s, d) => {
     val x = col("l_quantity")
     val y = col("l_discount")
-    val sums = Tables.lineitem(s, d)
+    val sums = Ops.spreadScan(Tables.lineitem(s, d)
+        .select(col("l_linestatus"), x, y))
       .groupBy(col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
            sum(x.cast("decimal(28,2)")).as("sx"),
@@ -248,7 +249,9 @@ object AnalyticsQueries {
   // what metric stores and training-data stats pipelines ingest).
   // ------------------------------------------------------------------
   val qUnpivot: Q = (s, d) =>
-    Tables.lineitem(s, d)
+    Ops.spreadScan(Tables.lineitem(s, d)
+        .select(col("l_linestatus"), col("l_quantity"),
+                col("l_extendedprice"), col("l_discount")))
       .groupBy(col("l_linestatus"))
       .agg(Ops.exactSum(col("l_quantity")).as("sum_qty"),
            Ops.exactSum(col("l_extendedprice")).as("sum_price"),
@@ -760,7 +763,8 @@ object AnalyticsQueries {
   val qLinearFit: Q = (s, d) => {
     val x = col("l_quantity")
     val y = col("l_extendedprice")
-    val sums = Tables.lineitem(s, d)
+    val sums = Ops.spreadScan(Tables.lineitem(s, d)
+        .select(col("l_returnflag"), x, y))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
            sum(x.cast("decimal(28,2)")).as("sx"),

@@ -131,6 +131,34 @@ object Ops {
   // bit-identical to the DuckDB oracle regardless of row order /
   // parallelism). Per-row arithmetic stays IEEE-double (deterministic).
   // ---------------------------------------------------------------------
+  /** Round-robin-spread a SLIM projection whose scan would otherwise run
+    * on fewer tasks than the session has cores, for scan stages whose
+    * per-row compute (decimal aggregation, heavy exprs) dominates bytes
+    * — the q_recommend small-bytes/heavy-CPU regime, made conditional.
+    * A single-row-group test file is ONE effective scan split, so its
+    * whole map stage serializes on one core (profiled: q_linear_fit
+    * 2.4 executor-cpu-s on one task at sf0.1 while 31 cores idle). On
+    * any real deployment the input splits naturally, the guard sees
+    * scan parallelism ≥ cores, and NO repartition (and no extra
+    * exchange) is added — so this cannot regress the 100 TB plan.
+    * Callers must project to the needed columns FIRST: the exchange
+    * ships whole rows.
+    */
+  def spreadScan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val defPar = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < defPar)
+      // Hash-repartition on a deterministic whole-row hash, NOT
+      // round-robin: keyless repartition pays sortBeforeRepartition (a
+      // full local sort of the scan partition — serial again, and pure
+      // CPU), while a deterministic key is retry-safe by construction
+      // (guide §2.5). 32× more key values than partitions spreads the
+      // hash evenly.
+      df.repartition(defPar,
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
+             lit(defPar * 32L)))
+    else df
+  }
+
   def exactSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
