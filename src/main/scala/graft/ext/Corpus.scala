@@ -1423,7 +1423,7 @@ object Corpus {
     // for a re-derivation is the q_dedup_editdist mistake.
     val ch = chunkRows(docs)
       .select(col("doc_id"), col("n_chunks"), col("chunk_sig"))
-      .persist()
+      .transform(graft.PlanMode.checkpointTail)
     val hot = ch.groupBy(col("chunk_sig"))
       .agg(countDistinct(col("doc_id")).as("nd"))
     val out = ch.join(hot, Seq("chunk_sig"))
@@ -1435,7 +1435,7 @@ object Corpus {
                 / col("n_chunks").cast("double"), 6).as("shared_frac"))
       // No final orderBy: corpus-sized output; the gate sorts rows.
     val ckpt = graft.PlanMode.checkpointTail(out)
-    ch.unpersist()
+    graft.PlanMode.release(ch)
     ckpt
   }
 

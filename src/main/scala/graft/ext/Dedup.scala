@@ -246,12 +246,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
               levenshtein(col("np_a"), col("np_b"), MaxEditDist.toInt)
                 .cast("bigint").as("edit_dist"))
-      .persist()
+      .transform(graft.PlanMode.checkpointTail)
     val out = scored
       .filter(col("edit_dist") >= 0L && col("edit_dist") <= MaxEditDist)
       .orderBy(col("doc_a"), col("doc_b"))
     val ckpt = graft.PlanMode.checkpointTail(out)
-    scored.unpersist()
+    graft.PlanMode.release(scored)
     ckpt
   }
 
@@ -700,8 +700,9 @@ object Dedup {
 
   /** Core of q_prefix_jaccard over any (doc_id, text) frame. */
   def prefixJaccard(docsIn: DataFrame): DataFrame = {
-    val docs = prefixJacDocs(docsIn).persist() // index + 2 verify fetches
-    val pref = prefixProbe(docs, prefixOrderCounts(docs)).persist()
+    val docs = graft.PlanMode.checkpointTail(prefixJacDocs(docsIn)) // index + 2 verify fetches
+    val pref = graft.PlanMode.checkpointTail(
+      prefixProbe(docs, prefixOrderCounts(docs)))
     val out = prefixPairAgg(pref)
       .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
                         col("n").as("n_a")), Seq("doc_a"))
@@ -717,8 +718,8 @@ object Dedup {
     // sampling re-executes the verify subtree — measured +1.1 GiB
     // shuffle read (the pair-agg exchange read twice) at 100×-diverse.
     val ckpt = graft.PlanMode.checkpointTail(out)
-    pref.unpersist()
-    docs.unpersist()
+    graft.PlanMode.release(pref)
+    graft.PlanMode.release(docs)
     ckpt
   }
 
@@ -777,7 +778,7 @@ object Dedup {
               Ops.shingles(Ops.tokens(col("text")), 3).as("grams"))
       .withColumn("sig", Ops.minHashSignatureMod(
         transform(col("grams"), g => Ops.md5Bits60(g) % Ops.HashModP), NumHashes))
-      .persist()
+      .transform(graft.PlanMode.checkpointTail)
     // Band/bucket/dedup on (ids, bucket) ONLY — carrying gram arrays
     // through the 8-band explode, the self-join, and the pair distinct
     // would multiply shuffle bytes by ~8× the array size at scale. Grams
@@ -825,7 +826,7 @@ object Dedup {
         size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
         size(array_union(col("grams_a"), col("grams_b"))))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .persist()
+      .transform(graft.PlanMode.checkpointTail)
     val partners = pairs.select(col("doc_a").as("doc_id"), col("jaccard"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"), col("jaccard")))
       .groupBy(col("doc_id"))
@@ -842,8 +843,8 @@ object Dedup {
               coalesce(col("is_dup"), lit(0L)).as("is_dup"))
     // No final orderBy: corpus-sized output; the gate sorts rows.
     val ckpt = graft.PlanMode.checkpointTail(out)
-    pairs.unpersist()
-    docs.unpersist()
+    graft.PlanMode.release(pairs)
+    graft.PlanMode.release(docs)
     ckpt
   }
 
@@ -928,7 +929,7 @@ object Dedup {
               Ops.shingles(Ops.tokens(col("text")), 3).as("grams"))
       .withColumn("sig", Ops.minHashSignatureMod(
         transform(col("grams"), g => Ops.md5Bits60(g) % Ops.HashModP), NumHashes))
-      .persist()
+      .transform(graft.PlanMode.checkpointTail)
     val banded = docs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
@@ -965,7 +966,7 @@ object Dedup {
               / count(lit(1)).cast("double")).as("mean_abs_err"))
       .orderBy(col("n_matches"))
     val ckpt = graft.PlanMode.checkpointTail(out)
-    docs.unpersist()
+    graft.PlanMode.release(docs)
     ckpt
   }
 
