@@ -110,8 +110,16 @@ object Bench {
       // whole-registry 100x sweep OOM'd mid-alphabet in an agg merge
       // while every query passed in isolation). Drop them eagerly: the
       // previous query's frames are dead by construction here.
+      // BLOCKING unpersist (round 15): with the eager-checkpoint
+      // materialization policy far more block storage is alive per
+      // query, and an async free lets the next query start while the
+      // previous one's blocks still occupy the heap — the 100×-diverse
+      // sweep OOM'd in q_prefix_jaccard (which passes in isolation at
+      // the same heap) from exactly that carryover. sweep() runs
+      // outside the timed region, so the synchronous free costs the
+      // measurement nothing.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       System.gc()
     }
     // Rows whose steady-state wall exceeds this get a THIRD timing run:

@@ -57,6 +57,12 @@ object PlanMode {
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
+        // non-blocking: release() runs INSIDE the query (right after the
+        // tail materializes), where a synchronous block-removal wait
+        // adds ~0.1-0.5 s per checkpoint-heavy query (measured as a
+        // broad bench smear). Cross-QUERY carryover — the 100×-diverse
+        // OOM class — is handled by Bench.sweep()'s BLOCKING unpersist
+        // between queries; in-query frees only need to be enqueued.
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }

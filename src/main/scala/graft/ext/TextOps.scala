@@ -541,7 +541,13 @@ object TextOps {
     import org.apache.spark.sql.graftshim.{Shim, TokenBucketCounts}
     // text-notNull filter preserves the old explode semantics (a null
     // token array produced no posting rows, dropping the doc).
-    val f = docs.filter(col("text").isNotNull)
+    // Eagerly CHECKPOINTED, not persisted: the per-step gradient union
+    // has three branches over this frame inside one fused stage, and a
+    // lazily-persisted cache raced/re-derived the whole per-token hash
+    // pass per branch at 100×-diverse (profiled: 3× full parquet input
+    // bytes and 194 cpu-s in one stage). The leaf makes the token pass
+    // run exactly once at any scale.
+    val f = graft.PlanMode.checkpointTail(docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
               Shim.column(TokenBucketCounts(
                 Shim.expression(Ops.tokens(col("text"))), ":qc", QcDim))
@@ -549,8 +555,7 @@ object TextOps {
               // every token lands in exactly one bucket, so the old
               // n_toks (Σ bucket counts) is the token-array length
               size(Ops.tokens(col("text"))).cast("long").as("n_toks"),
-              when(col("lang") === QcTargetLang, 1.0).otherwise(0.0).as("y"))
-      .persist()
+              when(col("lang") === QcTargetLang, 1.0).otherwise(0.0).as("y")))
     // AQE stays on (round 15): with the map-side dense features the
     // training steps are a ≤QcDim+2-cell aggregate each — AQE coalesces
     // their exchanges to one task instead of 32 sort/agg micro-tasks
@@ -574,25 +579,30 @@ object TextOps {
     var bias = 0.0
     var n = -1L // doc count, learned from step 1's aggregate
     for (_ <- 1 to QcSteps) {
-      val errs = zOf(w, bias)
-        .select(col("doc_id"), col("bc"), col("n_toks"),
-                (col("p") - col("y")).as("err"))
-      // ONE bounded aggregate per step: per-bucket weight gradients,
-      // the bias gradient (sentinel bucket -1) and the doc count
-      // (sentinel -2; errs has exactly one row per doc) ride the same
-      // shuffle. err now lives on the same row as the counts (no
-      // f ⋈ errs join), and posexplode of the dense vector feeds the
-      // same per-term round(err·cnt/n_toks·1e6) BIGINT sum — 0-count
-      // buckets add round(0) = 0, so g_u per bucket is unchanged.
-      val cells = errs
-        .select(posexplode(col("bc")).as(Seq("bucket", "cnt")),
-                col("err"), col("n_toks"))
-        .select(col("bucket").cast("long").as("bucket"),
-                round(col("err") * col("cnt") / col("n_toks") * 1e6)
-                  .cast("long").as("g"))
-        .unionAll(errs.select(lit(-1L).as("bucket"),
-                              round(col("err") * 1e6).cast("long").as("g")))
-        .unionAll(errs.select(lit(-2L).as("bucket"), lit(1L).as("g")))
+      // ONE bounded aggregate per step, ONE branch: per-document the
+      // native QcGradMicro emits the QcDim per-bucket gradient terms
+      // PLUS the bias term (slot QcDim → sentinel bucket -1) and the
+      // doc-count 1 (slot QcDim+1 → sentinel -2), so `err` — whose
+      // per-document logit is the expensive part — is evaluated exactly
+      // once per doc per step. The old three-branch unionAll
+      // re-evaluated the logit subtree per branch (profiled at
+      // 100×-diverse: 3× input bytes and ~380 executor-cpu-s of
+      // re-derived BigDecimal rounding). Identical g_u per cell: same
+      // per-term round/cast semantics (QcRound == Spark Round, spec-
+      // pinned), same order-free BIGINT sums, 0-count buckets add 0.
+      val gradArr = {
+        import org.apache.spark.sql.graftshim.{QcGradMicro, Shim}
+        Shim.column(QcGradMicro(Shim.expression(col("bc")),
+                                Shim.expression(col("n_toks")),
+                                Shim.expression(col("err")), QcDim))
+      }
+      val cells = zOf(w, bias)
+        .select(col("bc"), col("n_toks"), (col("p") - col("y")).as("err"))
+        .select(posexplode(gradArr).as(Seq("pos", "g")))
+        .select(when(col("pos") === QcDim, lit(-1L))
+                  .when(col("pos") === QcDim + 1, lit(-2L))
+                  .otherwise(col("pos").cast("long")).as("bucket"),
+                col("g"))
         .groupBy(col("bucket")).agg(sum(col("g")).as("g_u"))
         .collect() // bounded: <= QcDim + 2 rows
       // getOrElse(1): on an EMPTY feature table every gradient cell is
@@ -619,7 +629,7 @@ object TextOps {
         when(col("pred") === col("label"), 1L).otherwise(0L))
       .orderBy(col("doc_id"))
     val ckpt = graft.PlanMode.checkpointTail(out)
-    f.unpersist()
+    graft.PlanMode.release(f)
     ckpt
   }
 

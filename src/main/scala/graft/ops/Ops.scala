@@ -146,7 +146,16 @@ object Ops {
     */
   def spreadScan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val defPar = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < defPar)
+    // Size bound: the helper exists for the tiny-single-split regime
+    // ONLY. A mid-size input (e.g. the 100×-rung's ~1.4 GB lineitem,
+    // 11 natural splits) must NOT be round-tripped through an exchange
+    // for a parallelism top-up — measured +4.9 s on q_linear_fit at
+    // 100× when the guard was partition-count-only. 64 MB ≈ half a
+    // default split: anything larger has (or will soon have) real scan
+    // parallelism.
+    val smallEnough =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20)
+    if (smallEnough && df.rdd.getNumPartitions < defPar)
       // Hash-repartition on a deterministic whole-row hash, NOT
       // round-robin: keyless repartition pays sortBeforeRepartition (a
       // full local sort of the scan partition — serial again, and pure

@@ -124,6 +124,41 @@ case class TokenBucketCounts(child: Expression, salt: String, dim: Int)
       : TokenBucketCounts = copy(child = newChild)
 }
 
+object QcRound {
+  /** Spark's Round(double, 0) + non-ANSI cast-to-long, in pure double
+    * arithmetic. Spark rounds via BigDecimal.valueOf(x).setScale(0,
+    * HALF_UP) — ~0.5 µs and two allocations per element, which at
+    * 100×-diverse was the classifier's whole training cost (hundreds of
+    * millions of per-bucket terms). Equality argument: fl = floor(x)
+    * and fr = x − fl are EXACT for |x| < 2⁵² (Sterbenz), and the
+    * shortest-decimal representation BigDecimal.valueOf uses preserves
+    * the ordering of x against the exactly-representable half fl+0.5,
+    * so fr <> 0.5 decides identically; at fr == 0.5 exactly, HALF_UP
+    * rounds away from zero. |x| ≥ 2⁵² is integral (fr = 0). NaN/Inf
+    * pass through Round unchanged and then cast like Scala's toLong.
+    * Brute-force-pinned against the BigDecimal path in
+    * TokenTextExprsSpec (millions of randoms + crafted half/boundary
+    * cases).
+    */
+  def roundToLong(x: Double): Long = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+      return x.toLong
+    val fl = math.floor(x)
+    if (x == fl) return fl.toLong // integral (covers every |x| ≥ 2⁵²)
+    // Non-integral ⟹ |fl| < 2⁵² ⟹ fl + 0.5 is EXACT, so comparing x
+    // against it decides the decimal fraction's side without the
+    // rounded subtraction x − fl (whose tie can misreport values like
+    // -0.49999999999999994 as halves).
+    val half = fl + 0.5
+    val r =
+      if (x > half) fl + 1.0
+      else if (x < half) fl
+      else if (x >= 0) fl + 1.0 // exact half: away from zero
+      else fl
+    r.toLong
+  }
+}
+
 /** The classifier's per-document micro-unit logit over a dense count
   * vector: Σ_b  (round(w_b · cnt_b / n_toks · 1e6) cast to long), with
   * round and cast replicating Spark's Round(double, 0) (BigDecimal
@@ -149,12 +184,7 @@ case class QcZMicro(left: Expression, right: Expression, weights: Seq[Double])
     var acc = 0L
     var b = 0
     while (b < m) {
-      val x = w(b) * counts.getLong(b) / nToks * 1e6
-      val r =
-        if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
-        else java.math.BigDecimal.valueOf(x)
-          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
-      acc += r.toLong
+      acc += QcRound.roundToLong(w(b) * counts.getLong(b) / nToks * 1e6)
       b += 1
     }
     acc
@@ -171,6 +201,56 @@ case class QcZMicro(left: Expression, right: Expression, weights: Seq[Double])
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QcZMicro =
     copy(left = newLeft, right = newRight)
+}
+
+/** One gradient-cell vector per document for the classifier's training
+  * step: positions 0..dim−1 hold round(err·cnt_b/n_toks·1e6) as long
+  * (round = Spark Round(double,0) semantics via QcRound), position dim
+  * holds the bias term round(err·1e6), position dim+1 holds the
+  * doc-count sentinel 1. Children: (counts, n_toks, err). Replaces the
+  * three-branch unionAll (per-bucket explode + bias row + count row)
+  * whose every branch re-evaluated the per-document logit subtree —
+  * ONE pass per document, err evaluated once, and the exploded output
+  * feeds the identical ≤dim+2-cell BIGINT sum (0-count buckets still
+  * contribute round(0) = 0).
+  */
+case class QcGradMicro(first: Expression, second: Expression,
+                       third: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), LongType, DoubleType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_qc_grad_micro"
+
+  def compute(counts: ArrayData, nToks: Long, err: Double): ArrayData = {
+    val m = math.min(counts.numElements(), dim)
+    val out = new Array[Long](dim + 2)
+    var b = 0
+    while (b < m) {
+      out(b) = QcRound.roundToLong(err * counts.getLong(b) / nToks * 1e6)
+      b += 1
+    }
+    out(dim) = QcRound.roundToLong(err * 1e6)
+    out(dim + 1) = 1L
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Long],
+            c.asInstanceOf[Double])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qcGrad", this, classOf[QcGradMicro].getName)
+    nullSafeCodeGen(ctx, ev,
+      (a, b, c) => s"${ev.value} = $ref.compute($a, $b, $c);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): QcGradMicro =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** lower(regexp_replace(text, "[ \t\n\x0B\f\r]+", " ")) as one compiled

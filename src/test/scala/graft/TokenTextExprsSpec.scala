@@ -132,6 +132,38 @@ class TokenTextExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("QcRound.roundToLong == BigDecimal HALF_UP + toLong, brute force") {
+    def ref(x: Double): Long =
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x.toLong
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    val crafted = Seq(0.0, -0.0, 0.5, -0.5, 2.5, -2.5, 0.49999999999999994,
+      -0.49999999999999994, 0.9999999999999999, 1.4999999999999998,
+      4503599627370495.5, -4503599627370495.5, math.pow(2, 52),
+      math.pow(2, 53), 1e18, -1e18, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.MinPositiveValue,
+      math.nextDown(0.5), math.nextUp(0.5), math.nextDown(2.5),
+      math.nextUp(-2.5), 1e6 - 0.5, -(1e6 - 0.5))
+    for (x <- crafted)
+      assert(org.apache.spark.sql.graftshim.QcRound.roundToLong(x) === ref(x),
+             s"crafted $x")
+    val rnd = new scala.util.Random(7)
+    var i = 0
+    while (i < 2000000) {
+      // mix magnitudes: micro-unit-scale, tiny, huge, and near-half
+      val x = rnd.nextInt(4) match {
+        case 0 => (rnd.nextDouble() - 0.5) * 2e6
+        case 1 => (rnd.nextDouble() - 0.5) * 1e-3
+        case 2 => (rnd.nextDouble() - 0.5) * 1e17
+        case _ => rnd.nextInt(2000000) - 1000000 + 0.5 +
+                    (rnd.nextInt(3) - 1) * 1e-12
+      }
+      assert(org.apache.spark.sql.graftshim.QcRound.roundToLong(x) === ref(x),
+             s"random $x")
+      i += 1
+    }
+  }
+
   test("NormalizeWs == lower(regexp_replace) on fixtures and crafted text") {
     val ws = Seq("", " ", "\t\n", "A\tB", "Mixed  CASE\r\ntext",
       "ÜBER Straße İstanbul ΣΙΓΜΑ", "ab", "  lead trail  ",
