@@ -32,6 +32,25 @@ import org.apache.spark.sql.DataFrame
 object PlanMode {
   def auditing: Boolean = sys.props.get("graft.plan.audit").contains("1")
 
+  /** Single-consumer FINAL tail (round 16). A query's returned frame has
+    * exactly one consumer — the harness action (bench count / verify
+    * write / a caller's own sink). Checkpointing it buys zero reuse and
+    * costs one extra materialization job plus a block write + re-read of
+    * the full result: measured as part of the ~0.4-0.9 s fixed per-query
+    * floor that dominates the registry at sf0.1 (VERDICT r15 §scaling).
+    * So the final tail stays LAZY. The checkpointed intermediates the
+    * plan references are leaf-lineage blocks that CANNOT be released
+    * here (truncated lineage — an eager release would break the one
+    * consumer, which is why the old pattern materialized the tail
+    * first); they stay cached until the harness's inter-query sweep
+    * (Bench.sweep's blocking unpersist) or the ContextCleaner frees
+    * them — the same lifetime they had under the old pattern, whose
+    * release() also ran non-blocking at query end. Multi-consumer
+    * funnels and tails that must materialize before scratch-dir cleanup
+    * (q_pipeline_checkpointed) keep checkpointTail.
+    */
+  def lazyTail(df: DataFrame): DataFrame = df
+
   def checkpointTail(df: DataFrame): DataFrame =
     if (auditing) df
     else GraftConf.checkpointDir(df.sparkSession) match {

@@ -343,9 +343,7 @@ object Corpus {
               col("component_size"),
               col("max_quality"),
               (col("total_chars") - col("sv.n_chars")).as("chars_dropped"))
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    graft.PlanMode.release(members)
-    ckpt
+    graft.PlanMode.lazyTail(out)
   }
 
   val qDedupKeepBestSql: String =
@@ -1434,9 +1432,7 @@ object Corpus {
         round(col("n_shared_chunks").cast("double")
                 / col("n_chunks").cast("double"), 6).as("shared_frac"))
       // No final orderBy: corpus-sized output; the gate sorts rows.
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    graft.PlanMode.release(ch)
-    ckpt
+    graft.PlanMode.lazyTail(out)
   }
 
   val qChunkDedupSql: String = chunkCtesSql + """,
@@ -3109,9 +3105,7 @@ object Corpus {
                 .as("dsir_score"),
               coalesce(col("selflag"), lit(0L)).as("is_selected"))
       // No final orderBy: corpus-sized output; the gate sorts rows.
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    graft.PlanMode.release(perDoc)
-    ckpt
+    graft.PlanMode.lazyTail(out)
   }
 
   val qDsirScoreSql: String =
@@ -3223,9 +3217,7 @@ object Corpus {
       .select(col("qid"), col("rn"), col("doc_id"), col("n_match"),
               round(col("score_u").cast("double") / 1e6, 6).as("bm25"))
       .orderBy(col("qid"), col("rn"))
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    graft.PlanMode.release(perDoc)
-    ckpt
+    graft.PlanMode.lazyTail(out)
   }
 
   /** The BM25 pipeline as bare CTEs (ending at `ranked`), shared by
@@ -3394,7 +3386,11 @@ object Corpus {
 
   /** Core of q_textrank over any (doc_id, text) frame. */
   def textrank(docs: DataFrame): DataFrame = {
-    val edges = docs
+    // spreadScan (round 16): the single-file test inputs give the
+    // tokenize+explode map stage ONE task (profiled: 2× ~0.4 s serial
+    // stages at sf0.1 while 31 cores idle); the guarded spread fans it
+    // to defaultParallelism and no-ops on any real multi-split input.
+    val edges = Ops.spreadScan(docs.select(col("text")))
       .select(filter(Ops.tokens(col("text")),
                      w => w.rlike("^[a-z]+$") && length(w) >= 2).as("arr"))
       .select(explode(expr(
@@ -3434,14 +3430,18 @@ object Corpus {
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(substring(col("u"), 1, 0))
       .orderBy((-col("r")).asc, col("u").asc)
-    val ranked = graft.PlanMode.checkpointTail(
-      top.join(deg, Seq("u"))
+    // wdeg re-read from the checkpointed adj leaf (one row per u after
+    // the dropDuplicates — wdeg is functionally dependent on u), NOT
+    // from `deg`: the old deg join re-ran the whole tokenize→edges
+    // funnel a second time for 25 rows (profiled: a duplicate ~0.4 s
+    // serial stage at sf0.1).
+    val degLeaf = adj.select(col("u"), col("wdeg")).dropDuplicates("u")
+    graft.PlanMode.lazyTail(
+      top.join(degLeaf, Seq("u"))
         .withColumn("rn", row_number().over(rankW).cast("bigint"))
         .select(col("rn"), col("u").as("term"), col("wdeg"),
                 col("r").as("rank_u"))
         .orderBy(col("rn")))
-    graft.PlanMode.release(adj)
-    ranked
   }
 
   val qTextrankSql: String = {

@@ -250,9 +250,7 @@ object Dedup {
     val out = scored
       .filter(col("edit_dist") >= 0L && col("edit_dist") <= MaxEditDist)
       .orderBy(col("doc_a"), col("doc_b"))
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    graft.PlanMode.release(scored)
-    ckpt
+    graft.PlanMode.lazyTail(out)
   }
 
   val qDedupEditdistSql: String =
@@ -332,9 +330,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"))
     // No final orderBy (gate sorts rows; range sampling would re-run
     // the pair aggregation).
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    graft.PlanMode.release(rare)
-    ckpt
+    graft.PlanMode.lazyTail(out)
   }
 
   val qContainmentSql: String =
@@ -717,10 +713,7 @@ object Dedup {
     // No final orderBy: the gate sorts rows, and a global sort's range
     // sampling re-executes the verify subtree — measured +1.1 GiB
     // shuffle read (the pair-agg exchange read twice) at 100×-diverse.
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    graft.PlanMode.release(pref)
-    graft.PlanMode.release(docs)
-    ckpt
+    graft.PlanMode.lazyTail(out)
   }
 
   val qPrefixJaccardSql: String =
@@ -842,10 +835,7 @@ object Dedup {
               round(coalesce(col("max_jaccard"), lit(0.0)), 6).as("max_jaccard"),
               coalesce(col("is_dup"), lit(0L)).as("is_dup"))
     // No final orderBy: corpus-sized output; the gate sorts rows.
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    graft.PlanMode.release(pairs)
-    graft.PlanMode.release(docs)
-    ckpt
+    graft.PlanMode.lazyTail(out)
   }
 
   /** The DuckDB side of the MinHash pipeline, re-derived relationally:
@@ -965,9 +955,7 @@ object Dedup {
            (sum(abs(col("true_u") - col("est_u"))).cast("double") / 1e6
               / count(lit(1)).cast("double")).as("mean_abs_err"))
       .orderBy(col("n_matches"))
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    graft.PlanMode.release(docs)
-    ckpt
+    graft.PlanMode.lazyTail(out)
   }
 
   val qMinhashEvalSql: String = {
@@ -1129,9 +1117,7 @@ object Dedup {
                    col("n_hits").cast("double") /
                      col("n_exact").cast("double"))
                 .otherwise(lit(1.0)).as("recall"))
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    Seq(exact, cand, docs).foreach(graft.PlanMode.release)
-    ckpt
+    graft.PlanMode.lazyTail(out)
   }
 
   val qDedupRecallSql: String = {
@@ -1222,16 +1208,10 @@ object Dedup {
     }
     val out = perConfig.map(_._1).reduce(_.unionByName(_))
       .orderBy(col("n_bands"))
-    // checkpointTail is eager (localCheckpoint(true)), so every cached
-    // frame is consumed by the time it returns — release ALL of them,
-    // including the per-config candidate frames (q_dedup_recall's
-    // hygiene; a library caller must not accumulate 3 cached frames
-    // per invocation).
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    perConfig.foreach(p => graft.PlanMode.release(p._2))
-    graft.PlanMode.release(exact)
-    graft.PlanMode.release(docs)
-    ckpt
+    // Lazy final tail (round 16): the cached per-config/exact/docs
+    // frames are leaf inputs of the returned plan and are freed by the
+    // harness sweep / ContextCleaner after the one consumer runs.
+    graft.PlanMode.lazyTail(out)
   }
 
   val qBandSweepSql: String = {
@@ -1537,9 +1517,7 @@ object Dedup {
                    (lit(3L) * col("n_triangles")).cast("double")
                      / col("n_wedges").cast("double"))
                 .otherwise(lit(0.0)).as("transitivity"))
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    e.unpersist()
-    ckpt
+    graft.PlanMode.lazyTail(out)
   }
 
   val qTriangleCountSql: String =
@@ -1604,9 +1582,7 @@ object Dedup {
       .select(col("la").as("label"), col("va").as("vec_a"),
               col("vb").as("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    e.unpersist()
-    ckpt
+    graft.PlanMode.lazyTail(out)
   }
 
   val qDedupEmbeddingSql: String =
@@ -2300,15 +2276,16 @@ object Dedup {
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(substring(col("u").cast("string"), 1, 0))
       .orderBy((-col("r")).asc, col("u").asc)
-    val ranked = top.join(deg, Seq("u"))
+    // deg re-read from the checkpointed adj leaf (one row per u after
+    // dropDuplicates; deg is functionally dependent on u) instead of
+    // re-aggregating the edge frame — the q_textrank degLeaf pattern.
+    val degLeaf = adj.select(col("u"), col("deg")).dropDuplicates("u")
+    val ranked = top.join(degLeaf, Seq("u"))
       .withColumn("rn", row_number().over(rankW).cast("bigint"))
       .select(col("rn"), col("u").as("doc_id"), col("deg"),
               col("r").as("rank_u"))
       .orderBy(col("rn"))
-    val ckpt = graft.PlanMode.checkpointTail(ranked)
-    graft.PlanMode.release(adj)
-    graft.PlanMode.release(e)
-    ckpt
+    graft.PlanMode.lazyTail(ranked)
   }
 
   val qPagerankSql: String = {

@@ -560,9 +560,7 @@ object Pipeline {
     */
   private[graft] def pipelineRun(docsIn: DataFrame): DataFrame = {
     val pools = stagePools(docsIn)
-    val ckpt = graft.PlanMode.checkpointTail(globalAttritionTail(pools))
-    pools.foreach(p => graft.PlanMode.release(p._2))
-    ckpt
+    graft.PlanMode.lazyTail(globalAttritionTail(pools))
   }
 
   // ------------------------------------------------------------------
@@ -614,9 +612,7 @@ object Pipeline {
 
   private[graft] def pipelineBySource(docsIn: DataFrame): DataFrame = {
     val pools = stagePools(docsIn)
-    val ckpt = graft.PlanMode.checkpointTail(bySourceAttritionTail(pools))
-    pools.foreach(p => graft.PlanMode.release(p._2))
-    ckpt
+    graft.PlanMode.lazyTail(bySourceAttritionTail(pools))
   }
 
   /** BOTH curation reports — the global attrition table

@@ -986,10 +986,7 @@ object Similarity {
               round(coalesce(col("n_hits"), lit(0L)).cast("double")
                       / col("n_exact").cast("double"), 6).as("recall"))
       .orderBy(col("depth"))
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    graft.PlanMode.release(rer)
-    graft.PlanMode.release(exact)
-    ckpt
+    graft.PlanMode.lazyTail(out)
   }
 
   val qRefineSweepSql: String = {
@@ -1273,10 +1270,7 @@ object Similarity {
               round(coalesce(col("n_hits"), lit(0L)).cast("double")
                       / col("n_exact").cast("double"), 6).as("recall"))
       .orderBy(col("nprobe"))
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    graft.PlanMode.release(e)
-    graft.PlanMode.release(exact)
-    ckpt
+    graft.PlanMode.lazyTail(out)
   }
 
   val qIvfSweepSql: String = {

@@ -565,10 +565,7 @@ object Stats {
     // House checkpoint-tail: materialize BEFORE releasing the shared
     // caches (the pagerank pattern) — the old eager unpersist() released
     // sym before the plan ever executed.
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    graft.PlanMode.release(sym)
-    e.unpersist()
-    ckpt
+    graft.PlanMode.lazyTail(out)
   }
 
   /** The banded sign-LSH candidate generator as bare CTEs (sample `e`

@@ -628,9 +628,7 @@ object TextOps {
       .withColumn("correct",
         when(col("pred") === col("label"), 1L).otherwise(0L))
       .orderBy(col("doc_id"))
-    val ckpt = graft.PlanMode.checkpointTail(out)
-    graft.PlanMode.release(f)
-    ckpt
+    graft.PlanMode.lazyTail(out)
   }
 
   /** The full train-then-score CTE chain through `pf` (per-doc final
